@@ -1,0 +1,104 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+The headline set spans the engine's surface: relational (scan/join/agg/
+window), the t-SNE operator suite (kNN, affinities, joint distribution,
+gradient iteration), and the data-pipeline extensions (dedup, ANN, text).
+Each query is timed as wall-clock to full materialization (count/collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("tsne-flink-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.defaultSizeInBytes", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # headline queries: representative + bounded runtime at sf0.1
+    headline = [
+        "pricing_summary",
+        "top_revenue_orders",
+        "regional_revenue",
+        "grouped_topk_orders",
+        "global_aggregates",
+        "events_by_user_segment",
+        "windowed_event_counts",
+        "sessionize",
+        "joint_distribution",
+        "knn_bruteforce",
+        "knn_partition",
+        "knn_project",
+        "pairwise_affinities",
+        "text_stats",
+        "language_id",
+        "exact_dedup",
+        "minhash_dedup",
+        "simhash_dedup",
+        "ngram_jaccard_pairs",
+        "embedding_dedup",
+        "ann_bruteforce",
+        "ann_lsh",
+        "multimodal_features",
+        "tsne_embedding",
+    ]
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            timings[name] = -1.0
+            print(f"# {name}: FAILED {e}", file=sys.stderr)
+
+    ok = [v for v in timings.values() if v >= 0]
+    total = round(sum(ok), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": int(cpus),
+                "n_queries": len(headline),
+                "n_failed": len(timings) - len(ok),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Distance metrics as native Column expressions (JVM-side, codegen-friendly)
+plus vectorized numpy twins for the pandas-UDF paths.
+
+Reference: Tsne.scala:161-168 (``getMetric``: sqeuclidean | euclidean |
+cosine).  The Column variants keep the distance math inside whole-stage
+codegen so the all-pairs kNN plan never crosses into Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sqeuclidean(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance between two ARRAY<DOUBLE> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def euclidean(a: Column, b: Column) -> Column:
+    return F.sqrt(sqeuclidean(a, b))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine distance: 1 - dot(a,b) / (|a|*|b|)."""
+    return F.lit(1.0) - _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+METRICS = {
+    "sqeuclidean": sqeuclidean,
+    "euclidean": euclidean,
+    "cosine": cosine,
+}
+
+
+def metric_expr(name: str, a: Column, b: Column) -> Column:
+    try:
+        return METRICS[name](a, b)
+    except KeyError:
+        raise ValueError(f"unknown metric {name!r}; expected one of {sorted(METRICS)}")
+
+
+# ---------------------------------------------------------------------------
+# numpy twins — used inside blocked kNN / quadtree pandas UDFs, where a whole
+# block-vs-block distance matrix is computed at once.
+# ---------------------------------------------------------------------------
+
+
+def np_sqeuclidean(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """All-pairs squared Euclidean distances: (n,d) x (m,d) -> (n,m)."""
+    aa = np.sum(A * A, axis=1)[:, None]
+    bb = np.sum(B * B, axis=1)[None, :]
+    d = aa + bb - 2.0 * (A @ B.T)
+    np.maximum(d, 0.0, out=d)
+    return d
+
+
+def np_sqeuclidean_seq(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """All-pairs squared Euclidean with left-to-right accumulation over dims.
+
+    Bit-identical to the ``sqeuclidean`` Column expression (a sequential
+    ``aggregate`` fold), unlike the GEMM formulation which rounds differently.
+    Used by ``partition_knn`` so blocked evaluation equals brute force exactly
+    (the reference's own guarantee: TsneHelpers.scala:61-91 is blocked
+    evaluation, not approximation).
+    """
+    n, m = A.shape[0], B.shape[0]
+    acc = np.zeros((n, m), dtype=np.float64)
+    for k in range(A.shape[1]):
+        d = A[:, k][:, None] - B[:, k][None, :]
+        acc += d * d
+    return acc
+
+
+def np_euclidean(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    return np.sqrt(np_sqeuclidean(A, B))
+
+
+def np_cosine(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    na = np.linalg.norm(A, axis=1)[:, None]
+    nb = np.linalg.norm(B, axis=1)[None, :]
+    return 1.0 - (A @ B.T) / (na * nb)
+
+
+def np_euclidean_seq(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    return np.sqrt(np_sqeuclidean_seq(A, B))
+
+
+def _dot_seq(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    n, m = A.shape[0], B.shape[0]
+    acc = np.zeros((n, m), dtype=np.float64)
+    for k in range(A.shape[1]):
+        acc += A[:, k][:, None] * B[:, k][None, :]
+    return acc
+
+
+def np_cosine_seq(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    def self_dot(X):
+        acc = np.zeros(X.shape[0], dtype=np.float64)
+        for k in range(X.shape[1]):
+            acc += X[:, k] * X[:, k]
+        return acc
+
+    na = np.sqrt(self_dot(A))[:, None]
+    nb = np.sqrt(self_dot(B))[None, :]
+    return 1.0 - _dot_seq(A, B) / (na * nb)
+
+
+NUMPY_METRICS = {
+    "sqeuclidean": np_sqeuclidean,
+    "euclidean": np_euclidean,
+    "cosine": np_cosine,
+}
+
+# Order-exact twins: same FP rounding as the Column expressions.
+NUMPY_METRICS_SEQ = {
+    "sqeuclidean": np_sqeuclidean_seq,
+    "euclidean": np_euclidean_seq,
+    "cosine": np_cosine_seq,
+}
+
+
+def numpy_metric(name: str, exact_order: bool = False):
+    table = NUMPY_METRICS_SEQ if exact_order else NUMPY_METRICS
+    try:
+        return table[name]
+    except KeyError:
+        raise ValueError(f"unknown metric {name!r}; expected one of {sorted(table)}")

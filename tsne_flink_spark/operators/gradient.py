@@ -1,0 +1,170 @@
+"""t-SNE gradient: attractive forces from sparse P, repulsive forces exact or
+Barnes-Hut, combined as ``attr - rep/sumQ`` (no x4 factor — reference quirk
+Q3, TsneHelpers.scala:311-317, compensated by the default learning rate).
+
+Reference: TsneHelpers.scala:221-318.
+
+Spark-first redesign (SURVEY §2.4): the reference broadcasts the FULL
+embedding into the attractive-force map every iteration
+(TsneHelpers.scala:307) — its scalability ceiling.  Here the attractive force
+is a pair of equi-joins on the COO P edges plus a per-point aggregation:
+O(N*k) rows shuffled, no O(N) per-task state.  Repulsive forces:
+
+- theta == 0: exact, pure-DataFrame — crossJoin + Column-expression math
+  (equals the quadtree degenerate case; used by the golden tests).
+- theta > 0: Barnes-Hut — the N x 2 embedding is collected (16 bytes/point;
+  1M points = 16 MB), the quadtree built on the driver and broadcast, and
+  forces evaluated in a vectorized ``mapInPandas`` (the reference does the
+  same tree broadcast, TsneHelpers.scala:234-264).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsne_flink_spark.functions.metrics import metric_expr, sqeuclidean
+from tsne_flink_spark.operators.quadtree import build_quadtree
+
+
+def _repulsive_exact(embedding: DataFrame, n_components: int) -> DataFrame:
+    """Exact repulsive forces: for each i, sum over j with y_j != y_i of
+    Q^2 * (y_i - y_j), and sum_q_i = sum of Q, where Q = 1/(1 + ||y_i-y_j||^2).
+
+    Value-inequality (not id-inequality) matches the quadtree's handling of
+    coincident points (QuadTree.scala:128): a bit-equal point contributes 0.
+    The tree always uses squared Euclidean distance regardless of the kNN
+    metric (QuadTree.scala:133) — replicated.
+    """
+    a = embedding.select(F.col("id"), F.col("y").alias("__yi"))
+    b = embedding.select(F.col("y").alias("__yj"))
+    pairs = a.crossJoin(b).where(~(F.col("__yi") == F.col("__yj")))
+    q = F.lit(1.0) / (F.lit(1.0) + sqeuclidean(F.col("__yi"), F.col("__yj")))
+    terms = pairs.select(
+        "id",
+        q.alias("__q"),
+        *[
+            (F.col("__yi")[c] - F.col("__yj")[c]).alias(f"__d{c}")
+            for c in range(n_components)
+        ],
+    )
+    return terms.groupBy("id").agg(
+        F.array(
+            *[
+                F.sum(F.col("__q") * F.col("__q") * F.col(f"__d{c}"))
+                for c in range(n_components)
+            ]
+        ).alias("rep"),
+        F.sum("__q").alias("sumq"),
+    )
+
+
+def _repulsive_barnes_hut(
+    embedding: DataFrame,
+    theta: float,
+    n_components: int,
+    fix_bounds_mean: bool = False,
+) -> DataFrame:
+    """Barnes-Hut repulsive forces via a broadcast driver-built quadtree."""
+    if n_components != 2:
+        raise ValueError("Barnes-Hut path supports n_components=2 (quadtree)")
+    rows = embedding.select("id", "y").collect()
+    Y = np.array([r["y"] for r in rows], dtype=np.float64)
+    tree = build_quadtree(Y, fix_bounds_mean=fix_bounds_mean)
+    bc = embedding.sparkSession.sparkContext.broadcast(tree)
+
+    def eval_forces(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = np.array([np.asarray(v) for v in pdf["y"]], dtype=np.float64)
+            forces, sumq = t.repulsive_forces(Q, theta)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "rep": list(forces),
+                    "sumq": sumq,
+                }
+            )
+
+    return embedding.mapInPandas(
+        eval_forces, schema="id int, rep array<double>, sumq double"
+    )
+
+
+def gradient(
+    p_coo: DataFrame,
+    embedding: DataFrame,
+    metric: str = "sqeuclidean",
+    theta: float = 0.0,
+    n_components: int = 2,
+    compute_loss: bool = False,
+    fix_bounds_mean: bool = False,
+) -> tuple[DataFrame, DataFrame | None]:
+    """One gradient evaluation.
+
+    Returns ``(grad, loss)``: grad is (id, dy ARRAY<DOUBLE>); loss is a 1-row
+    (loss DOUBLE) DataFrame when ``compute_loss`` (KL divergence
+    sum p*log(p / (q/sumQ)), TsneHelpers.scala:297-300) else None.
+    """
+    if theta == 0.0:
+        rep = _repulsive_exact(embedding, n_components)
+    else:
+        rep = _repulsive_barnes_hut(
+            embedding, theta, n_components, fix_bounds_mean=fix_bounds_mean
+        )
+
+    sum_q = rep.agg(F.sum("sumq").alias("__sum_q"))
+
+    # attractive forces: P edges joined with both endpoint embeddings
+    yi = embedding.select(F.col("id").alias("i"), F.col("y").alias("__yi"))
+    yj = embedding.select(F.col("id").alias("j"), F.col("y").alias("__yj"))
+    edges = (
+        p_coo.join(yi, "i")
+        .join(yj, "j")
+        .withColumn(
+            "__q",
+            F.lit(1.0)
+            / (F.lit(1.0) + metric_expr(metric, F.col("__yi"), F.col("__yj"))),
+        )
+    )
+    attr = edges.groupBy("i").agg(
+        F.array(
+            *[
+                F.sum(F.col("v") * F.col("__q") * (F.col("__yi")[c] - F.col("__yj")[c]))
+                for c in range(n_components)
+            ]
+        ).alias("attr")
+    )
+
+    grad = (
+        attr.withColumnRenamed("i", "id")
+        .join(rep, "id")
+        .crossJoin(F.broadcast(sum_q))
+        .select(
+            "id",
+            F.zip_with(
+                "attr",
+                F.transform(F.col("rep"), lambda r: r / F.col("__sum_q")),
+                lambda a, r: a - r,
+            ).alias("dy"),
+        )
+    )
+
+    loss = None
+    if compute_loss:
+        loss = (
+            edges.crossJoin(F.broadcast(sum_q))
+            .agg(
+                F.sum(
+                    F.col("v")
+                    * F.log(F.col("v") / (F.col("__q") / F.col("__sum_q")))
+                ).alias("loss")
+            )
+        )
+    return grad, loss

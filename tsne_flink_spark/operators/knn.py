@@ -1,0 +1,320 @@
+"""k-nearest-neighbor front-ends.
+
+Three variants, mirroring the reference's surface (SURVEY §2.3/§2.5):
+
+- ``k_nearest_neighbors`` — brute force: crossJoin + Column-expression
+  distance + per-group window top-k.  Reference: TsneHelpers.scala:41-59.
+- ``partition_knn``       — blocked cross: points bucketed into B blocks,
+  block x block crossJoin, vectorized numpy distance inside each block pair.
+  Exactly equal to brute force (blocked evaluation, not approximation).
+  Reference: TsneHelpers.scala:61-91.
+- ``project_knn``         — approximate: Morton/z-order sort (original +
+  randomly shifted copies), +-k rank-neighbors as candidates, true-distance
+  top-k over the candidate union.  Reference: TsneHelpers.scala:93-160,
+  ZOrder.scala:25-42.  Unlike the reference (whose z-order sort runs at
+  parallelism 1), the Morton key here is a sortable BINARY column and the
+  rank-neighborhood is a bucketed equi-join — fully parallel.
+
+Scale notes (100 TB stance): brute force is O(N^2) by definition and exists
+for parity + small N; ``partition_knn`` bounds memory at O((N/B)^2) per task
+and keeps the inner loop in BLAS-ish numpy; ``project_knn`` is the scale path
+at O(I * N log N) shuffle volume with no all-pairs stage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tsne_flink_spark.functions.metrics import metric_expr, numpy_metric
+
+
+def _top_k_per_group(edges: DataFrame, k: int) -> DataFrame:
+    """Grouped top-k: the canonical Spark mapping of Flink's
+    ``groupBy(i).sortGroup(dist).first(k)`` (TsneHelpers.scala:54-58).
+
+    Ties are broken by neighbor id for determinism (the reference breaks them
+    arbitrarily; its own test accepts either edge at equal distance).
+    """
+    w = Window.partitionBy("i").orderBy(F.col("v").asc(), F.col("j").asc())
+    return (
+        edges.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.lit(k))
+        .drop("__rn")
+    )
+
+
+def k_nearest_neighbors(
+    points: DataFrame, k: int, metric: str = "sqeuclidean"
+) -> DataFrame:
+    """Brute-force kNN: all-pairs distances, keep the k nearest per point.
+
+    points: (id INT, features ARRAY<DOUBLE>) -> (i INT, j INT, v DOUBLE).
+    """
+    a = points.select(F.col("id").alias("i"), F.col("features").alias("__fa"))
+    b = points.select(F.col("id").alias("j"), F.col("features").alias("__fb"))
+    edges = (
+        a.crossJoin(b)
+        # "remove distances == 0" in the reference actually filters on id
+        # inequality, keeping coincident points (quirk Q6) — replicate.
+        .where(F.col("i") != F.col("j"))
+        .select(
+            "i", "j", metric_expr(metric, F.col("__fa"), F.col("__fb")).alias("v")
+        )
+    )
+    return _top_k_per_group(edges, k)
+
+
+def partition_knn(
+    points: DataFrame, k: int, metric: str = "sqeuclidean", blocks: int | None = None
+) -> DataFrame:
+    """Blocked-cross kNN, result identical to ``k_nearest_neighbors``.
+
+    Points are bucketed by ``id % blocks`` (the reference's
+    ModuloKeyPartitioner, TsneHelpers.scala:65-66), each block collected into
+    one row as an id vector + feature matrix, blocks cross-joined, and each
+    block pair's full distance sub-matrix computed in one vectorized numpy
+    call (order-exact accumulation so results match the Column-expression
+    brute force bit-for-bit).
+    """
+    spark = points.sparkSession
+    if blocks is None:
+        blocks = spark.sparkContext.defaultParallelism
+
+    dist_fn = numpy_metric(metric, exact_order=True)
+
+    blocked = (
+        points.repartition(blocks, F.pmod(F.col("id"), F.lit(blocks)))
+        .groupBy(F.pmod(F.col("id"), F.lit(blocks)).alias("block"))
+        .agg(
+            F.collect_list("id").alias("ids"),
+            F.collect_list("features").alias("mat"),
+        )
+    )
+
+    pair_schema = "i int, j int, v double"
+
+    def emit_block_pairs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.array([np.asarray(v, dtype=np.float64) for v in row.mat_a])
+                B = np.array([np.asarray(v, dtype=np.float64) for v in row.mat_b])
+                D = dist_fn(A, B)
+                ii = np.repeat(ids_a, len(ids_b))
+                jj = np.tile(ids_b, len(ids_a))
+                vv = D.ravel()
+                keep = ii != jj
+                yield pd.DataFrame({"i": ii[keep], "j": jj[keep], "v": vv[keep]})
+
+    left = blocked.select(
+        F.col("block").alias("block_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("mat").alias("mat_a"),
+    )
+    right = blocked.select(
+        F.col("block").alias("block_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("mat").alias("mat_b"),
+    )
+    pairs = left.crossJoin(right)
+    edges = pairs.mapInPandas(emit_block_pairs, schema=pair_schema)
+    return _top_k_per_group(edges, k)
+
+
+# ---------------------------------------------------------------------------
+# project_knn — z-order approximate kNN
+# ---------------------------------------------------------------------------
+
+_MORTON_BITS = 16  # quantization bits per dimension
+
+
+def morton_key(points: DataFrame, mins: np.ndarray, maxs: np.ndarray) -> DataFrame:
+    """Append a sortable BINARY Morton (z-order) key column ``__z``.
+
+    Each dimension is min-max quantized to 16 bits, then bit-planes are
+    interleaved msb-first across dimensions (plane b of dim 0, plane b of
+    dim 1, ...), yielding a d*16-bit big-endian byte string whose
+    lexicographic order is the z-order.  The reference instead compares raw
+    double bits pairwise (ZOrder.scala:25-42) inside a parallelism-1 sort; a
+    materialized sortable key lets Spark range-partition the sort.
+    """
+    mins_b = mins.astype(np.float64)
+    span = np.maximum(maxs.astype(np.float64) - mins_b, 1e-300)
+
+    def add_key(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["features"]])
+            if X.size == 0:
+                yield pdf.assign(__z=pd.Series([], dtype=object))
+                continue
+            n, d = X.shape
+            q = np.clip(
+                ((X - mins_b) / span * ((1 << _MORTON_BITS) - 1)).astype(np.uint32),
+                0,
+                (1 << _MORTON_BITS) - 1,
+            )
+            # bits[n, b, dim]: plane b (msb-first) of each dim
+            planes = (
+                (q[:, None, :] >> (np.arange(_MORTON_BITS - 1, -1, -1)[None, :, None]))
+                & 1
+            ).astype(np.uint8)
+            flat = planes.reshape(n, _MORTON_BITS * d)  # msb plane first, dim-major
+            pad = (-flat.shape[1]) % 8
+            if pad:
+                flat = np.concatenate(
+                    [flat, np.zeros((n, pad), dtype=np.uint8)], axis=1
+                )
+            keys = np.packbits(flat, axis=1)
+            pdf = pdf.copy()
+            pdf["__z"] = [k.tobytes() for k in keys]
+            yield pdf
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    # note: StructType.add mutates in place — build a fresh copy instead
+    schema = StructType(
+        list(points.schema.fields) + [StructField("__z", BinaryType())]
+    )
+    return points.mapInPandas(add_key, schema=schema)
+
+
+def _global_rank_by(df: DataFrame, order_col: str) -> DataFrame:
+    """Distributed global rank by ``order_col`` (0-based, dense ordering).
+
+    Avoids the single-partition ``Window.orderBy`` by range-partitioning on
+    the key, ranking within partitions, and adding per-partition offsets —
+    the classic parallel zipWithIndex.
+    """
+    parts = df.repartitionByRange(F.col(order_col)).sortWithinPartitions(order_col)
+    with_pid = parts.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    local = with_pid.withColumn("__local", F.row_number().over(w) - 1)
+    counts = (
+        local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    return (
+        local.join(F.broadcast(counts), "__pid")
+        .withColumn("__rank", (F.col("__local") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local", "__offset")
+    )
+
+
+def _zorder_candidates(points: DataFrame, k: int) -> DataFrame:
+    """Candidate pairs: each point with its +-k neighbors in z-order rank.
+
+    Parallel reformulation of findPossibleNeighbors
+    (TsneHelpers.scala:136-160): rank by Morton key, then a bucketed
+    equi-join (bucket size k+1; each row joins buckets {b-1, b, b+1})
+    filtered to 1 <= |rank_a - rank_b| <= k.  Emits candidate (i, j) pairs.
+    """
+    ranked = points.select("id", "__z")
+    ranked = _global_rank_by(ranked, "__z").drop("__z")
+
+    bucket = (F.col("__rank") / F.lit(k + 1)).cast("long")
+    a = ranked.select(
+        F.col("id").alias("i"),
+        F.col("__rank").alias("__ra"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("__bucket"),
+    )
+    b = ranked.select(
+        F.col("id").alias("j"),
+        F.col("__rank").alias("__rb"),
+        (F.col("__rank") / F.lit(k + 1)).cast("long").alias("__bucket"),
+    )
+    return (
+        a.join(b, "__bucket")
+        .where(
+            (F.abs(F.col("__ra") - F.col("__rb")) <= F.lit(k))
+            & (F.col("__ra") != F.col("__rb"))
+        )
+        .select("i", "j")
+    )
+
+
+def project_knn(
+    points: DataFrame,
+    k: int,
+    metric: str = "sqeuclidean",
+    dimension: int | None = None,
+    iterations: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Approximate kNN via random-shifted z-order sorts.
+
+    For the original point set plus ``iterations - 1`` randomly shifted
+    copies (shift vectors generated driver-side from a seeded RNG — the
+    reference's are unseeded, quirk Q4), take +-k z-order rank neighbors as
+    candidates; union, dedupe, then true-distance top-k.
+    """
+    spark = points.sparkSession
+    if dimension is None:
+        dimension = len(points.select("features").head()["features"])
+
+    stats = points.select(
+        *[F.min(F.col("features")[d]).alias(f"mn{d}") for d in range(dimension)],
+        *[F.max(F.col("features")[d]).alias(f"mx{d}") for d in range(dimension)],
+    ).head()
+    mins = np.array([stats[f"mn{d}"] for d in range(dimension)])
+    maxs = np.array([stats[f"mx{d}"] for d in range(dimension)])
+
+    span = maxs - mins
+    rng = np.random.default_rng(seed)
+    shifts = [None] + [
+        rng.uniform(0.0, 1.0, size=dimension) * span
+        for _ in range(max(iterations - 1, 0))
+    ]
+
+    # The quantization grid must stay FIXED across shifted passes (covering
+    # [mins, maxs + span]); re-anchoring the grid to each shifted min would
+    # reproduce the identical z-order and make the extra passes useless.  The
+    # reference gets this for free by comparing raw double bits (grid anchored
+    # at absolute zero, ZOrder.scala:25-42).
+    grid_mins, grid_maxs = mins, maxs + span
+
+    candidate_sets = []
+    for shift in shifts:
+        if shift is None:
+            shifted = points
+        else:
+            arr = F.array(*[F.lit(float(x)) for x in shift])
+            shifted = points.select(
+                "id", F.zip_with("features", arr, lambda a, b: a + b).alias("features")
+            )
+        keyed = morton_key(shifted, grid_mins, grid_maxs)
+        candidate_sets.append(_zorder_candidates(keyed, k))
+
+    candidates = candidate_sets[0]
+    for c in candidate_sets[1:]:
+        candidates = candidates.unionByName(c)
+
+    # Shifted copies carry shifted features; re-attach originals for the true
+    # distance (the reference carries the original vector alongside,
+    # TsneHelpers.scala:103-111 — we re-join instead to keep shuffles thin).
+    pairs = candidates.select("i", "j").dropDuplicates(["i", "j"])
+    fi = points.select(F.col("id").alias("i"), F.col("features").alias("__fi"))
+    fj = points.select(F.col("id").alias("j"), F.col("features").alias("__fj"))
+    edges = (
+        pairs.join(fi, "i")
+        .join(fj, "j")
+        .select("i", "j", metric_expr(metric, F.col("__fi"), F.col("__fj")).alias("v"))
+    )
+    return _top_k_per_group(edges, k)

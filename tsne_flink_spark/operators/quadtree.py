@@ -1,0 +1,216 @@
+"""Barnes-Hut quadtree (2-D), array-backed numpy implementation.
+
+Semantics replicate the reference exactly (QuadTree.scala, Cell.scala),
+including its quirks, so that theta=0 degenerates to the exact gradient and
+golden tests match:
+
+- node capacity 1; coincident (bit-equal) points accumulate in one leaf
+  (QuadTree.scala:50-63).
+- ``subDivide`` uses hWidth for BOTH child half-dimensions
+  (QuadTree.scala:80-81) — safe because the root is square (quirk Q2).
+- summary condition ``max(hHeight, hWidth) / D < theta`` with D the *squared*
+  distance (QuadTree.scala:133-134), vs. the paper's r_cell/||y_i-y_cell||
+  (quirk Q2).
+- a leaf whose point bit-equals the query point contributes nothing
+  (QuadTree.scala:128).
+- root cell: centered at the embedding mean — which the reference computes as
+  (0,0) by construction (quirk Q1, TsneHelpers.scala:228-229) — with
+  half-extent max(maxX-minX, maxY-minY) (TsneHelpers.scala:246-248).
+
+The tree is built once per iteration on the driver from the collected N x 2
+embedding (tiny: 16 bytes/point) and broadcast; force evaluation is batched —
+a frontier of (node, query) pairs expanded level-by-level entirely in numpy,
+no per-point Python recursion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_DEPTH = 64  # guard against pathological near-coincident points
+
+
+class QuadTree:
+    """Flat-array quadtree over 2-D points."""
+
+    def __init__(self, cx: float, cy: float, half_extent: float, capacity_hint: int = 64):
+        n = max(capacity_hint, 16)
+        self.cx = np.zeros(n)
+        self.cy = np.zeros(n)
+        self.hw = np.zeros(n)  # half-width
+        self.hh = np.zeros(n)  # half-height
+        self.cum = np.zeros(n, dtype=np.int64)
+        self.sx = np.zeros(n)  # running sum of inserted points
+        self.sy = np.zeros(n)
+        self.children = np.full((n, 4), -1, dtype=np.int64)  # NW NE SW SE
+        self.has_point = np.zeros(n, dtype=bool)
+        self.px = np.zeros(n)
+        self.py = np.zeros(n)
+        self.n_nodes = 1
+        self.cx[0], self.cy[0] = cx, cy
+        self.hw[0] = self.hh[0] = half_extent
+
+    # -- construction -------------------------------------------------------
+
+    def _grow(self, need: int) -> None:
+        cap = len(self.cx)
+        if self.n_nodes + need <= cap:
+            return
+        new = max(cap * 2, self.n_nodes + need)
+        for name in ("cx", "cy", "hw", "hh", "sx", "sy", "px", "py"):
+            arr = getattr(self, name)
+            setattr(self, name, np.resize(arr, new))
+        self.cum = np.resize(self.cum, new)
+        self.has_point = np.resize(self.has_point, new)
+        ch = np.full((new, 4), -1, dtype=np.int64)
+        ch[: len(self.children)] = self.children
+        self.children = ch
+
+    def _contains(self, node: int, x: float, y: float) -> bool:
+        return (
+            self.cx[node] - self.hw[node] <= x <= self.cx[node] + self.hw[node]
+            and self.cy[node] - self.hh[node] <= y <= self.cy[node] + self.hh[node]
+        )
+
+    def _subdivide(self, node: int) -> None:
+        # Children sized by hWidth on both axes, as the reference does.
+        nw = 0.5 * self.hw[node]
+        base = self.n_nodes
+        self._grow(4)
+        offs = ((-nw, nw), (nw, nw), (-nw, -nw), (nw, -nw))  # NW NE SW SE
+        for c, (dx, dy) in enumerate(offs):
+            idx = base + c
+            self.cx[idx] = self.cx[node] + dx
+            self.cy[idx] = self.cy[node] + dy
+            self.hw[idx] = self.hh[idx] = nw
+            self.cum[idx] = 0
+            self.sx[idx] = self.sy[idx] = 0.0
+            self.children[idx] = -1
+            self.has_point[idx] = False
+            self.children[node, c] = idx
+        self.n_nodes += 4
+
+    def _child_for(self, node: int, x: float, y: float) -> int:
+        for c in self.children[node]:
+            if c >= 0 and self._contains(c, x, y):
+                return int(c)
+        return -1
+
+    def insert(self, x: float, y: float) -> bool:
+        if not self._contains(0, x, y):
+            return False
+        node = 0
+        for _ in range(_MAX_DEPTH):
+            self.sx[node] += x
+            self.sy[node] += y
+            self.cum[node] += 1
+            if self.children[node, 0] == -1:  # leaf
+                if not self.has_point[node]:
+                    self.has_point[node] = True
+                    self.px[node], self.py[node] = x, y
+                    return True
+                if self.px[node] == x and self.py[node] == y:
+                    return True  # coincident: accumulate in this leaf
+                ox, oy = self.px[node], self.py[node]
+                self._subdivide(node)
+                self.has_point[node] = False
+                # re-seat the old leaf point one level down (children are
+                # fresh leaves, so this is O(1))
+                oc = self._child_for(node, ox, oy)
+                self.sx[oc] += ox
+                self.sy[oc] += oy
+                self.cum[oc] += 1
+                self.has_point[oc] = True
+                self.px[oc], self.py[oc] = ox, oy
+            nxt = self._child_for(node, x, y)
+            if nxt == -1:
+                return False
+            node = nxt
+        # depth guard: treat as coincident with the leaf reached
+        return True
+
+    # -- query --------------------------------------------------------------
+
+    def repulsive_forces(
+        self, Q: np.ndarray, theta: float
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched Barnes-Hut evaluation for query points Q (m, 2).
+
+        Returns (forces (m, 2), sum_q (m,)).  A frontier of (node, query)
+        pairs is expanded breadth-first; at each step every pair is either
+        accumulated (leaf or summary condition) or expanded to 4 children —
+        all in vectorized numpy.
+        """
+        m = len(Q)
+        forces = np.zeros((m, 2))
+        sumq = np.zeros(m)
+        if m == 0 or self.cum[0] == 0:
+            return forces, sumq
+
+        nodes = np.zeros(m, dtype=np.int64)
+        queries = np.arange(m, dtype=np.int64)
+
+        while len(nodes):
+            leaf = self.children[nodes, 0] == -1
+            empty = leaf & (self.cum[nodes] == 0)
+            qx, qy = Q[queries, 0], Q[queries, 1]
+            self_leaf = leaf & self.has_point[nodes] & (
+                (self.px[nodes] == qx) & (self.py[nodes] == qy)
+            )
+            drop = empty | self_leaf
+
+            com_x = self.sx[nodes] / np.maximum(self.cum[nodes], 1)
+            com_y = self.sy[nodes] / np.maximum(self.cum[nodes], 1)
+            dx = qx - com_x
+            dy = qy - com_y
+            D = dx * dx + dy * dy
+            with np.errstate(divide="ignore"):
+                summary = (
+                    np.maximum(self.hh[nodes], self.hw[nodes]) / D < theta
+                )
+            accept = ~drop & (leaf | summary)
+
+            if accept.any():
+                a = np.flatnonzero(accept)
+                q = 1.0 / (1.0 + D[a])
+                mult = self.cum[nodes[a]] * q
+                np.add.at(sumq, queries[a], mult)
+                np.add.at(forces[:, 0], queries[a], mult * q * dx[a])
+                np.add.at(forces[:, 1], queries[a], mult * q * dy[a])
+
+            expand = ~drop & ~accept
+            if expand.any():
+                e = np.flatnonzero(expand)
+                child_nodes = self.children[nodes[e]]  # (k, 4)
+                nodes = child_nodes.ravel()
+                queries = np.repeat(queries[e], 4)
+            else:
+                break
+        return forces, sumq
+
+
+def build_quadtree(
+    Y: np.ndarray, fix_bounds_mean: bool = False
+) -> QuadTree:
+    """Build the tree for an N x 2 embedding, replicating the reference's
+    root-cell construction (TsneHelpers.scala:228-248).
+
+    With ``fix_bounds_mean=False`` (reference parity) the root is centered at
+    (0, 0) — the reference's "mean" is a zero vector by construction (Q1).
+    With True, the actual mean is used.
+    """
+    if fix_bounds_mean and len(Y):
+        mx, my = float(Y[:, 0].mean()), float(Y[:, 1].mean())
+    else:
+        mx, my = 0.0, 0.0
+    if len(Y):
+        half = max(
+            float(Y[:, 0].max() - Y[:, 0].min()),
+            float(Y[:, 1].max() - Y[:, 1].min()),
+        )
+    else:
+        half = 1.0
+    tree = QuadTree(mx, my, half, capacity_hint=4 * max(len(Y), 16))
+    for x, y in Y:
+        tree.insert(float(x), float(y))
+    return tree

@@ -1,0 +1,340 @@
+"""Deduplication operators for training-data pipelines, all shuffle-bounded
+(no all-pairs stage anywhere):
+
+- exact_dedup            — hash-groupBy on a normalized fingerprint.
+- minhash_lsh_dedup      — shingle -> minhash -> band -> bucket join.
+- simhash_dedup          — 64-bit simhash, banded into 4x16-bit keys
+                           (Hamming distance <= 3 guaranteed caught).
+- ngram_jaccard_dedup    — n-gram Jaccard verification over LSH candidates.
+- embedding_cosine_dedup — near-dup by embedding cosine similarity via
+                           LSH-bucketed candidate pairs.
+
+Candidate generation is always an equi-join on a compact key (band hash /
+simhash band / hyperplane bucket), so the shuffle is O(rows x bands), never
+O(rows^2) — the property that must hold at 100 TB.
+
+Hashing uses Spark's built-in xxhash64/hash with per-permutation seeds; the
+minhash permutations follow the standard (a*x + b) mod p universal-hash
+construction used by Spark MLlib's MinHashLSH.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tsne_flink_spark.pipeline.text import fingerprint
+
+_PRIME = 2038074743  # same prime family as MLlib's MinHashLSH
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id document per normalized-text fingerprint."""
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of the normalized text, as a distinct array."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " "),
+        lambda t: t != F.lit(""),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int, seed: int = 42) -> Column:
+    """num_hashes-wide minhash signature over a shingle array.
+
+    h_k(x) = ((a_k * xxhash64(x) + b_k) mod PRIME), minimized per k — entirely
+    Column expressions (transform + aggregate), no UDF.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _PRIME, size=num_hashes)
+    b = rng.integers(0, _PRIME, size=num_hashes)
+    base = F.transform(shingle_col, lambda s: F.abs(F.xxhash64(s)) % F.lit(_PRIME))
+
+    def min_hash_k(ak: int, bk: int):
+        # closure, not default-arg lambda: pyspark derives the higher-order
+        # function's arity from the python signature
+        return F.aggregate(
+            base,
+            F.lit(_PRIME).cast("long"),
+            lambda acc, h: F.least(acc, (F.lit(ak) * h + F.lit(bk)) % F.lit(_PRIME)),
+        )
+
+    return F.array(
+        *[min_hash_k(int(a[k]), int(b[k])) for k in range(num_hashes)]
+    )
+
+
+def _lsh_candidate_pairs(
+    signed: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Band the signature and emit candidate (a, b) id pairs (a < b) that
+    collide in at least one band.  One explode + one self-equi-join on
+    (band, band_hash): shuffle O(rows x bands)."""
+    banded = signed.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.xxhash64(
+                    F.slice(
+                        F.col("__sig"), bnd * rows_per_band + 1, rows_per_band
+                    ).cast("string")
+                ),
+            )
+        ).alias("__band", "__bucket"),
+    )
+    left = banded.select(
+        F.col("__id").alias("a"), "__band", "__bucket"
+    )
+    right = banded.select(
+        F.col("__id").alias("b"), "__band", "__bucket"
+    )
+    return (
+        left.join(right, ["__band", "__bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def jaccard_similarity(sh_a: Column, sh_b: Column) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dedup: MinHash+LSH candidates, exact-Jaccard verification, keep
+    the lowest id of each duplicate pair's losers removed.
+
+    Connected components are approximated by one representative hop
+    (b removed when a<b are dups) — the standard single-pass policy.
+    """
+    rows_per_band = num_hashes // bands
+    with_sh = docs.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    signed = with_sh.select(
+        id_col, "__sh", minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig")
+    )
+    cands = _lsh_candidate_pairs(signed, id_col, bands, rows_per_band)
+
+    sh_a = with_sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
+    sh_b = with_sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))
+    dups = (
+        cands.join(sh_a, "a")
+        .join(sh_b, "b")
+        .where(jaccard_similarity(F.col("__sha"), F.col("__shb")) >= threshold)
+        .select(F.col("b").alias("__kill"))
+        .distinct()
+    )
+    return docs.join(
+        dups, docs[id_col] == dups["__kill"], "left_anti"
+    )
+
+
+def simhash(text: Column, seed: int = 0) -> Column:
+    """64-bit simhash over word tokens, as a BIGINT column.
+
+    Per bit b: sign(sum over tokens of +-1 by token-hash bit b).  Expressed as
+    64 aggregate folds over the token array — heavy expression tree but pure
+    JVM.  Bits are packed via sum of 2^b terms.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " "),
+        lambda t: t != F.lit(""),
+    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+
+    def vote_for_bit(bb: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bb).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_terms = []
+    for b in range(64):
+        bit = (vote_for_bit(b) > 0).cast("long")
+        if b == 63:
+            # avoid BIGINT overflow on the sign bit: use negative weight
+            bit_terms.append(F.when(bit == 1, F.lit(-(2**63))).otherwise(F.lit(0)))
+        else:
+            bit_terms.append(bit * F.lit(2**b))
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_bands(sim: Column) -> Column:
+    """Split a 64-bit simhash into 4 x 16-bit band keys: two fingerprints
+    within Hamming distance 3 share at least one band (pigeonhole)."""
+    return F.array(
+        *[
+            F.shiftrightunsigned(sim, 16 * b).bitwiseAND(F.lit(0xFFFF))
+            for b in range(4)
+        ]
+    )
+
+
+def _popcount64(x: Column) -> Column:
+    """Hamming weight of a 64-bit column via bit_count."""
+    return F.bit_count(x)
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Near-dedup by simhash: banded candidate join + Hamming verification."""
+    sh = docs.select(
+        F.col(id_col), simhash(F.col(text_col), seed).alias("__sim")
+    )
+    banded = sh.select(
+        id_col,
+        "__sim",
+        F.posexplode(simhash_bands(F.col("__sim"))).alias("__band", "__key"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("a"), F.col("__sim").alias("__sa"), "__band", "__key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), F.col("__sim").alias("__sb"), "__band", "__key"
+    )
+    dups = (
+        left.join(right, ["__band", "__key"])
+        .where(F.col("a") < F.col("b"))
+        .where(
+            _popcount64(F.col("__sa").bitwiseXOR(F.col("__sb"))) <= max_hamming
+        )
+        .select(F.col("b").alias("__kill"))
+        .distinct()
+    )
+    return docs.join(dups, docs[id_col] == dups["__kill"], "left_anti")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 2,
+    num_hashes: int = 64,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """All near-duplicate pairs (a, b, jaccard) above threshold.
+
+    LSH candidates (aggressive banding for lower thresholds) verified with
+    exact n-gram Jaccard — the query-able variant of minhash_lsh_dedup.
+    """
+    rows_per_band = num_hashes // bands
+    with_sh = docs.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    signed = with_sh.select(
+        id_col, minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig")
+    )
+    cands = _lsh_candidate_pairs(signed, id_col, bands, rows_per_band)
+    sh_a = with_sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
+    sh_b = with_sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))
+    return (
+        cands.join(sh_a, "a")
+        .join(sh_b, "b")
+        .select(
+            "a",
+            "b",
+            jaccard_similarity(F.col("__sha"), F.col("__shb")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_cosine_dedup(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup rows by embedding cosine similarity.
+
+    Candidates via random-hyperplane (sign) LSH: num_planes sign bits packed
+    into one bucket key; exact cosine verification on bucket-colliding pairs.
+    To survive skew, the bucket join is on the full key — expected bucket
+    size shrinks exponentially with num_planes.
+    """
+    from tsne_flink_spark.pipeline.similarity import cosine_similarity_expr
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).head()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(num_planes, dim))
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in planes[p]]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + (proj > 0).cast("long") * F.lit(2**p)
+
+    keyed = embeddings.select(
+        F.col(id_col), vec.alias("__v"), bucket.alias("__bucket")
+    )
+    left = keyed.select(
+        F.col(id_col).alias("a"), F.col("__v").alias("__va"), "__bucket"
+    )
+    right = keyed.select(
+        F.col(id_col).alias("b"), F.col("__v").alias("__vb"), "__bucket"
+    )
+    dups = (
+        left.join(right, "__bucket")
+        .where(F.col("a") < F.col("b"))
+        .where(
+            cosine_similarity_expr(F.col("__va"), F.col("__vb")) >= threshold
+        )
+        .select(F.col("b").alias("__kill"))
+        .distinct()
+    )
+    return embeddings.join(
+        dups, embeddings[id_col] == dups["__kill"], "left_anti"
+    )

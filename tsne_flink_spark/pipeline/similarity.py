@@ -1,0 +1,204 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT/DOUBLE>).
+
+- ``brute_force_top_k``  — exact cosine top-k: crossJoin + Column-expression
+  dot products + window top-k.  The correctness baseline; reuses the kNN
+  machinery's shape (it IS kNN with metric=cosine-similarity, descending).
+- ``lsh_top_k``          — random-hyperplane LSH with multi-probe buckets:
+  candidates from bucket collisions only, then exact re-rank.  The scale
+  path: shuffle O(rows x probes), never O(rows^2).
+- ``ivf_top_k``          — IVF-style: k-means-ish coarse centroids sampled
+  driver-side, each vector assigned to its nearest centroid partition,
+  queries probe the ``n_probe`` nearest centroids.  Broadcast centroids,
+  equi-join on centroid id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_similarity_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for every query row.
+
+    Output: (q INT, c INT, sim DOUBLE), k rows per query, ties broken by c.
+    Self-matches (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("__vq")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c"), _as_double(F.col(vec_col)).alias("__vc")
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("q") != F.col("c"))
+        .select(
+            "q",
+            "c",
+            cosine_similarity_expr(F.col("__vq"), F.col("__vc")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("c").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _hyperplane_buckets(
+    vec: Column, planes: np.ndarray, probe_flips: int
+) -> Column:
+    """Array of bucket keys: the base sign-bucket plus single-bit-flip probes
+    (multi-probe LSH) for recall without extra tables."""
+    num_planes = len(planes)
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        proj = dot_expr(vec, F.array(*[F.lit(float(w)) for w in planes[p]]))
+        bucket = bucket + (proj > 0).cast("long") * F.lit(2**p)
+    probes = [bucket]
+    for p in range(min(probe_flips, num_planes)):
+        probes.append(bucket.bitwiseXOR(F.lit(2**p)))
+    return F.array(*probes)
+
+
+def lsh_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    probe_flips: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-probe random-hyperplane LSH."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).head()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(num_planes, dim))
+
+    qv = _as_double(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("q"),
+        qv.alias("__vq"),
+        F.explode(_hyperplane_buckets(qv, planes, probe_flips)).alias("__bucket"),
+    )
+    cv = _as_double(F.col(vec_col))
+    c = corpus.select(
+        F.col(id_col).alias("c"),
+        cv.alias("__vc"),
+        # corpus rows sit in their base bucket only; queries multi-probe
+        _hyperplane_buckets(cv, planes, 0)[0].alias("__bucket"),
+    )
+    scored = (
+        q.join(c, "__bucket")
+        .where(F.col("q") != F.col("c"))
+        .dropDuplicates(["q", "c"])
+        .select(
+            "q",
+            "c",
+            cosine_similarity_expr(F.col("__vq"), F.col("__vc")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("c").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def ivf_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k.
+
+    Coarse centroids are a deterministic sample of the corpus (k-means++-ish
+    seeding without the iterations — adequate as a partitioner); every corpus
+    vector joins its nearest list, every query probes its n_probe nearest
+    lists.  Centroids are broadcast; the candidate join is an equi-join on
+    list id.
+    """
+    sample = corpus.select(vec_col).limit(max(n_lists * 20, 200)).collect()
+    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(X), size=min(n_lists, len(X)), replace=False)
+    centroids = X[idx]
+    centroids /= np.maximum(np.linalg.norm(centroids, axis=1)[:, None], 1e-12)
+
+    def nearest_lists(vec: Column, n: int) -> Column:
+        sims = F.array(
+            *[
+                dot_expr(vec, F.array(*[F.lit(float(w)) for w in cent]))
+                for cent in centroids
+            ]
+        )
+        pairs = F.transform(
+            sims, lambda s, i: F.struct(s.alias("s"), i.alias("list_id"))
+        )
+        top = F.slice(F.reverse(F.array_sort(pairs)), 1, n)
+        return F.transform(top, lambda t: t["list_id"])
+
+    cv = _as_double(F.col(vec_col))
+    c = corpus.select(
+        F.col(id_col).alias("c"),
+        cv.alias("__vc"),
+        nearest_lists(cv, 1)[0].alias("__list"),
+    )
+    qv = _as_double(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("q"),
+        qv.alias("__vq"),
+        F.explode(nearest_lists(qv, n_probe)).alias("__list"),
+    )
+    scored = (
+        q.join(c, "__list")
+        .where(F.col("q") != F.col("c"))
+        .dropDuplicates(["q", "c"])
+        .select(
+            "q",
+            "c",
+            cosine_similarity_expr(F.col("__vq"), F.col("__vc")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("c").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,103 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is native Column expressions (regex, length, split,
+hashing) — no Python UDFs — so the operators whole-stage-codegen and scale
+linearly with input; each is a single narrow map over the documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small built-in stopword list per language for the n-gram/stopword
+# language-ID heuristic.
+_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "y", "de", "un", "una", "es", "que", "por"],
+}
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization; empty strings filtered (multi-space safe)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokenize(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: words + digits + punctuation runs, the usual
+    cheap stand-in for a BPE tokenizer when only a count is needed."""
+    toks = F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
+    return F.size(F.filter(toks, lambda t: (t != F.lit("")) & (t != F.lit(" "))))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    words = _STOPWORDS[lang]
+    toks = tokenize(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0, 1]: rewards moderate length, low
+    punctuation density, and stopword presence (prose-likeness)."""
+    n_tokens = token_count(text)
+    length_term = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * F.lit(4.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * F.lit(5.0), F.lit(1.0))
+    return (length_term + punct_term + stop_term) / F.lit(3.0)
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-vote language ID across the built-in lexicons; 'und' when no
+    stopwords hit.  A deterministic n-gram-free heuristic (real models are a
+    plug-in point)."""
+    toks = tokenize(F.lower(text))
+
+    def count_hits(words):
+        # NB: a default-arg lambda would change the higher-order function's
+        # arity (pyspark counts parameters) — build via closure instead
+        return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+    scores = {lang: count_hits(words) for lang, words in _STOPWORDS.items()}
+    best_score = F.greatest(*scores.values())
+    result = F.lit("und")
+    # deterministic priority order on ties: en, de, fr, es
+    for lang in reversed(list(_STOPWORDS)):
+        result = F.when(
+            (scores[lang] == best_score) & (best_score > 0), F.lit(lang)
+        ).otherwise(result)
+    return result
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace/case-normalized text — the exact-dedup key."""
+    normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.md5(normalized)
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis projection over a documents table."""
+    t = F.col(text_col)
+    return docs.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subword_tokens"),
+        F.length(t).alias("n_chars_computed"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

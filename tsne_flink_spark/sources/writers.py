@@ -1,0 +1,33 @@
+"""Sinks (SURVEY §2.1): embedding CSV, loss file, execution-plan dump."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_embedding_csv(embedding: DataFrame, path: str, n_components: int = 2) -> None:
+    """Write (id, y0, y1, ...) CSV, overwrite mode (Tsne.scala:86)."""
+    flat = embedding.select(
+        "id", *[F.col("y")[c].alias(f"y{c}") for c in range(n_components)]
+    )
+    flat.write.mode("overwrite").csv(path)
+
+
+def write_loss(loss_records: list[tuple[int, float]], path: str) -> None:
+    """Write per-iteration KL loss, one "iteration,loss" line each
+    (Tsne.scala:97-101)."""
+    Path(path).write_text(
+        "".join(f"{it},{loss}\n" for it, loss in sorted(loss_records))
+    )
+
+
+def write_execution_plan(df: DataFrame, path: str) -> None:
+    """Dump the formatted physical plan (the reference's --executionPlan mode,
+    Tsne.scala:89-95)."""
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    Path(path).write_text(plan)

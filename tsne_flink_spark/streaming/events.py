@@ -1,0 +1,134 @@
+"""Event-stream operators.
+
+The reference depends on flink-streaming but never uses a streaming API
+(SURVEY §2.8) — batch ops cover its semantics.  This module provides the
+Structured-Streaming-ready formulations for the driver's ``events`` table:
+every transformation is expressed so the SAME code runs on a batch DataFrame
+or a ``readStream`` source (the functions take a DataFrame; pass a streaming
+one and add a sink).  Watermarking is applied only when the input is
+streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_watermark(events: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    if events.isStreaming:
+        return events.withWatermark(ts_col, delay)
+    return events
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    late_data_delay: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window count + value sum per event_type.
+
+    Batch: plain time-bucket groupBy.  Streaming: watermarked windowed agg.
+    """
+    ev = _maybe_watermark(events, ts_col, late_data_delay)
+    return (
+        ev.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_user_activity(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window distinct-user activity."""
+    ev = _maybe_watermark(events, ts_col, "10 minutes")
+    return (
+        ev.groupBy(F.window(F.col(ts_col), window_duration, slide).alias("win"))
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "approx_users",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch sessionization: per-user sessions split on inactivity gaps.
+
+    lag + cumulative-sum-of-boundaries window pattern; for true streaming the
+    equivalent is ``groupBy(session_window(ts, gap))`` — exposed via
+    ``sessionize_streaming``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    with_break = events.withColumn(
+        "__new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    with_sid = with_break.withColumn(
+        "__session_seq", F.sum("__new_session").over(w)
+    )
+    return (
+        with_sid.groupBy("user_id", "__session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .drop("__session_seq")
+    )
+
+
+def sessionize_streaming(
+    events: DataFrame, gap: str = "30 minutes", ts_col: str = "ts"
+) -> DataFrame:
+    """Structured-Streaming-native session windows (also works on batch)."""
+    ev = _maybe_watermark(events, ts_col, "10 minutes")
+    return (
+        ev.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("user_id"),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_events_from_files(
+    spark, path: str, schema: str = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+) -> DataFrame:
+    """readStream file source over a parquet directory."""
+    return spark.readStream.schema(schema).parquet(path)

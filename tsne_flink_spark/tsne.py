@@ -1,0 +1,102 @@
+"""Estimator-style facade over the full t-SNE pipeline.
+
+Parameter set mirrors the reference CLI (README.md:13-38, defaults at
+Tsne.scala:45-63).  ``fit`` accepts either assembled points
+(id, features) or a precomputed distance matrix in COO form (the reference's
+--inputDistanceMatrix entry point B, Tsne.scala:69-71).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+from tsne_flink_spark.operators.affinities import (
+    joint_distribution,
+    pairwise_affinities,
+)
+from tsne_flink_spark.operators.embedding import init_working_set
+from tsne_flink_spark.operators.knn import (
+    k_nearest_neighbors,
+    partition_knn,
+    project_knn,
+)
+from tsne_flink_spark.operators.optimize import optimize
+
+
+@dataclass
+class TSNE:
+    metric: str = "sqeuclidean"
+    perplexity: float = 30.0
+    n_components: int = 2
+    early_exaggeration: float = 4.0
+    learning_rate: float = 1000.0
+    iterations: int = 300
+    random_state: int = 0
+    neighbors: int | None = None  # default 3 * floor(perplexity) (Tsne.scala:55)
+    initial_momentum: float = 0.5
+    final_momentum: float = 0.8
+    theta: float = 0.25
+    knn_method: str = "bruteforce"  # bruteforce | partition | project
+    knn_iterations: int = 3
+    knn_blocks: int | None = None
+    loss_records: list = field(default_factory=list)
+
+    @property
+    def _k(self) -> int:
+        return self.neighbors if self.neighbors is not None else 3 * int(self.perplexity)
+
+    def _knn(self, points: DataFrame) -> DataFrame:
+        if self.knn_method == "bruteforce":
+            return k_nearest_neighbors(points, self._k, self.metric)
+        if self.knn_method == "partition":
+            return partition_knn(points, self._k, self.metric, self.knn_blocks)
+        if self.knn_method == "project":
+            return project_knn(
+                points,
+                self._k,
+                self.metric,
+                iterations=self.knn_iterations,
+                seed=self.random_state,
+            )
+        raise ValueError(f"unknown knn_method {self.knn_method!r}")
+
+    def fit(
+        self, points: DataFrame | None = None, distances: DataFrame | None = None
+    ) -> DataFrame:
+        """Run the pipeline; returns the final (id, y ARRAY<DOUBLE>) embedding.
+
+        Exactly one of ``points`` (id, features) / ``distances`` (i, j, v COO)
+        must be given.
+        """
+        if (points is None) == (distances is None):
+            raise ValueError("provide exactly one of points= or distances=")
+
+        knn = distances if distances is not None else self._knn(points)
+        p_cond = pairwise_affinities(knn, self.perplexity)
+        p_joint = joint_distribution(p_cond).persist(StorageLevel.MEMORY_AND_DISK)
+
+        ids = (points if points is not None else p_joint.select(
+            p_joint["i"].alias("id")).distinct())
+        working_set = init_working_set(
+            ids.select("id"), self.n_components, self.random_state
+        )
+
+        self.loss_records.clear()
+        embedding = optimize(
+            p_joint,
+            working_set,
+            learning_rate=self.learning_rate,
+            iterations=self.iterations,
+            metric=self.metric,
+            early_exaggeration=self.early_exaggeration,
+            initial_momentum=self.initial_momentum,
+            final_momentum=self.final_momentum,
+            theta=self.theta,
+            n_components=self.n_components,
+            loss_sink=self.loss_records,
+        )
+        p_joint.unpersist()
+        return embedding
