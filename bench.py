@@ -69,6 +69,8 @@ def main() -> None:
         "tsne_embedding",
     ]
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
@@ -81,6 +83,12 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             timings[name] = -1.0
             print(f"# {name}: FAILED {e}", file=sys.stderr)
+        # drop cached blocks and let the ContextCleaner reap checkpoint RDDs /
+        # broadcasts between queries — accumulated state from earlier queries
+        # measurably degrades later ones (6x observed on the iterative query)
+        df = None
+        spark.catalog.clearCache()
+        gc.collect()
 
     ok = [v for v in timings.values() if v >= 0]
     total = round(sum(ok), 3)

@@ -1,0 +1,182 @@
+"""Tests for the training-data-pipeline operators (dedup, similarity, text,
+multimodal) on small in-memory corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog", "en", "s0"),
+        (1, "The quick brown fox jumps over the lazy dog", "en", "s1"),  # exact dup of 0
+        (2, "The quick brown fox leaps over the lazy dog", "en", "s2"),  # near dup of 0
+        (3, "Der schnelle braune Fuchs springt und das ist gut", "de", "s0"),
+        (4, "Completely different text about spark and data processing", "en", "s1"),
+        (5, "the  QUICK   brown fox jumps over the lazy dog", "en", "s3"),  # ws/case dup of 0
+        (6, "Le renard brun rapide saute et c'est tres bien pour le chien", "fr", "s2"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+
+
+def test_exact_dedup(spark, docs):
+    from tsne_flink_spark.pipeline.dedup import exact_dedup
+
+    out = exact_dedup(docs)
+    ids = {r["doc_id"] for r in out.collect()}
+    # 1 and 5 are normalized duplicates of 0; lowest id survives
+    assert 0 in ids and 1 not in ids and 5 not in ids
+    assert ids == {0, 2, 3, 4, 6}
+
+
+def test_minhash_lsh_dedup(spark, docs):
+    from tsne_flink_spark.pipeline.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(docs, threshold=0.5)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 not in ids  # exact dup caught
+    assert 0 in ids
+    assert 4 in ids  # unrelated text survives
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    from tsne_flink_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.4, shingle_n=2).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in pairs and 0.4 <= pairs[(0, 2)] < 1.0
+    assert (0, 4) not in pairs
+
+
+def test_simhash_dedup(spark, docs):
+    from tsne_flink_spark.pipeline.dedup import simhash_dedup
+
+    out = simhash_dedup(docs, max_hamming=3)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 not in ids  # identical text -> identical simhash
+    assert 0 in ids and 4 in ids
+
+
+def test_simhash_column_values(spark, docs):
+    from tsne_flink_spark.pipeline.dedup import simhash, simhash_table
+
+    rows = docs.select("doc_id", simhash(F.col("text")).alias("s")).collect()
+    by_id = {r["doc_id"]: r["s"] for r in rows}
+    assert by_id[0] == by_id[1]  # same text, same fingerprint
+    assert by_id[0] != by_id[4]
+    # the bulk explode+groupBy path must agree bit-for-bit with the
+    # array-fold Column expression
+    bulk = {r["doc_id"]: r["simhash"] for r in simhash_table(docs).collect()}
+    assert bulk == by_id
+
+
+def test_embedding_cosine_dedup(spark):
+    from tsne_flink_spark.pipeline.dedup import embedding_cosine_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = embedding_cosine_dedup(emb, threshold=0.99, num_planes=8)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert 1 not in ids
+    assert ids == {0, 2, 3}
+
+
+def test_brute_force_top_k(spark):
+    from tsne_flink_spark.pipeline.similarity import brute_force_top_k
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = brute_force_top_k(emb, emb, k=1)
+    best = {r["q"]: r["c"] for r in out.collect()}
+    assert best[0] == 1 and best[1] == 0
+    assert best[3] == 2  # least-negative cosine among others
+
+
+def test_lsh_top_k_recall(spark):
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.similarity import brute_force_top_k, lsh_top_k
+
+    rng = np.random.default_rng(11)
+    # clustered data: the regime ANN is for (iid gaussian has no neighbor
+    # structure and any LSH legitimately degrades to chance there)
+    centers = rng.normal(0, 1, (8, 16))
+    rows = [
+        (i, (centers[i % 8] + rng.normal(0, 0.15, 16)).tolist()) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = {(r["q"], r["c"]) for r in brute_force_top_k(emb, emb, 3).collect()}
+    approx = {
+        (r["q"], r["c"])
+        for r in lsh_top_k(emb, emb, 3, num_planes=10, probe_flips=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"LSH recall {recall:.2f}"
+
+
+def test_ivf_top_k_shapes(spark):
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.similarity import ivf_top_k
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(0, 1, 8).tolist()) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = ivf_top_k(emb, emb, 2, n_lists=4, n_probe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q"], []).append(r["c"])
+    assert all(len(cs) <= 2 for cs in by_q.values())
+    assert len(by_q) >= 40  # nearly every query got candidates
+
+
+def test_text_analysis(spark, docs):
+    from tsne_flink_spark.pipeline.text import analyze_documents
+
+    out = {r["doc_id"]: r for r in analyze_documents(docs).collect()}
+    assert out[0]["n_tokens"] == 9
+    assert out[5]["n_tokens"] == 9  # multi-space safe
+    assert out[0]["fingerprint"] == out[5]["fingerprint"]  # normalized
+    assert out[0]["lang_pred"] == "en"
+    assert out[3]["lang_pred"] == "de"
+    assert out[6]["lang_pred"] == "fr"
+    assert 0.0 <= out[0]["quality"] <= 1.0
+
+
+def test_multimodal_features(spark, docs):
+    from tsne_flink_spark.pipeline.multimodal import (
+        attach_binary_payload,
+        extract_image_features,
+        sample_frames,
+    )
+
+    with_payload = attach_binary_payload(docs)
+    feats = {r["doc_id"]: r for r in extract_image_features(with_payload).collect()}
+    assert set(feats) == {0, 1, 2, 3, 4, 5, 6}
+    assert len(feats[0]["features"]) == 16
+    # identical text -> identical payload -> identical fake decode
+    assert feats[0]["mean_r"] == feats[1]["mean_r"]
+    frames = sample_frames(with_payload, n_frames=3).collect()
+    assert len(frames) == 7 * 3
+
+
+def test_decode_image_stub_raises():
+    from tsne_flink_spark.pipeline.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x01", fake=False)

@@ -1,0 +1,73 @@
+"""Source/sink tests: COO CSV read + vector assembly, embedding CSV sink,
+loss file, execution-plan dump (SURVEY §2.1)."""
+
+import os
+
+import pytest
+
+from tsne_flink_spark.sources.readers import (
+    assemble_points,
+    coo_from_rows,
+    read_points,
+)
+from tsne_flink_spark.sources.writers import (
+    write_embedding_csv,
+    write_execution_plan,
+    write_loss,
+)
+
+
+def test_assemble_points(spark):
+    coo = coo_from_rows(
+        spark, [(0, 0, 1.0), (0, 2, 3.0), (1, 1, 5.0)]
+    )
+    pts = {r["id"]: list(r["features"]) for r in assemble_points(coo, 4).collect()}
+    assert pts[0] == [1.0, 0.0, 3.0, 0.0]  # missing cells zero-filled
+    assert pts[1] == [0.0, 5.0, 0.0, 0.0]
+
+
+def test_read_points_csv(spark, tmp_path):
+    path = tmp_path / "in.csv"
+    path.write_text("0,0,1.5\n0,1,2.5\n1,0,-1.0\n1,1,0.5\n")
+    pts = {r["id"]: list(r["features"]) for r in read_points(spark, str(path), 2).collect()}
+    assert pts == {0: [1.5, 2.5], 1: [-1.0, 0.5]}
+
+
+def test_write_embedding_csv(spark, tmp_path):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "id int, y array<double>"
+    )
+    out = str(tmp_path / "out")
+    write_embedding_csv(emb, out, 2)
+    rows = set()
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            rows.update(
+                line for line in open(os.path.join(out, f)).read().splitlines() if line
+            )
+    assert rows == {"0,1.0,2.0", "1,3.0,4.0"}
+
+
+def test_write_loss(tmp_path):
+    path = str(tmp_path / "loss.txt")
+    write_loss([(20, 1.5), (10, 2.5)], path)
+    assert open(path).read() == "10,2.5\n20,1.5\n"
+
+
+def test_write_execution_plan(spark, tmp_path):
+    df = spark.range(5).selectExpr("id", "id * 2 as double_id")
+    path = str(tmp_path / "plan.txt")
+    write_execution_plan(df, path)
+    text = open(path).read()
+    assert "Physical Plan" in text
+
+
+def test_events_loader(spark):
+    from tsne_flink_spark.sources.readers import load_events
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/events.parquet"):
+        pytest.skip("testdata not present")
+    ev = load_events(spark, sf)
+    row = ev.select("ts").head()
+    assert row["ts"].year >= 2020  # nanos converted to a plausible timestamp

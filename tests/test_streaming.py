@@ -1,0 +1,81 @@
+"""Event-stream operator tests: batch semantics + streaming-mode wiring."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # user 1: two sessions separated by a 2-hour gap
+    for i, mins in enumerate([0, 5, 10, 130, 135]):
+        rows.append((i, base + dt.timedelta(minutes=mins), 1, "click", 1.0, "{}"))
+    # user 2: one session
+    for i, mins in enumerate([3, 8]):
+        rows.append((10 + i, base + dt.timedelta(minutes=mins), 2, "view", 2.0, "{}"))
+    return spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_windowed_event_counts(spark, events):
+    from tsne_flink_spark.streaming.events import windowed_event_counts
+
+    out = windowed_event_counts(events, "1 hour").collect()
+    rows = {(r["window_start"].hour, r["event_type"]): r["n_events"] for r in out}
+    assert rows[(0, "click")] == 3
+    assert rows[(0, "view")] == 2
+    assert rows[(2, "click")] == 2
+
+
+def test_sessionize(spark, events):
+    from tsne_flink_spark.streaming.events import sessionize
+
+    out = sessionize(events, gap_minutes=30).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2  # two sessions (2-hour gap)
+    assert sorted(s["n_events"] for s in by_user[1]) == [2, 3]
+    assert len(by_user[2]) == 1
+
+
+def test_sessionize_streaming_batch_equivalence(spark, events):
+    from tsne_flink_spark.streaming.events import sessionize_streaming
+
+    out = sessionize_streaming(events, gap="30 minutes").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    assert len(by_user[2]) == 1
+
+
+def test_streaming_source_wiring(spark, tmp_path, events):
+    """readStream file source + watermarked windowed agg wires into a
+    streaming query (processed with availableNow, written to memory sink)."""
+    from tsne_flink_spark.streaming.events import windowed_event_counts
+
+    path = str(tmp_path / "events_parquet")
+    events.write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(events.schema).parquet(path)
+    )
+    agg = windowed_event_counts(stream, "1 hour")
+    assert agg.isStreaming
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows (watermark passed); the final
+    # window stays open, so just assert the query ran and the table exists
+    spark.sql("select * from win_counts").collect()

@@ -1,0 +1,51 @@
+"""End-to-end facade tests: TSNE.fit on points and on a precomputed distance
+matrix (the reference's two entry points, Tsne.scala:69-79)."""
+
+import numpy as np
+import pytest
+
+from tsne_flink_spark.sources.readers import coo_from_rows, points_from_rows
+from tsne_flink_spark.tsne import TSNE
+
+
+def test_fit_points_bruteforce(spark):
+    rng = np.random.default_rng(0)
+    # two well-separated clusters
+    pts = [(i, (rng.normal(0, 0.1, 4) + (0 if i < 10 else 5)).tolist()) for i in range(20)]
+    df = points_from_rows(spark, pts)
+    model = TSNE(
+        perplexity=3.0, neighbors=6, iterations=25, theta=0.0,
+        learning_rate=100, random_state=0,
+    )
+    emb = {r["id"]: np.array(r["y"]) for r in model.fit(points=df).collect()}
+    assert len(emb) == 20
+    # KL loss recorded on schedule
+    assert [it for it, _ in sorted(model.loss_records)] == [10, 20]
+    # clusters separate: mean intra-cluster distance < inter-cluster distance
+    a = np.array([emb[i] for i in range(10)])
+    b = np.array([emb[i] for i in range(10, 20)])
+    inter = np.linalg.norm(a.mean(0) - b.mean(0))
+    intra = max(np.linalg.norm(a - a.mean(0), axis=1).mean(),
+                np.linalg.norm(b - b.mean(0), axis=1).mean())
+    assert inter > intra
+
+
+def test_fit_distance_matrix(spark):
+    rng = np.random.default_rng(1)
+    X = rng.normal(0, 1, (12, 6))
+    rows = []
+    for i in range(12):
+        for j in range(12):
+            if i != j:
+                rows.append((i, j, float(((X[i] - X[j]) ** 2).sum())))
+    dist = coo_from_rows(spark, rows)
+    model = TSNE(perplexity=3.0, iterations=5, theta=0.5, random_state=0)
+    emb = model.fit(distances=dist).collect()
+    assert len(emb) == 12
+    assert all(len(r["y"]) == 2 for r in emb)
+
+
+def test_fit_requires_exactly_one_input(spark):
+    model = TSNE()
+    with pytest.raises(ValueError):
+        model.fit()
