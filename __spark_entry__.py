@@ -403,6 +403,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms per document — explode/groupBy/broadcast-idf-join/
+    window top-k, all DataFrame-native."""
+    from tsne_flink_spark.pipeline.tfidf import top_terms_per_doc
+
+    docs = _t(spark, sf_dir, "documents")
+    out = top_terms_per_doc(docs, k=5)
+    return out.select(
+        "doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rn"
+    )
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine similarity pairs (join on shared terms — no
+    all-pairs stage)."""
+    from tsne_flink_spark.pipeline.tfidf import tfidf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_cosine_pairs(docs, threshold=0.6)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_tsne_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full t-SNE pipeline (kNN -> affinities -> joint P -> GD loop
     with Barnes-Hut) on the embeddings table, small iteration budget.
@@ -414,8 +436,8 @@ def q_tsne_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("features"),
     )
     model = TSNE(
-        perplexity=10.0, iterations=20, theta=0.5, knn_method="bruteforce",
-        neighbors=15, random_state=0,
+        perplexity=10.0, iterations=20, theta=0.5, knn_method="partition",
+        neighbors=15, random_state=0, bh_condition="scaled",
     )
     out = model.fit(points=emb)
     return out.select(
@@ -456,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "tsne_embedding": q_tsne_embedding,
     }
 
@@ -623,6 +647,56 @@ WITH fp AS (
   FROM documents
 )
 SELECT doc_id, lang, source FROM fp WHERE rn = 1
+""",
+        "tfidf_top_terms": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                t -> t <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((1.0 + n.n) / (1.0 + dfreq.df)) + 1.0) AS w
+  FROM tf JOIN dfreq ON tf.term = dfreq.term, n
+), ranked AS (
+  SELECT doc_id, term, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, round(w, 6) AS tfidf, rn::INT AS rn FROM ranked WHERE rn <= 5
+""",
+        "tfidf_cosine_pairs": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                t -> t <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((1.0 + n.n) / (1.0 + dfreq.df)) + 1.0) AS w
+  FROM tf JOIN dfreq ON tf.term = dfreq.term, n
+), norms AS (
+  SELECT doc_id, sqrt(SUM(w * w)) AS norm FROM scored GROUP BY doc_id
+), dots AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, SUM(x.w * y.w) AS dot
+  FROM scored x JOIN scored y ON x.term = y.term AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, round(dot / (na.norm * nb.norm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = a
+JOIN norms nb ON nb.doc_id = b
+WHERE dot / (na.norm * nb.norm) >= 0.6
 """,
         "ann_bruteforce": """
 WITH dots AS (

@@ -62,6 +62,7 @@ def main() -> None:
         "minhash_dedup",
         "simhash_dedup",
         "ngram_jaccard_pairs",
+        "tfidf_top_terms",
         "embedding_dedup",
         "ann_bruteforce",
         "ann_lsh",

@@ -1,0 +1,136 @@
+"""Property tests the reference lacks (SURVEY §5.2): P symmetry, perplexity
+targets, quadtree-vs-brute-force equivalence, Morton ordering."""
+
+import math
+
+import numpy as np
+import pytest
+
+from tests.fixtures import DENSE_PAIRWISE_AFFINITIES
+from tsne_flink_spark.operators.affinities import (
+    joint_distribution,
+    pairwise_affinities,
+)
+from tsne_flink_spark.sources.readers import coo_from_rows
+
+
+def test_joint_distribution_symmetric(spark):
+    p = joint_distribution(coo_from_rows(spark, DENSE_PAIRWISE_AFFINITIES))
+    vals = {(r["i"], r["j"]): r["v"] for r in p.collect()}
+    for (i, j), v in vals.items():
+        assert vals[(j, i)] == pytest.approx(v, abs=1e-15)
+
+
+def test_affinities_hit_target_perplexity(spark):
+    """exp(H(P_.|i)) ~= perplexity for every row (the bisection's contract:
+    |H - log(u)| < 1e-5)."""
+    rng = np.random.default_rng(2)
+    X = rng.normal(0, 1, (30, 8))
+    edges = []
+    for i in range(30):
+        d = ((X - X[i]) ** 2).sum(axis=1)
+        order = np.argsort(d)
+        for j in order[1:11]:  # 10 nearest
+            edges.append((i, int(j), float(d[j])))
+    perplexity = 5.0
+    out = pairwise_affinities(coo_from_rows(spark, edges), perplexity).collect()
+    by_i = {}
+    for r in out:
+        by_i.setdefault(r["i"], []).append(r["v"])
+    for i, ps in by_i.items():
+        ps = np.array(ps)
+        h = -(ps[ps > 0] * np.log(ps[ps > 0])).sum()
+        assert math.exp(h) == pytest.approx(perplexity, rel=1e-3), f"row {i}"
+
+
+def test_quadtree_theta0_equals_bruteforce():
+    """Pure-numpy check: near-zero theta makes the tree's forces equal the
+    O(N^2) pairwise formula."""
+    from tsne_flink_spark.operators.quadtree import build_quadtree
+
+    rng = np.random.default_rng(4)
+    Y = rng.normal(0, 1, (60, 2))
+    tree = build_quadtree(Y)
+    forces, sumq = tree.repulsive_forces(Y, theta=1e-300)
+
+    # brute force
+    D = ((Y[:, None, :] - Y[None, :, :]) ** 2).sum(-1)
+    Q = 1.0 / (1.0 + D)
+    np.fill_diagonal(Q, 0.0)
+    exp_sumq = Q.sum(axis=1)
+    exp_forces = np.einsum("ij,ijk->ik", Q * Q, Y[:, None, :] - Y[None, :, :])
+    np.testing.assert_allclose(sumq, exp_sumq, atol=1e-9)
+    np.testing.assert_allclose(forces, exp_forces, atol=1e-9)
+
+
+def test_quadtree_barnes_hut_close_to_exact():
+    from tsne_flink_spark.operators.quadtree import build_quadtree
+
+    rng = np.random.default_rng(9)
+    Y = rng.normal(0, 2, (200, 2))
+    tree = build_quadtree(Y)
+    f_exact, s_exact = tree.repulsive_forces(Y, theta=1e-300)
+    f_bh, s_bh = tree.repulsive_forces(Y, theta=0.25)
+    # the reference's summary condition divides by the SQUARED distance
+    # (quirk Q2, QuadTree.scala:133-134), which summarizes far cells more
+    # aggressively than canonical Barnes-Hut — tolerances sized accordingly
+    assert np.abs(s_bh - s_exact).max() / s_exact.max() < 0.05
+    assert np.abs(f_bh - f_exact).max() / (np.abs(f_exact).max() + 1e-12) < 0.25
+    # bulk agreement: mean error well under the max
+    assert np.abs(f_bh - f_exact).mean() / (np.abs(f_exact).mean() + 1e-12) < 0.1
+
+
+def test_quadtree_coincident_points():
+    """Coincident points accumulate in one leaf (QuadTree.scala:50-52); a
+    bit-equal query point contributes nothing from its own leaf; and — a
+    reference quirk faithfully replicated — when a coincident leaf is later
+    subdivided, its point is re-seated ONCE (insertIntoSubTree(leafPoint),
+    QuadTree.scala:59), so the duplicate's mass is dropped from the subtree.
+    """
+    from tsne_flink_spark.operators.quadtree import build_quadtree
+
+    Y = np.array([[0.0, 0.0], [0.0, 0.0], [1.0, 1.0]])
+    tree = build_quadtree(Y)
+    forces, sumq = tree.repulsive_forces(Y, theta=1e-300)
+    # query (0,0): its own leaf is skipped — only (1,1) contributes
+    q = 1.0 / (1.0 + 2.0)
+    assert sumq[0] == pytest.approx(q)
+    # query (1,1): the (0,0) leaf contributes with cumSize 1, not 2 — the
+    # coincident multiplicity was lost at subdivision (reference behavior)
+    assert sumq[2] == pytest.approx(q)
+
+
+def test_morton_key_orders_like_zorder():
+    """The packed BINARY Morton key sorts identically to the bitwise z-order
+    comparator (most-significant differing bit-plane decides, ZOrder.scala
+    semantics) on the quantized grid."""
+    from tsne_flink_spark.operators.knn import _MORTON_BITS
+
+    rng = np.random.default_rng(6)
+    q = rng.integers(0, 1 << _MORTON_BITS, size=(50, 3)).astype(np.uint32)
+
+    def key(row):
+        planes = [
+            (int(row[d]) >> b) & 1
+            for b in range(_MORTON_BITS - 1, -1, -1)
+            for d in range(3)
+        ]
+        out = 0
+        for bit in planes:
+            out = (out << 1) | bit
+        return out
+
+    def zorder_less(p, r):
+        # classic msb-XOR comparison on quantized ints
+        j, x = 0, 0
+        for d in range(3):
+            y = int(p[d]) ^ int(r[d])
+            if x < y and x < (x ^ y):
+                j, x = d, y
+        return p[j] < r[j]
+
+    keys = [key(row) for row in q]
+    order_by_key = sorted(range(50), key=lambda idx: keys[idx])
+    # verify pairwise consistency of adjacent elements with the comparator
+    for a, b in zip(order_by_key, order_by_key[1:]):
+        assert not zorder_less(q[b], q[a]) or keys[a] == keys[b]

@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--initialMomentum", type=float, default=0.5)
     p.add_argument("--finalMomentum", type=float, default=0.8)
     p.add_argument("--theta", type=float, default=0.25)
+    p.add_argument("--bhCondition", choices=["reference", "scaled"],
+                   default="reference",
+                   help="Barnes-Hut summary condition: 'reference' replicates "
+                        "the reference's non-scale-invariant test (quirk Q2); "
+                        "'scaled' is canonical scale-invariant Barnes-Hut")
     # the reference documents --lossFile but reads key "loss" (quirk Q5):
     # accept both spellings.
     p.add_argument("--lossFile", "--loss", dest="loss_file", default="loss.txt")
@@ -80,6 +85,7 @@ def main(argv: list[str] | None = None) -> None:
         initial_momentum=args.initialMomentum,
         final_momentum=args.finalMomentum,
         theta=args.theta,
+        bh_condition=args.bhCondition,
         knn_method=args.knnMethod,
         knn_iterations=args.knnIterations,
         knn_blocks=args.knnBlocks,

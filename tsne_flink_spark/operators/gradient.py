@@ -68,6 +68,7 @@ def _repulsive_barnes_hut(
     theta: float,
     n_components: int,
     fix_bounds_mean: bool = False,
+    bh_condition: str = "reference",
 ) -> DataFrame:
     """Barnes-Hut repulsive forces via a broadcast driver-built quadtree."""
     if n_components != 2:
@@ -83,7 +84,7 @@ def _repulsive_barnes_hut(
             if not len(pdf):
                 continue
             Q = np.array([np.asarray(v) for v in pdf["y"]], dtype=np.float64)
-            forces, sumq = t.repulsive_forces(Q, theta)
+            forces, sumq = t.repulsive_forces(Q, theta, condition=bh_condition)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy(),
@@ -105,6 +106,7 @@ def gradient(
     n_components: int = 2,
     compute_loss: bool = False,
     fix_bounds_mean: bool = False,
+    bh_condition: str = "reference",
 ) -> tuple[DataFrame, DataFrame | None]:
     """One gradient evaluation.
 
@@ -116,7 +118,11 @@ def gradient(
         rep = _repulsive_exact(embedding, n_components)
     else:
         rep = _repulsive_barnes_hut(
-            embedding, theta, n_components, fix_bounds_mean=fix_bounds_mean
+            embedding,
+            theta,
+            n_components,
+            fix_bounds_mean=fix_bounds_mean,
+            bh_condition=bh_condition,
         )
 
     sum_q = rep.agg(F.sum("sumq").alias("__sum_q"))

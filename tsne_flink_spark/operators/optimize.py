@@ -62,6 +62,7 @@ def iteration_computation(
     n_components: int = 2,
     iter_offset: int = 0,
     loss_sink: list | None = None,
+    bh_condition: str = "reference",
 ) -> DataFrame:
     """Run ``iterations`` gradient-descent steps from ``working_set``.
 
@@ -81,6 +82,7 @@ def iteration_computation(
             theta=theta,
             n_components=n_components,
             compute_loss=want_loss,
+            bh_condition=bh_condition,
         )
         updated = update_embedding(
             dy, ws, min_gain=MIN_GAIN, momentum=momentum, learning_rate=learning_rate
@@ -106,6 +108,7 @@ def optimize(
     theta: float = 0.0,
     n_components: int = 2,
     loss_sink: list | None = None,
+    bh_condition: str = "reference",
 ) -> DataFrame:
     """Full three-phase optimization; returns the final (id, y) embedding."""
     iter_init = min(iterations, 20)
@@ -120,17 +123,19 @@ def optimize(
     ws = iteration_computation(
         iter_init, initial_momentum, initial_working_set, exaggerated,
         metric, learning_rate, theta, n_components, 0, loss_sink,
+        bh_condition,
     )
     if iter_exag > 0:
         ws = iteration_computation(
             iter_exag, final_momentum, ws, exaggerated,
             metric, learning_rate, theta, n_components, iter_init, loss_sink,
+            bh_condition,
         )
     if iter_plain > 0:
         ws = iteration_computation(
             iter_plain, final_momentum, ws, plain,
             metric, learning_rate, theta, n_components,
-            iter_init + iter_exag, loss_sink,
+            iter_init + iter_exag, loss_sink, bh_condition,
         )
     exaggerated.unpersist()
     plain.unpersist()

@@ -132,7 +132,7 @@ class QuadTree:
     # -- query --------------------------------------------------------------
 
     def repulsive_forces(
-        self, Q: np.ndarray, theta: float
+        self, Q: np.ndarray, theta: float, condition: str = "reference"
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched Barnes-Hut evaluation for query points Q (m, 2).
 
@@ -140,6 +140,17 @@ class QuadTree:
         pairs is expanded breadth-first; at each step every pair is either
         accumulated (leaf or summary condition) or expanded to 4 children —
         all in vectorized numpy.
+
+        ``condition``:
+        - "reference": ``max(hH, hW) / D < theta`` with D the SQUARED
+          distance (QuadTree.scala:133-134, quirk Q2).  NOT scale-invariant:
+          on a compressed embedding (early t-SNE iterations, init scale 1e-4)
+          1/D ~ 1e6 dwarfs theta and the evaluation degenerates to exact
+          O(N^2) — exactly what the reference does.
+        - "scaled": ``max(hH, hW) / sqrt(D) < theta`` — the canonical
+          (van der Maaten 2014) scale-invariant criterion; O(N log N) at
+          every scale.  Divergence from the reference is intentional and
+          documented; theta=0 still means exact under both.
         """
         m = len(Q)
         forces = np.zeros((m, 2))
@@ -164,9 +175,10 @@ class QuadTree:
             dx = qx - com_x
             dy = qy - com_y
             D = dx * dx + dy * dy
-            with np.errstate(divide="ignore"):
+            denom = np.sqrt(D) if condition == "scaled" else D
+            with np.errstate(divide="ignore", invalid="ignore"):
                 summary = (
-                    np.maximum(self.hh[nodes], self.hw[nodes]) / D < theta
+                    np.maximum(self.hh[nodes], self.hw[nodes]) / denom < theta
                 )
             accept = ~drop & (leaf | summary)
 
@@ -174,9 +186,10 @@ class QuadTree:
                 a = np.flatnonzero(accept)
                 q = 1.0 / (1.0 + D[a])
                 mult = self.cum[nodes[a]] * q
-                np.add.at(sumq, queries[a], mult)
-                np.add.at(forces[:, 0], queries[a], mult * q * dx[a])
-                np.add.at(forces[:, 1], queries[a], mult * q * dy[a])
+                qa = queries[a]
+                sumq += np.bincount(qa, weights=mult, minlength=m)
+                forces[:, 0] += np.bincount(qa, weights=mult * q * dx[a], minlength=m)
+                forces[:, 1] += np.bincount(qa, weights=mult * q * dy[a], minlength=m)
 
             expand = ~drop & ~accept
             if expand.any():

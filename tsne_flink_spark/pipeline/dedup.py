@@ -29,6 +29,22 @@ from tsne_flink_spark.pipeline.text import fingerprint
 _PRIME = 2038074743  # same prime family as MLlib's MinHashLSH
 
 
+def _auto_bands(num_hashes: int, threshold: float) -> int:
+    """Pick the band count whose LSH S-curve knee (1/b)^(1/r) sits closest
+    to the verification threshold.  Mistuned bands either miss duplicates or
+    flood the verifier with candidates (observed 20x slowdowns)."""
+    best_b, best_err = num_hashes, float("inf")
+    for r in (2, 4, 8, 16, 32):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        knee = (1.0 / b) ** (1.0 / r)
+        err = abs(knee - threshold)
+        if err < best_err:
+            best_b, best_err = b, err
+    return best_b
+
+
 def exact_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -80,6 +96,62 @@ def minhash_signature(shingle_col: Column, num_hashes: int, seed: int = 42) -> C
     )
 
 
+def minhash_signatures_table(
+    with_shingles: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    seed: int = 42,
+    shingle_col: str = "__sh",
+) -> DataFrame:
+    """(id, __sig ARRAY<BIGINT>) for a whole table — the bulk path.
+
+    Shingle hashing stays JVM-side; the permutation-minima run vectorized in
+    numpy over Arrow batches.  Bit-identical to ``minhash_signature``.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _PRIME, size=num_hashes).astype(np.int64)
+    b = rng.integers(0, _PRIME, size=num_hashes).astype(np.int64)
+    # small inputs often arrive as ONE parquet partition; spread first so the
+    # signature kernel parallelizes
+    spread = with_shingles.repartition(
+        with_shingles.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    # shingle hashing stays JVM-side (xxhash64, identical to the Column
+    # path); the num_hashes permutation-minima run vectorized in numpy —
+    # a wide MIN aggregate here falls out of codegen and goes interpreted
+    hashed = spread.select(
+        F.col(id_col),
+        F.transform(
+            F.col(shingle_col), lambda s: F.abs(F.xxhash64(s)) % F.lit(_PRIME)
+        ).alias("__h"),
+    )
+
+    def sign_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sigs = []
+            for h in pdf["__h"]:
+                harr = np.asarray(h, dtype=np.int64)
+                if len(harr) == 0:
+                    sigs.append([int(_PRIME)] * num_hashes)
+                else:
+                    # a_k * h + b_k < PRIME^2 < 2^62: safe in int64
+                    sigs.append(
+                        ((a[:, None] * harr[None, :] + b[:, None]) % _PRIME)
+                        .min(axis=1)
+                        .tolist()
+                    )
+            yield pd.DataFrame({id_col: pdf[id_col], "__sig": sigs})
+
+    id_type = dict(with_shingles.dtypes)[id_col]
+    return hashed.mapInPandas(
+        sign_batches, schema=f"{id_col} {id_type}, __sig array<bigint>"
+    )
+
+
 def _lsh_candidate_pairs(
     signed: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
@@ -125,7 +197,7 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
@@ -134,14 +206,15 @@ def minhash_lsh_dedup(
 
     Connected components are approximated by one representative hop
     (b removed when a<b are dups) — the standard single-pass policy.
+    ``bands`` defaults to the S-curve-matched count for ``threshold``.
     """
+    if bands is None:
+        bands = _auto_bands(num_hashes, threshold)
     rows_per_band = num_hashes // bands
     with_sh = docs.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
     )
-    signed = with_sh.select(
-        id_col, "__sh", minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig")
-    )
+    signed = minhash_signatures_table(with_sh, id_col, num_hashes, seed)
     cands = _lsh_candidate_pairs(signed, id_col, bands, rows_per_band)
 
     sh_a = with_sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
@@ -198,44 +271,54 @@ def simhash_table(
 ) -> DataFrame:
     """(id, simhash BIGINT) for a whole table — the bulk path.
 
-    Explodes tokens and computes the 64 bit-votes as ordinary SUM aggregates
-    in one groupBy (whole-stage codegen + partial aggregation), then packs the
-    sign bits into a BIGINT.  ~6x faster than evaluating the array-fold
-    ``simhash`` Column per row, and shuffle-bounded: one exchange keyed on id.
+    Token hashing stays JVM-side (xxhash64, identical to the ``simhash``
+    Column); the 64 bit-votes and sign-packing run vectorized in numpy over
+    Arrow batches.  Wide SUM/MIN aggregates fall out of whole-stage codegen
+    into interpreted evaluation — an order of magnitude slower than this.
     """
-    toks = docs.select(
+    from typing import Iterator
+
+    import pandas as pd
+
+    # spread first: small inputs often scan as one partition
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    hashed = spread.select(
         F.col(id_col),
-        F.explode(
+        F.transform(
             F.filter(
                 F.split(
                     F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
                     " ",
                 ),
                 lambda t: t != F.lit(""),
-            )
-        ).alias("__tok"),
-    ).withColumn("__h", F.xxhash64(F.col("__tok"), F.lit(seed)))
-
-    votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"__v{b}")
-            for b in range(64)
-        ]
+            ),
+            lambda t: F.xxhash64(t, F.lit(seed)),
+        ).alias("__h"),
     )
-    packed = None
-    for b in range(64):
-        bit = (F.col(f"__v{b}") > 0).cast("long")
-        term = (
-            F.when(bit == 1, F.lit(-(2**63))).otherwise(F.lit(0))
-            if b == 63
-            else bit * F.lit(2**b)
-        )
-        packed = term if packed is None else packed + term
-    return votes.select(F.col(id_col), packed.alias("simhash"))
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def sign_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for h in pdf["__h"]:
+                harr = np.asarray(h, dtype=np.int64).view(np.uint64)
+                if len(harr) == 0:
+                    # all votes are 0 -> all bits 0
+                    out.append(0)
+                    continue
+                bits = ((harr[:, None] >> shifts[None, :]) & 1).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                word = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+                out.append(int(word.astype(np.int64)))  # two's-complement wrap
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    id_type = dict(docs.dtypes)[id_col]
+    return hashed.mapInPandas(
+        sign_batches, schema=f"{id_col} {id_type}, simhash bigint"
+    )
 
 
 def simhash_bands(sim: Column) -> Column:
@@ -295,21 +378,22 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_n: int = 2,
     num_hashes: int = 64,
-    bands: int = 32,
+    bands: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """All near-duplicate pairs (a, b, jaccard) above threshold.
 
-    LSH candidates (aggressive banding for lower thresholds) verified with
-    exact n-gram Jaccard — the query-able variant of minhash_lsh_dedup.
+    LSH candidates verified with exact n-gram Jaccard — the query-able
+    variant of minhash_lsh_dedup.  ``bands`` defaults to the S-curve-matched
+    count for ``threshold``.
     """
+    if bands is None:
+        bands = _auto_bands(num_hashes, threshold)
     rows_per_band = num_hashes // bands
     with_sh = docs.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
     )
-    signed = with_sh.select(
-        id_col, minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig")
-    )
+    signed = minhash_signatures_table(with_sh, id_col, num_hashes, seed)
     cands = _lsh_candidate_pairs(signed, id_col, bands, rows_per_band)
     sh_a = with_sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
     sh_b = with_sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))

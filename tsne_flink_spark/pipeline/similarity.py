@@ -43,26 +43,36 @@ def brute_force_top_k(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of ``corpus`` for every query row.
 
     Output: (q INT, c INT, sim DOUBLE), k rows per query, ties broken by c.
-    Self-matches (same id) are excluded.
+    Self-matches (same id) are excluded.  Norms are computed once per row
+    BEFORE the cross join (not per pair), and with a known ``dim`` the dot
+    product unrolls into whole-stage codegen.
     """
+    from tsne_flink_spark.functions.metrics import dot_unrolled
+
+    if dim is None:
+        head = corpus.select(vec_col).head()
+        dim = len(head[0]) if head else None
+
     q = queries.select(
         F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("__vq")
-    )
+    ).withColumn("__nq", norm_expr(F.col("__vq")))
     c = corpus.select(
         F.col(id_col).alias("c"), _as_double(F.col(vec_col)).alias("__vc")
+    ).withColumn("__nc", norm_expr(F.col("__vc")))
+    dot = (
+        dot_unrolled(F.col("__vq"), F.col("__vc"), dim)
+        if dim is not None and dim <= 256
+        else dot_expr(F.col("__vq"), F.col("__vc"))
     )
     scored = (
         q.crossJoin(c)
         .where(F.col("q") != F.col("c"))
-        .select(
-            "q",
-            "c",
-            cosine_similarity_expr(F.col("__vq"), F.col("__vc")).alias("sim"),
-        )
+        .select("q", "c", (dot / (F.col("__nq") * F.col("__nc"))).alias("sim"))
     )
     w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("c").asc())
     return (

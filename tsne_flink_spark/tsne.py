@@ -39,6 +39,9 @@ class TSNE:
     initial_momentum: float = 0.5
     final_momentum: float = 0.8
     theta: float = 0.25
+    # "reference" replicates quirk Q2 (summary vs SQUARED distance — exact
+    # O(N^2) on compressed embeddings); "scaled" is canonical Barnes-Hut
+    bh_condition: str = "reference"
     knn_method: str = "bruteforce"  # bruteforce | partition | project
     knn_iterations: int = 3
     knn_blocks: int | None = None
@@ -97,6 +100,7 @@ class TSNE:
             theta=self.theta,
             n_components=self.n_components,
             loss_sink=self.loss_records,
+            bh_condition=self.bh_condition,
         )
         p_joint.unpersist()
         return embedding
