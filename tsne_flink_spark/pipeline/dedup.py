@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from tsne_flink_spark.pipeline.text import fingerprint
 
@@ -45,6 +46,16 @@ def _auto_bands(num_hashes: int, threshold: float) -> int:
     return best_b
 
 
+def _spread(df: DataFrame, key: Column) -> DataFrame:
+    """Shuffle raw rows across all cores BEFORE heavy per-row text
+    expressions.  Single-file parquet inputs scan as one partition, and a
+    projection under a later repartition still executes in the scan stage —
+    serializing shingle/token computation on one task (observed 200 s
+    single-thread stages at sf0.1).  Shuffling the raw (id, text) rows first
+    keeps the expensive projection above the exchange."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 def exact_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -59,9 +70,12 @@ def exact_dedup(
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of the normalized text, as a distinct array."""
+    """Word n-gram shingles of the normalized text, as a distinct array.
+
+    Tokenization is one regex pass (split on whitespace runs + drop empties)
+    — identical tokens to normalize-then-split, half the regex work."""
     toks = F.filter(
-        F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " "),
+        F.split(F.lower(text), r"\s+"),
         lambda t: t != F.lit(""),
     )
     grams = F.transform(
@@ -102,11 +116,14 @@ def minhash_signatures_table(
     num_hashes: int,
     seed: int = 42,
     shingle_col: str = "__sh",
+    spread: bool = True,
 ) -> DataFrame:
     """(id, __sig ARRAY<BIGINT>) for a whole table — the bulk path.
 
     Shingle hashing stays JVM-side; the permutation-minima run vectorized in
     numpy over Arrow batches.  Bit-identical to ``minhash_signature``.
+    Pass ``spread=False`` when the input is already repartitioned (the
+    shingle projection must sit above an exchange — see ``_spread``).
     """
     from typing import Iterator
 
@@ -115,15 +132,12 @@ def minhash_signatures_table(
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _PRIME, size=num_hashes).astype(np.int64)
     b = rng.integers(0, _PRIME, size=num_hashes).astype(np.int64)
-    # small inputs often arrive as ONE parquet partition; spread first so the
-    # signature kernel parallelizes
-    spread = with_shingles.repartition(
-        with_shingles.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    if spread:
+        with_shingles = _spread(with_shingles, F.col(id_col))
     # shingle hashing stays JVM-side (xxhash64, identical to the Column
     # path); the num_hashes permutation-minima run vectorized in numpy —
     # a wide MIN aggregate here falls out of codegen and goes interpreted
-    hashed = spread.select(
+    hashed = with_shingles.select(
         F.col(id_col),
         F.transform(
             F.col(shingle_col), lambda s: F.abs(F.xxhash64(s)) % F.lit(_PRIME)
@@ -211,10 +225,17 @@ def minhash_lsh_dedup(
     if bands is None:
         bands = _auto_bands(num_hashes, threshold)
     rows_per_band = num_hashes // bands
-    with_sh = docs.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
+    # spread the raw rows first: the shingle projection is regex-heavy and
+    # interpreted; it must run above the exchange, across all cores, in every
+    # branch that uses it (signatures AND both sides of the verify join).
+    # with_sh is consumed by 3 branches (signatures + both verify sides) —
+    # persist so the shingle pass runs once, not three times.
+    with_sh = (
+        _spread(docs.select(id_col, text_col), F.col(id_col))
+        .select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    signed = minhash_signatures_table(with_sh, id_col, num_hashes, seed)
+    signed = minhash_signatures_table(with_sh, id_col, num_hashes, seed, spread=False)
     cands = _lsh_candidate_pairs(signed, id_col, bands, rows_per_band)
 
     sh_a = with_sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
@@ -239,7 +260,7 @@ def simhash(text: Column, seed: int = 0) -> Column:
     for ad-hoc use.  ``simhash_table`` is the fast bulk path.
     """
     toks = F.filter(
-        F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " "),
+        F.split(F.lower(text), r"\s+"),
         lambda t: t != F.lit(""),
     )
     hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
@@ -280,18 +301,13 @@ def simhash_table(
 
     import pandas as pd
 
-    # spread first: small inputs often scan as one partition
-    spread = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    # spread raw rows first so the interpreted token projection parallelizes
+    spread = _spread(docs.select(id_col, text_col), F.col(id_col))
     hashed = spread.select(
         F.col(id_col),
         F.transform(
             F.filter(
-                F.split(
-                    F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
-                    " ",
-                ),
+                F.split(F.lower(F.col(text_col)), r"\s+"),
                 lambda t: t != F.lit(""),
             ),
             lambda t: F.xxhash64(t, F.lit(seed)),
@@ -390,10 +406,15 @@ def ngram_jaccard_pairs(
     if bands is None:
         bands = _auto_bands(num_hashes, threshold)
     rows_per_band = num_hashes // bands
-    with_sh = docs.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
+    # spread the raw rows first: the shingle projection is regex-heavy and
+    # interpreted; it must run above the exchange, across all cores, in every
+    # branch that uses it (signatures AND both sides of the verify join)
+    with_sh = (
+        _spread(docs.select(id_col, text_col), F.col(id_col))
+        .select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    signed = minhash_signatures_table(with_sh, id_col, num_hashes, seed)
+    signed = minhash_signatures_table(with_sh, id_col, num_hashes, seed, spread=False)
     cands = _lsh_candidate_pairs(signed, id_col, bands, rows_per_band)
     sh_a = with_sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
     sh_b = with_sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))

@@ -14,8 +14,10 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text_col: str) -> "F.Column":
+    # one regex pass (split on whitespace runs + drop empties) — identical
+    # tokens to normalize-then-split, half the regex work
     return F.filter(
-        F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "),
+        F.split(F.lower(F.col(text_col)), r"\s+"),
         lambda t: t != F.lit(""),
     )
 
@@ -23,9 +25,16 @@ def _tokens(text_col: str) -> "F.Column":
 def term_frequencies(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, term, tf) — raw counts per document."""
+    """(doc_id, term, tf) — raw counts per document.
+
+    Raw rows are shuffled across cores before the tokenize+explode, which
+    otherwise executes serially in a single-partition parquet scan stage.
+    """
+    spread = docs.select(id_col, text_col).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     return (
-        docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+        spread.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
