@@ -289,6 +289,44 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1h window / 30min slide) distinct-user counts —
+    each event lands in two overlapping windows; exact COUNT(DISTINCT) so
+    the DuckDB oracle applies (the streaming path uses HLL)."""
+    from tsne_flink_spark.streaming.events import sliding_user_activity
+
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_user_activity(ev, "1 hour", "30 minutes", exact=True)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        F.col("n_users").cast("long").alias("n_users"),
+    ).orderBy("window_start")
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: heuristic prose-likeness in [0,1] plus
+    sub-word-ish (BPE stand-in) token counts — all codegen Column math."""
+    from tsne_flink_spark.pipeline.text import bpe_ish_token_count, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_subword_tokens"),
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: k-means-ish coarse quantizer from a
+    sample, probe nearest cells only — approximate, rows-only checked."""
+    from tsne_flink_spark.pipeline.similarity import ivf_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_top_k(emb, emb, k=3)
+    return out.select("q", "c", F.round("sim", 6).alias("sim"))
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, punctuation ratio, fingerprint."""
     from tsne_flink_spark.pipeline.text import fingerprint, punct_ratio, token_count
@@ -477,6 +515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "sliding_user_activity": q_sliding_user_activity,
+        "quality_scores": q_quality_scores,
         "multimodal_features": q_multimodal_features,
         "tfidf_top_terms": q_tfidf_top_terms,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
@@ -697,6 +738,45 @@ FROM dots
 JOIN norms na ON na.doc_id = a
 JOIN norms nb ON nb.doc_id = b
 WHERE dot / (na.norm * nb.norm) >= 0.6
+""",
+        "sliding_user_activity": """
+WITH ev AS (SELECT epoch(ts) AS e, user_id FROM events),
+expanded AS (
+  SELECT unnest(generate_series(
+           (floor((e - 3600) / 1800))::BIGINT + 1,
+           (floor(e / 1800))::BIGINT)) * 1800 AS ws,
+         user_id
+  FROM ev
+)
+SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(to_timestamp(ws + 3600), '%Y-%m-%d %H:%M:%S') AS window_end,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users
+FROM expanded GROUP BY ws ORDER BY ws
+""",
+        "quality_scores": """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tok,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ltok
+  FROM documents
+), feats AS (
+  SELECT doc_id, text,
+         len(tok) AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+           / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(ltok, t -> list_contains(
+             ['the','a','and','of','to','in','is','it','that','for'], t)))::DOUBLE
+           / greatest(len(ltok), 1) AS stop_ratio
+  FROM toks
+)
+SELECT doc_id,
+       round((least(n_tokens / 100.0, 1.0)
+            + (1.0 - least(punct_ratio * 4.0, 1.0))
+            + least(stop_ratio * 5.0, 1.0)) / 3.0, 6) AS quality,
+       (len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+        + length(regexp_replace(text, '[A-Za-z0-9]| ', '', 'g')))::BIGINT
+         AS n_subword_tokens
+FROM feats
 """,
         "ann_bruteforce": """
 WITH dots AS (

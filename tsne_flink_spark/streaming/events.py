@@ -56,16 +56,26 @@ def sliding_user_activity(
     window_duration: str = "1 hour",
     slide: str = "30 minutes",
     ts_col: str = "ts",
+    exact: bool = False,
 ) -> DataFrame:
-    """Sliding-window distinct-user activity."""
+    """Sliding-window distinct-user activity.
+
+    Default is ``approx_count_distinct`` (HLL — the only distinct aggregate
+    usable under streaming watermarks and the right choice at 100 TB);
+    ``exact=True`` switches to a true COUNT(DISTINCT) for batch/oracle use.
+    """
     ev = _maybe_watermark(events, ts_col, "10 minutes")
+    agg = (
+        F.count_distinct(F.col("user_id")) if exact
+        else F.approx_count_distinct("user_id")
+    ).alias("n_users")
     return (
         ev.groupBy(F.window(F.col(ts_col), window_duration, slide).alias("win"))
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .agg(agg)
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
-            "approx_users",
+            "n_users",
         )
     )
 
