@@ -55,19 +55,45 @@ def _sum_terms(terms: list[Column]) -> Column:
     return s
 
 
+# Terms per CSE chunk (see _chunked_sum).  8 keeps every generated method far
+# below the JVM's huge-method compile limit.
+_CSE_CHUNK = 8
+
+
+def _chunked_sum(terms: list[Column]) -> Column:
+    """Sum of terms, grouped into chunks wrapped as ``nanvl(c, c)``.
+
+    The repeated subtree makes Catalyst's subexpression elimination hoist
+    each chunk into its own small generated method.  A single flat 64-term
+    chain compiles into one huge method that the JIT refuses to compile
+    (-XX:-DontCompileHugeMethods default) and runs INTERPRETED — measured
+    25-30x slower on an all-pairs dot product.  ``nanvl(c, c)`` is the
+    identity (returns the first argument unless it is NaN — then the second,
+    which is the same expression), so results are unchanged; only the
+    floating-point association changes vs a flat left fold (chunk sums are
+    added left-to-right).
+    """
+    chunks = []
+    for start in range(0, len(terms), _CSE_CHUNK):
+        c = _sum_terms(terms[start : start + _CSE_CHUNK])
+        chunks.append(F.nanvl(c, c))
+    return _sum_terms(chunks)
+
+
 def sqeuclidean_unrolled(a: Column, b: Column, dim: int) -> Column:
     """Squared Euclidean as an explicit per-index expression sum.
 
     Higher-order functions (zip_with/aggregate) are evaluated interpreted,
     outside whole-stage codegen; for a known dimension the unrolled form is
-    ~5-10x faster on all-pairs workloads.  Left-fold order matches the
-    ``sqeuclidean`` fold bit-for-bit.
+    ~5-10x faster on all-pairs workloads.  For dim <= _CSE_CHUNK the fold
+    order matches ``sqeuclidean`` bit-for-bit; above that, chunked (see
+    ``_chunked_sum``).
     """
-    return _sum_terms([(a[k] - b[k]) * (a[k] - b[k]) for k in range(dim)])
+    return _chunked_sum([(a[k] - b[k]) * (a[k] - b[k]) for k in range(dim)])
 
 
 def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    return _sum_terms([a[k] * b[k] for k in range(dim)])
+    return _chunked_sum([a[k] * b[k] for k in range(dim)])
 
 
 def euclidean_unrolled(a: Column, b: Column, dim: int) -> Column:
@@ -113,21 +139,38 @@ def np_sqeuclidean(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return d
 
 
-def np_sqeuclidean_seq(A: np.ndarray, B: np.ndarray) -> np.ndarray:
-    """All-pairs squared Euclidean with left-to-right accumulation over dims.
+def _np_chunked_fold(d: int, term):
+    """Accumulate ``term(k)`` over dims with the SAME association as the
+    Column expressions: left fold within chunks of ``_CSE_CHUNK``, chunk sums
+    added left-to-right — matching ``_chunked_sum`` bit-for-bit for
+    d <= _UNROLL_MAX_DIM, and flat left fold beyond that (where the Column
+    path falls back to the flat HOF ``aggregate``)."""
+    csize = _CSE_CHUNK if d <= _UNROLL_MAX_DIM else d
+    total = None
+    for start in range(0, d, csize):
+        acc = term(start).copy()
+        for k in range(start + 1, min(start + csize, d)):
+            acc += term(k)
+        total = acc if total is None else total + acc
+    return total
 
-    Bit-identical to the ``sqeuclidean`` Column expression (a sequential
-    ``aggregate`` fold), unlike the GEMM formulation which rounds differently.
-    Used by ``partition_knn`` so blocked evaluation equals brute force exactly
-    (the reference's own guarantee: TsneHelpers.scala:61-91 is blocked
-    evaluation, not approximation).
+
+def np_sqeuclidean_seq(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """All-pairs squared Euclidean with the Column expressions' accumulation
+    order (chunked fold — see ``_np_chunked_fold``/``_chunked_sum``).
+
+    Bit-identical to ``sqeuclidean_unrolled`` (dim <= _UNROLL_MAX_DIM) and
+    the ``sqeuclidean`` HOF fold (beyond), unlike the GEMM formulation which
+    rounds differently.  Used by ``partition_knn`` so blocked evaluation
+    equals brute force exactly (the reference's own guarantee:
+    TsneHelpers.scala:61-91 is blocked evaluation, not approximation).
     """
-    n, m = A.shape[0], B.shape[0]
-    acc = np.zeros((n, m), dtype=np.float64)
-    for k in range(A.shape[1]):
+
+    def term(k):
         d = A[:, k][:, None] - B[:, k][None, :]
-        acc += d * d
-    return acc
+        return d * d
+
+    return _np_chunked_fold(A.shape[1], term)
 
 
 def np_euclidean(A: np.ndarray, B: np.ndarray) -> np.ndarray:
@@ -145,19 +188,14 @@ def np_euclidean_seq(A: np.ndarray, B: np.ndarray) -> np.ndarray:
 
 
 def _dot_seq(A: np.ndarray, B: np.ndarray) -> np.ndarray:
-    n, m = A.shape[0], B.shape[0]
-    acc = np.zeros((n, m), dtype=np.float64)
-    for k in range(A.shape[1]):
-        acc += A[:, k][:, None] * B[:, k][None, :]
-    return acc
+    return _np_chunked_fold(
+        A.shape[1], lambda k: A[:, k][:, None] * B[:, k][None, :]
+    )
 
 
 def np_cosine_seq(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     def self_dot(X):
-        acc = np.zeros(X.shape[0], dtype=np.float64)
-        for k in range(X.shape[1]):
-            acc += X[:, k] * X[:, k]
-        return acc
+        return _np_chunked_fold(X.shape[1], lambda k: X[:, k] * X[:, k])
 
     na = np.sqrt(self_dot(A))[:, None]
     nb = np.sqrt(self_dot(B))[None, :]

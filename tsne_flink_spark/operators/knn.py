@@ -349,6 +349,12 @@ def project_knn(
     edges = (
         pairs.join(fi, "i")
         .join(fj, "j")
-        .select("i", "j", metric_expr(metric, F.col("__fi"), F.col("__fj")).alias("v"))
+        .select(
+            "i",
+            "j",
+            metric_expr(
+                metric, F.col("__fi"), F.col("__fj"), dim=dimension
+            ).alias("v"),
+        )
     )
     return _top_k_per_group(edges, k)

@@ -446,7 +446,8 @@ def embedding_cosine_dedup(
     To survive skew, the bucket join is on the full key — expected bucket
     size shrinks exponentially with num_planes.
     """
-    from tsne_flink_spark.pipeline.similarity import cosine_similarity_expr
+    from tsne_flink_spark.functions.metrics import dot_unrolled
+    from tsne_flink_spark.pipeline.similarity import _proj_expr, norm_expr
 
     if dim is None:
         dim = len(embeddings.select(vec_col).head()[0])
@@ -456,31 +457,34 @@ def embedding_cosine_dedup(
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(w)) for w in planes[p]]),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + (proj > 0).cast("long") * F.lit(2**p)
+        # unrolled constant-vector dot over the materialized __v column:
+        # stays in whole-stage codegen, and the cast-to-double transform
+        # isn't re-derived per index reference
+        bucket = bucket + (
+            _proj_expr(F.col("__v"), planes[p]) > 0
+        ).cast("long") * F.lit(2**p)
 
-    keyed = embeddings.select(
-        F.col(id_col), vec.alias("__v"), bucket.alias("__bucket")
+    keyed = (
+        embeddings.select(F.col(id_col), vec.alias("__v"))
+        .withColumn("__bucket", bucket)
+        .withColumn("__n", norm_expr(F.col("__v")))
     )
     left = keyed.select(
-        F.col(id_col).alias("a"), F.col("__v").alias("__va"), "__bucket"
+        F.col(id_col).alias("a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "__bucket",
     )
     right = keyed.select(
-        F.col(id_col).alias("b"), F.col("__v").alias("__vb"), "__bucket"
+        F.col(id_col).alias("b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__bucket",
     )
+    # norms once per row pre-join; per-pair only the codegen-unrolled dot
     dups = (
         left.join(right, "__bucket")
         .where(F.col("a") < F.col("b"))
         .where(
-            cosine_similarity_expr(F.col("__va"), F.col("__vb")) >= threshold
+            dot_unrolled(F.col("__va"), F.col("__vb"), dim)
+            / (F.col("__na") * F.col("__nb"))
+            >= threshold
         )
         .select(F.col("b").alias("__kill"))
         .distinct()

@@ -82,16 +82,34 @@ def brute_force_top_k(
     )
 
 
-def _hyperplane_buckets(
-    vec: Column, planes: np.ndarray, probe_flips: int
-) -> Column:
-    """Array of bucket keys: the base sign-bucket plus single-bit-flip probes
-    (multi-probe LSH) for recall without extra tables."""
-    num_planes = len(planes)
+def _proj_expr(vec: Column, w: np.ndarray) -> Column:
+    """Dot product against a constant vector, unrolled per index so it stays
+    in whole-stage codegen (the HOF form is evaluated interpreted), CSE-
+    chunked so the generated method stays JIT-compilable (see
+    metrics._chunked_sum)."""
+    from tsne_flink_spark.functions.metrics import _chunked_sum
+
+    return _chunked_sum([vec[k] * float(w[k]) for k in range(len(w))])
+
+
+def _hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """The base sign-bucket: one bit per plane, packed into a LONG."""
     bucket = F.lit(0).cast("long")
-    for p in range(num_planes):
-        proj = dot_expr(vec, F.array(*[F.lit(float(w)) for w in planes[p]]))
+    for p in range(len(planes)):
+        proj = _proj_expr(vec, planes[p])
         bucket = bucket + (proj > 0).cast("long") * F.lit(2**p)
+    return bucket
+
+
+def _probe_array(bucket: Column, num_planes: int, probe_flips: int) -> Column:
+    """Bucket plus single-bit-flip probes (multi-probe LSH) for recall
+    without extra tables.
+
+    MUST be applied to a MATERIALIZED bucket column, not the bucket
+    expression itself: inlining the 12-plane projection tree once per probe
+    grows the generated code past Janino's 64 KB method limit, and the whole
+    stage silently falls back to interpreted evaluation (observed 10x).
+    """
     probes = [bucket]
     for p in range(min(probe_flips, num_planes)):
         probes.append(bucket.bitwiseXOR(F.lit(2**p)))
@@ -115,28 +133,54 @@ def lsh_top_k(
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(num_planes, dim))
 
-    qv = _as_double(F.col(vec_col))
-    q = queries.select(
-        F.col(id_col).alias("q"),
-        qv.alias("__vq"),
-        F.explode(_hyperplane_buckets(qv, planes, probe_flips)).alias("__bucket"),
+    from tsne_flink_spark.functions.metrics import dot_unrolled
+
+    # materialize the cast-to-double vector, then the base bucket, then the
+    # probe explode — each in its own projection, so the plane-projection
+    # tree is generated exactly once (see _probe_array)
+    q = (
+        queries.select(
+            F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("__vq")
+        )
+        .withColumn("__b0", _hyperplane_bucket(F.col("__vq"), planes))
+        .select(
+            "q",
+            "__vq",
+            F.explode(
+                _probe_array(F.col("__b0"), num_planes, probe_flips)
+            ).alias("__bucket"),
+        )
+        .withColumn("__nq", norm_expr(F.col("__vq")))
     )
-    cv = _as_double(F.col(vec_col))
-    c = corpus.select(
-        F.col(id_col).alias("c"),
-        cv.alias("__vc"),
-        # corpus rows sit in their base bucket only; queries multi-probe
-        _hyperplane_buckets(cv, planes, 0)[0].alias("__bucket"),
+    c = (
+        corpus.select(
+            F.col(id_col).alias("c"), _as_double(F.col(vec_col)).alias("__vc")
+        )
+        .select(
+            "c",
+            "__vc",
+            # corpus rows sit in their base bucket only; queries multi-probe
+            _hyperplane_bucket(F.col("__vc"), planes).alias("__bucket"),
+        )
+        .withColumn("__nc", norm_expr(F.col("__vc")))
     )
+    # norms once per row pre-join; per-pair only the codegen-unrolled dot.
+    # sim is computed BEFORE dropDuplicates so the dedup aggregates only
+    # (q, c, sim) scalars — deduping with the vector arrays still attached
+    # forces first(ARRAY) into a sort-based aggregation over the full
+    # candidate volume (observed as a 90 s single-task stage).
     scored = (
         q.join(c, "__bucket")
         .where(F.col("q") != F.col("c"))
-        .dropDuplicates(["q", "c"])
         .select(
             "q",
             "c",
-            cosine_similarity_expr(F.col("__vq"), F.col("__vc")).alias("sim"),
+            (
+                dot_unrolled(F.col("__vq"), F.col("__vc"), dim)
+                / (F.col("__nq") * F.col("__nc"))
+            ).alias("sim"),
         )
+        .dropDuplicates(["q", "c"])
     )
     w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("c").asc())
     return (
@@ -172,39 +216,50 @@ def ivf_top_k(
     centroids /= np.maximum(np.linalg.norm(centroids, axis=1)[:, None], 1e-12)
 
     def nearest_lists(vec: Column, n: int) -> Column:
-        sims = F.array(
-            *[
-                dot_expr(vec, F.array(*[F.lit(float(w)) for w in cent]))
-                for cent in centroids
-            ]
-        )
+        sims = F.array(*[_proj_expr(vec, cent) for cent in centroids])
         pairs = F.transform(
             sims, lambda s, i: F.struct(s.alias("s"), i.alias("list_id"))
         )
         top = F.slice(F.reverse(F.array_sort(pairs)), 1, n)
         return F.transform(top, lambda t: t["list_id"])
 
-    cv = _as_double(F.col(vec_col))
-    c = corpus.select(
-        F.col(id_col).alias("c"),
-        cv.alias("__vc"),
-        nearest_lists(cv, 1)[0].alias("__list"),
+    from tsne_flink_spark.functions.metrics import dot_unrolled
+
+    dim = int(centroids.shape[1])
+    # materialize the cast-to-double vector first so the centroid projections
+    # index a column, not a re-derived transform expression
+    c = (
+        corpus.select(
+            F.col(id_col).alias("c"), _as_double(F.col(vec_col)).alias("__vc")
+        )
+        .select("c", "__vc", nearest_lists(F.col("__vc"), 1)[0].alias("__list"))
+        .withColumn("__nc", norm_expr(F.col("__vc")))
     )
-    qv = _as_double(F.col(vec_col))
-    q = queries.select(
-        F.col(id_col).alias("q"),
-        qv.alias("__vq"),
-        F.explode(nearest_lists(qv, n_probe)).alias("__list"),
+    q = (
+        queries.select(
+            F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("__vq")
+        )
+        .select(
+            "q",
+            "__vq",
+            F.explode(nearest_lists(F.col("__vq"), n_probe)).alias("__list"),
+        )
+        .withColumn("__nq", norm_expr(F.col("__vq")))
     )
+    # norms once per row pre-join; per-pair only the codegen-unrolled dot.
+    # sim computed BEFORE dropDuplicates — see lsh_top_k for why.
     scored = (
         q.join(c, "__list")
         .where(F.col("q") != F.col("c"))
-        .dropDuplicates(["q", "c"])
         .select(
             "q",
             "c",
-            cosine_similarity_expr(F.col("__vq"), F.col("__vc")).alias("sim"),
+            (
+                dot_unrolled(F.col("__vq"), F.col("__vc"), dim)
+                / (F.col("__nq") * F.col("__nc"))
+            ).alias("sim"),
         )
+        .dropDuplicates(["q", "c"])
     )
     w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("c").asc())
     return (
