@@ -66,6 +66,9 @@ def main() -> None:
         "embedding_dedup",
         "ann_bruteforce",
         "ann_lsh",
+        "ann_ivf",
+        "sliding_user_activity",
+        "quality_scores",
         "multimodal_features",
         "tsne_embedding",
     ]
