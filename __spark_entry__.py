@@ -739,6 +739,27 @@ JOIN norms na ON na.doc_id = a
 JOIN norms nb ON nb.doc_id = b
 WHERE dot / (na.norm * nb.norm) >= 0.6
 """,
+        "language_id": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ltok
+  FROM documents
+), scores AS (
+  SELECT doc_id,
+    len(list_filter(ltok, t -> list_contains(['the','a','and','of','to','in','is','it','that','for'], t))) AS s_en,
+    len(list_filter(ltok, t -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','nicht'], t))) AS s_de,
+    len(list_filter(ltok, t -> list_contains(['le','la','les','et','de','un','une','est','que','pour'], t))) AS s_fr,
+    len(list_filter(ltok, t -> list_contains(['el','la','los','y','de','un','una','es','que','por'], t))) AS s_es
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM scores
+""",
         "sliding_user_activity": """
 WITH ev AS (SELECT epoch(ts) AS e, user_id FROM events),
 expanded AS (

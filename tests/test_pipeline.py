@@ -145,6 +145,27 @@ def test_ivf_top_k_shapes(spark):
     assert len(by_q) >= 40  # nearly every query got candidates
 
 
+def test_ivf_top_k_recall(spark):
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.similarity import brute_force_top_k, ivf_top_k
+
+    rng = np.random.default_rng(11)
+    # same clustered regime as the LSH recall gate
+    centers = rng.normal(0, 1, (8, 16))
+    rows = [
+        (i, (centers[i % 8] + rng.normal(0, 0.15, 16)).tolist()) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = {(r["q"], r["c"]) for r in brute_force_top_k(emb, emb, 3).collect()}
+    approx = {
+        (r["q"], r["c"])
+        for r in ivf_top_k(emb, emb, 3, n_lists=8, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"IVF recall {recall:.2f}"
+
+
 def test_text_analysis(spark, docs):
     from tsne_flink_spark.pipeline.text import analyze_documents
 
