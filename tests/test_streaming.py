@@ -56,6 +56,68 @@ def test_sessionize_streaming_batch_equivalence(spark, events):
     assert len(by_user[2]) == 1
 
 
+def test_dedup_events_batch(spark, events):
+    from tsne_flink_spark.streaming.events import dedup_events
+
+    doubled = events.union(events)
+    assert dedup_events(doubled).count() == events.count()
+
+
+def test_running_user_totals_batch(spark, events):
+    from tsne_flink_spark.streaming.events import running_user_totals
+
+    out = {r["user_id"]: r for r in running_user_totals(events).collect()}
+    assert out[1]["n_events"] == 5 and out[2]["n_events"] == 2
+    assert out[2]["sum_value"] == pytest.approx(4.0)
+
+
+def test_running_user_totals_streaming(spark, tmp_path, events):
+    """applyInPandasWithState wiring: file stream -> keyed state -> memory
+    sink; final running totals must equal the batch aggregation."""
+    from tsne_flink_spark.streaming.events import running_user_totals
+
+    path = str(tmp_path / "ev2")
+    events.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(events.schema).parquet(path)
+    totals = running_user_totals(stream)
+    assert totals.isStreaming
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["user_id"]: r for r in spark.sql("select * from user_totals").collect()
+    }
+    assert rows[1]["n_events"] == 5
+    assert rows[2]["n_events"] == 2
+    assert rows[2]["sum_value"] == pytest.approx(4.0)
+
+
+def test_dedup_events_streaming(spark, tmp_path, events):
+    """dropDuplicatesWithinWatermark wiring on a duplicated file stream."""
+    from tsne_flink_spark.streaming.events import dedup_events
+
+    path = str(tmp_path / "ev3")
+    events.union(events).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(events.schema).parquet(path)
+    deduped = dedup_events(stream)
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("deduped_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("select count(*) c from deduped_events").collect()[0]["c"]
+    assert n == events.count()
+
+
 def test_streaming_source_wiring(spark, tmp_path, events):
     """readStream file source + watermarked windowed agg wires into a
     streaming query (processed with availableNow, written to memory sink)."""

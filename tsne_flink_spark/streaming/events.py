@@ -134,6 +134,63 @@ def sessionize_streaming(
     )
 
 
+def dedup_events(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once event dedup by key.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — duplicate suppression with
+    state BOUNDED by the watermark (the unbounded-state ``dropDuplicates``
+    variant would OOM on an infinite stream).  Batch: plain dropDuplicates.
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals — the custom-stateful-operator example.
+
+    Streaming: ``applyInPandasWithState`` keeps (n_events, sum_value) per
+    user key and emits the updated running totals every micro-batch — the
+    Structured Streaming analogue of a Flink keyed rich function with
+    ValueState.  Batch: an ordinary groupBy with the identical output schema,
+    so the same call site works in both modes.
+    """
+    out_schema = "user_id bigint, n_events bigint, sum_value double"
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n bigint, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_events_from_files(
     spark, path: str, schema: str = (
         "event_id bigint, ts timestamp, user_id bigint, "
