@@ -447,35 +447,32 @@ def embedding_cosine_dedup(
     size shrinks exponentially with num_planes.
     """
     from tsne_flink_spark.functions.metrics import dot_unrolled
-    from tsne_flink_spark.pipeline.similarity import _proj_expr, norm_expr
+    from tsne_flink_spark.pipeline.similarity import _as_double, _hyperplane_assign
 
     if dim is None:
         dim = len(embeddings.select(vec_col).head()[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(num_planes, dim))
 
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bucket = F.lit(0).cast("long")
-    for p in range(num_planes):
-        # unrolled constant-vector dot over the materialized __v column:
-        # stays in whole-stage codegen, and the cast-to-double transform
-        # isn't re-derived per index reference
-        bucket = bucket + (
-            _proj_expr(F.col("__v"), planes[p]) > 0
-        ).cast("long") * F.lit(2**p)
-
-    keyed = (
-        embeddings.select(F.col(id_col), vec.alias("__v"))
-        .withColumn("__bucket", bucket)
-        .withColumn("__n", norm_expr(F.col("__v")))
+    # sign buckets + norms via one GEMM per Arrow batch (see
+    # _hyperplane_assign for why not unrolled Column projections)
+    id_type = dict(embeddings.dtypes)[id_col]
+    keyed = _hyperplane_assign(
+        embeddings.select(
+            F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+        ),
+        "__id",
+        id_type,
+        planes,
+        0,
     )
     left = keyed.select(
-        F.col(id_col).alias("a"), F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"), "__bucket",
+        F.col("__id").alias("a"), F.col("__v").alias("__va"),
+        F.col("__norm").alias("__na"), "__bucket",
     )
     right = keyed.select(
-        F.col(id_col).alias("b"), F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"), "__bucket",
+        F.col("__id").alias("b"), F.col("__v").alias("__vb"),
+        F.col("__norm").alias("__nb"), "__bucket",
     )
     # norms once per row pre-join; per-pair only the codegen-unrolled dot
     dups = (

@@ -93,7 +93,10 @@ def _proj_expr(vec: Column, w: np.ndarray) -> Column:
 
 
 def _hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
-    """The base sign-bucket: one bit per plane, packed into a LONG."""
+    """The base sign-bucket: one bit per plane, packed into a LONG.
+
+    Column form for ad-hoc use; bulk paths use ``_hyperplane_assign`` (one
+    GEMM per Arrow batch — no per-plane generated code to compile)."""
     bucket = F.lit(0).cast("long")
     for p in range(len(planes)):
         proj = _proj_expr(vec, planes[p])
@@ -101,19 +104,52 @@ def _hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
-def _probe_array(bucket: Column, num_planes: int, probe_flips: int) -> Column:
-    """Bucket plus single-bit-flip probes (multi-probe LSH) for recall
-    without extra tables.
+def _hyperplane_assign(
+    df, alias: str, id_type: str, planes: np.ndarray, probe_flips: int
+):
+    """(alias, __v, __bucket, __norm), one row per (vector, probe bucket).
 
-    MUST be applied to a MATERIALIZED bucket column, not the bucket
-    expression itself: inlining the 12-plane projection tree once per probe
-    grows the generated code past Janino's 64 KB method limit, and the whole
-    stage silently falls back to interpreted evaluation (observed 10x).
+    Sign buckets for a whole Arrow batch via one GEMM against the plane
+    matrix, plus single-bit-flip probes (multi-probe LSH) for recall without
+    extra tables.  Scales with num_planes, unlike the unrolled Column form
+    whose generated code grows past Janino's 64 KB method limit when the
+    plane projections are inlined per probe (observed: whole stage silently
+    falls back to interpreted evaluation, 10x slower), and whose compilation
+    alone costs seconds.  ``df`` must have columns (alias, __v).
     """
-    probes = [bucket]
-    for p in range(min(probe_flips, num_planes)):
-        probes.append(bucket.bitwiseXOR(F.lit(2**p)))
-    return F.array(*probes)
+    from typing import Iterator
+
+    import pandas as pd
+
+    num_planes = len(planes)
+    flips = min(probe_flips, num_planes)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            bits = (V @ planes.T > 0).astype(np.int64)
+            base = (bits << np.arange(num_planes, dtype=np.int64)).sum(axis=1)
+            probes = np.concatenate(
+                [base[:, None]]
+                + [(base ^ (1 << p))[:, None] for p in range(flips)],
+                axis=1,
+            )
+            n = flips + 1
+            yield pd.DataFrame(
+                {
+                    alias: pdf[alias].to_numpy().repeat(n),
+                    "__v": [v for v in pdf["__v"] for _ in range(n)],
+                    "__bucket": probes.reshape(-1),
+                    "__norm": np.linalg.norm(V, axis=1).repeat(n),
+                }
+            )
+
+    return df.mapInPandas(
+        kernel,
+        schema=f"{alias} {id_type}, __v array<double>, __bucket long, __norm double",
+    )
 
 
 def lsh_top_k(
@@ -135,35 +171,26 @@ def lsh_top_k(
 
     from tsne_flink_spark.functions.metrics import dot_unrolled
 
-    # materialize the cast-to-double vector, then the base bucket, then the
-    # probe explode — each in its own projection, so the plane-projection
-    # tree is generated exactly once (see _probe_array)
-    q = (
+    id_type = dict(corpus.dtypes)[id_col]
+    q = _hyperplane_assign(
         queries.select(
-            F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("__vq")
-        )
-        .withColumn("__b0", _hyperplane_bucket(F.col("__vq"), planes))
-        .select(
-            "q",
-            "__vq",
-            F.explode(
-                _probe_array(F.col("__b0"), num_planes, probe_flips)
-            ).alias("__bucket"),
-        )
-        .withColumn("__nq", norm_expr(F.col("__vq")))
-    )
-    c = (
+            F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("__v")
+        ),
+        "q",
+        id_type,
+        planes,
+        probe_flips,
+    ).select("q", F.col("__v").alias("__vq"), "__bucket", F.col("__norm").alias("__nq"))
+    # corpus rows sit in their base bucket only; queries multi-probe
+    c = _hyperplane_assign(
         corpus.select(
-            F.col(id_col).alias("c"), _as_double(F.col(vec_col)).alias("__vc")
-        )
-        .select(
-            "c",
-            "__vc",
-            # corpus rows sit in their base bucket only; queries multi-probe
-            _hyperplane_bucket(F.col("__vc"), planes).alias("__bucket"),
-        )
-        .withColumn("__nc", norm_expr(F.col("__vc")))
-    )
+            F.col(id_col).alias("c"), _as_double(F.col(vec_col)).alias("__v")
+        ),
+        "c",
+        id_type,
+        planes,
+        0,
+    ).select("c", F.col("__v").alias("__vc"), "__bucket", F.col("__norm").alias("__nc"))
     # norms once per row pre-join; per-pair only the codegen-unrolled dot.
     # sim is computed BEFORE dropDuplicates so the dedup aggregates only
     # (q, c, sim) scalars — deduping with the vector arrays still attached
@@ -208,44 +235,68 @@ def ivf_top_k(
     lists.  Centroids are broadcast; the candidate join is an equi-join on
     list id.
     """
+    from typing import Iterator
+
+    import pandas as pd
+
     sample = corpus.select(vec_col).limit(max(n_lists * 20, 200)).collect()
     X = np.array([list(r[0]) for r in sample], dtype=np.float64)
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(X), size=min(n_lists, len(X)), replace=False)
     centroids = X[idx]
     centroids /= np.maximum(np.linalg.norm(centroids, axis=1)[:, None], 1e-12)
-
-    def nearest_lists(vec: Column, n: int) -> Column:
-        sims = F.array(*[_proj_expr(vec, cent) for cent in centroids])
-        pairs = F.transform(
-            sims, lambda s, i: F.struct(s.alias("s"), i.alias("list_id"))
-        )
-        top = F.slice(F.reverse(F.array_sort(pairs)), 1, n)
-        return F.transform(top, lambda t: t["list_id"])
-
-    from tsne_flink_spark.functions.metrics import dot_unrolled
-
     dim = int(centroids.shape[1])
-    # materialize the cast-to-double vector first so the centroid projections
-    # index a column, not a re-derived transform expression
+
+    def assign_lists(alias: str, n: int):
+        """mapInPandas kernel: top-n nearest centroids per vector, one output
+        row per (vector, list).  A whole Arrow batch is assigned with one
+        GEMM — unlike an unrolled Column formulation this scales with
+        n_lists (the scale path wants ~sqrt(N) lists) and generates no
+        JIT-hostile code.  Also emits the norm for the verify dot."""
+
+        def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+                )
+                sims = V @ centroids.T
+                top = np.argsort(-sims, axis=1)[:, :n]
+                norms = np.linalg.norm(V, axis=1)
+                yield pd.DataFrame(
+                    {
+                        alias: pdf[alias].to_numpy().repeat(n),
+                        "__v": [v for v in pdf["__v"] for _ in range(n)],
+                        "__list": top.reshape(-1),
+                        "__norm": norms.repeat(n),
+                    }
+                )
+
+        return kernel
+
+    id_type = dict(corpus.dtypes)[id_col]
     c = (
         corpus.select(
-            F.col(id_col).alias("c"), _as_double(F.col(vec_col)).alias("__vc")
+            F.col(id_col).alias("c"), _as_double(F.col(vec_col)).alias("__v")
         )
-        .select("c", "__vc", nearest_lists(F.col("__vc"), 1)[0].alias("__list"))
-        .withColumn("__nc", norm_expr(F.col("__vc")))
+        .mapInPandas(
+            assign_lists("c", 1),
+            schema=f"c {id_type}, __v array<double>, __list int, __norm double",
+        )
+        .select("c", F.col("__v").alias("__vc"), "__list", F.col("__norm").alias("__nc"))
     )
     q = (
         queries.select(
-            F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("__vq")
+            F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("__v")
         )
-        .select(
-            "q",
-            "__vq",
-            F.explode(nearest_lists(F.col("__vq"), n_probe)).alias("__list"),
+        .mapInPandas(
+            assign_lists("q", min(n_probe, len(centroids))),
+            schema=f"q {id_type}, __v array<double>, __list int, __norm double",
         )
-        .withColumn("__nq", norm_expr(F.col("__vq")))
+        .select("q", F.col("__v").alias("__vq"), "__list", F.col("__norm").alias("__nq"))
     )
+    from tsne_flink_spark.functions.metrics import dot_unrolled
     # norms once per row pre-join; per-pair only the codegen-unrolled dot.
     # sim computed BEFORE dropDuplicates — see lsh_top_k for why.
     scored = (
