@@ -107,18 +107,34 @@ def partition_knn(
     pair_schema = "i int, j int, v double"
 
     def emit_block_pairs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per block pair, emit only each i's k nearest within the pair — a
+        # map-side combine that cuts the shuffle into the global top-k from
+        # O(N^2) rows to O(N*k*B) (the union of per-pair top-ks contains
+        # every global winner).  Ties keep the reference-deterministic
+        # (v, j)-lexicographic order: columns sorted by j, stable argsort.
         for pdf in it:
             for row in pdf.itertuples(index=False):
                 ids_a = np.asarray(row.ids_a, dtype=np.int64)
                 ids_b = np.asarray(row.ids_b, dtype=np.int64)
                 A = np.array([np.asarray(v, dtype=np.float64) for v in row.mat_a])
                 B = np.array([np.asarray(v, dtype=np.float64) for v in row.mat_b])
-                D = dist_fn(A, B)
-                ii = np.repeat(ids_a, len(ids_b))
-                jj = np.tile(ids_b, len(ids_a))
-                vv = D.ravel()
-                keep = ii != jj
-                yield pd.DataFrame({"i": ii[keep], "j": jj[keep], "v": vv[keep]})
+                order_b = np.argsort(ids_b)
+                ids_b = ids_b[order_b]
+                D = dist_fn(A, B[order_b])
+                # self-pairs are excluded BEFORE selection (quirk Q6: filter
+                # on id, not distance — coincident points stay neighbors)
+                D[ids_a[:, None] == ids_b[None, :]] = np.inf
+                kk = min(k, D.shape[1])
+                idx = np.argsort(D, axis=1, kind="stable")[:, :kk]
+                vals = np.take_along_axis(D, idx, axis=1).ravel()
+                keep = np.isfinite(vals)
+                yield pd.DataFrame(
+                    {
+                        "i": np.repeat(ids_a, kk)[keep],
+                        "j": ids_b[idx].ravel()[keep],
+                        "v": vals[keep],
+                    }
+                )
 
     left = blocked.select(
         F.col("block").alias("block_a"),
