@@ -201,3 +201,71 @@ def test_decode_image_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00\x01", fake=False)
+
+
+def test_tfidf_top_terms(spark, docs):
+    import math
+
+    from tsne_flink_spark.pipeline.tfidf import tf_idf, top_terms_per_doc
+
+    scored = {
+        (r["doc_id"], r["term"]): r for r in tf_idf(docs).collect()
+    }
+    # "the" appears twice in doc 0; smoothed idf = ln((1+7)/(1+df)) + 1
+    df_the = len({d for (d, t) in scored if t == "the"})
+    r = scored[(0, "the")]
+    assert r["tf"] == 2
+    assert r["idf"] == pytest.approx(math.log(8 / (1 + df_the)) + 1)
+    assert r["tfidf"] == pytest.approx(r["tf"] * r["idf"])
+
+    top = top_terms_per_doc(docs, k=3).collect()
+    by_doc = {}
+    for r in top:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) <= 3 for v in by_doc.values())
+    # ranks are 1..k and ordered by descending weight
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["rn"])
+        ws = [r["tfidf"] for r in rows]
+        assert ws == sorted(ws, reverse=True)
+
+
+def test_tfidf_cosine_pairs(spark, docs):
+    from tsne_flink_spark.pipeline.tfidf import tfidf_cosine_pairs
+
+    pairs = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(docs, threshold=0.0).collect()
+    }
+    # identical documents -> cosine 1
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    # near-dup scores above the unrelated pair
+    assert pairs[(0, 2)] > pairs.get((0, 4), 0.0)
+    # symmetric emission is deduplicated: only a < b pairs
+    assert all(a < b for (a, b) in pairs)
+
+
+def test_sliding_user_activity_exact(spark):
+    import datetime as dt
+
+    from tsne_flink_spark.streaming.events import sliding_user_activity
+
+    base = dt.datetime(2024, 1, 1, 0, 45, 0)
+    rows = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=30), 2, "click", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r["window_start"]: r["n_users"]
+        for r in sliding_user_activity(ev, "1 hour", "30 minutes", exact=True).collect()
+    }
+    # event at 00:45 lands in windows starting 00:00 and 00:30; event at
+    # 01:15 in 00:30 and 01:00 -> the 00:30 window sees both users
+    assert out[dt.datetime(2024, 1, 1, 0, 30)] == 2
+    assert out[dt.datetime(2024, 1, 1, 0, 0)] == 1
+    assert out[dt.datetime(2024, 1, 1, 1, 0)] == 1
