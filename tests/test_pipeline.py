@@ -269,3 +269,38 @@ def test_sliding_user_activity_exact(spark):
     assert out[dt.datetime(2024, 1, 1, 0, 30)] == 2
     assert out[dt.datetime(2024, 1, 1, 0, 0)] == 1
     assert out[dt.datetime(2024, 1, 1, 1, 0)] == 1
+
+
+def test_resize_images(spark, docs):
+    from tsne_flink_spark.pipeline.multimodal import attach_binary_payload, resize_images
+
+    with_payload = attach_binary_payload(docs)
+    out = {r["doc_id"]: r for r in resize_images(with_payload, 4, 6).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5, 6}
+    for r in out.values():
+        assert r["height"] == 4 and r["width"] == 6
+        assert len(r["payload"]) == 4 * 6 * 3  # raw RGB bytes
+    # identical source text -> identical payload -> identical resize
+    assert bytes(out[0]["payload"]) == bytes(out[1]["payload"])
+
+
+def test_rolling_fingerprint(spark, docs):
+    from tsne_flink_spark.pipeline.text import rolling_fingerprint
+
+    out = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", rolling_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    # whitespace/case-normalized duplicates collide; different docs don't
+    assert out[0] == out[1] == out[5]
+    assert out[0] != out[4]
+    # order sensitivity: reversed token stream hashes differently
+    rev = spark.createDataFrame(
+        [(0, "dog lazy the over jumps fox brown quick The")], "doc_id bigint, text string"
+    )
+    rfp = rev.select(rolling_fingerprint(F.col("text")).alias("fp")).head()["fp"]
+    assert rfp != out[0]
+    with pytest.raises(ValueError):
+        docs.select(rolling_fingerprint(F.col("text"), mod=2**61 - 1))

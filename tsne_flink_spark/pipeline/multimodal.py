@@ -97,6 +97,48 @@ def extract_image_features(
     return df.select(id_col, payload_col).mapInPandas(per_batch, schema=schema)
 
 
+def resize_images(
+    df: DataFrame,
+    height: int,
+    width: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Resize plumbing: decode -> nearest-neighbor resample -> re-emit as a
+    raw RGB byte payload with typed size metadata.
+
+    The decode is the stub (``decode_image``); the Arrow batching, the
+    vectorized nearest-neighbor index math, and the output schema
+    (binary payload + height/width columns) are the real pipeline.  A real
+    deployment swaps the decode and an interpolating resampler in the same
+    kernel.
+    """
+
+    schema = f"{id_col} bigint, height int, width int, payload binary"
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_image(bytes(payload), fake=fake_decode)
+                h, w = img.shape[:2]
+                ri = (np.arange(height) * h // height).clip(0, h - 1)
+                ci = (np.arange(width) * w // width).clip(0, w - 1)
+                resized = img[ri[:, None], ci[None, :]]
+                out.append(
+                    {
+                        id_col: rid,
+                        "height": height,
+                        "width": width,
+                        "payload": resized.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(per_batch, schema=schema)
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",

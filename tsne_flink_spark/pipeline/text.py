@@ -87,6 +87,30 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+def rolling_fingerprint(text: Column, base: int = 257, mod: int = 2**54 - 33) -> Column:
+    """Polynomial rolling hash (Rabin-Karp) of the normalized token stream:
+    ``h = (h * base + xxhash64(token)) mod m`` folded left-to-right.
+
+    Order-sensitive, unlike the md5 ``fingerprint``: documents with the same
+    tokens in different order hash differently, and the incremental form is
+    the building block for windowed/streaming fingerprints.  Pure Column
+    fold, one pass.  ``mod * base`` must stay below 2^63 (the fold keeps
+    ``acc < mod``, so ``mod*base + mod`` is the per-step overflow bound) —
+    the defaults leave a 2× margin.
+    """
+    if mod * (base + 1) >= 2**63:
+        raise ValueError("mod * (base+1) must stay below 2^63 to avoid overflow")
+    toks = tokenize(F.lower(text))
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(base) + F.pmod(F.abs(F.xxhash64(t)), F.lit(mod)),
+            F.lit(mod),
+        ),
+    )
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection over a documents table."""
     t = F.col(text_col)
