@@ -304,6 +304,21 @@ def q_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start")
 
 
+def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event totals via the streaming-capable running-totals
+    operator (batch mode = plain groupBy; streaming mode keeps the same
+    schema through applyInPandasWithState)."""
+    from tsne_flink_spark.streaming.events import running_user_totals
+
+    ev = _t(spark, sf_dir, "events")
+    out = running_user_totals(ev)
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("user_id")
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: heuristic prose-likeness in [0,1] plus
     sub-word-ish (BPE stand-in) token counts — all codegen Column math."""
@@ -517,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "sliding_user_activity": q_sliding_user_activity,
+        "user_totals": q_user_totals,
         "quality_scores": q_quality_scores,
         "multimodal_features": q_multimodal_features,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -773,6 +789,12 @@ SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
        strftime(to_timestamp(ws + 3600), '%Y-%m-%d %H:%M:%S') AS window_end,
        COUNT(DISTINCT user_id)::BIGINT AS n_users
 FROM expanded GROUP BY ws ORDER BY ws
+""",
+        "user_totals": """
+SELECT user_id,
+       COUNT(*)::BIGINT AS n_events,
+       round(SUM(value), 4) AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id
 """,
         "quality_scores": """
 WITH toks AS (
