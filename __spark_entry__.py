@@ -304,6 +304,23 @@ def q_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start")
 
 
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (event_type, then grand total) with GROUPING
+    indicators — the grouping-sets operator class (absent in the reference;
+    native in both Spark and the DuckDB oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.grouping("event_type").cast("int").alias("is_total"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("event_type", "is_total", "n_events", "sum_value")
+        .orderBy("is_total", "event_type")
+    )
+
+
 def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event totals via the streaming-capable running-totals
     operator (batch mode = plain groupBy; streaming mode keeps the same
@@ -533,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "sliding_user_activity": q_sliding_user_activity,
         "user_totals": q_user_totals,
+        "event_rollup": q_event_rollup,
         "quality_scores": q_quality_scores,
         "multimodal_features": q_multimodal_features,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -789,6 +807,15 @@ SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
        strftime(to_timestamp(ws + 3600), '%Y-%m-%d %H:%M:%S') AS window_end,
        COUNT(DISTINCT user_id)::BIGINT AS n_users
 FROM expanded GROUP BY ws ORDER BY ws
+""",
+        "event_rollup": """
+SELECT event_type,
+       GROUPING(event_type)::INT AS is_total,
+       COUNT(*)::BIGINT AS n_events,
+       round(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type)
+ORDER BY is_total, event_type
 """,
         "user_totals": """
 SELECT user_id,
