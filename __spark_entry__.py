@@ -304,6 +304,36 @@ def q_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start")
 
 
+def q_event_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched with its user's most recent order at
+    or before the event timestamp (orders pre-aggregated per customer+date
+    for tie determinism).  Union-tag + ordered-window composition — Spark
+    has no native ASOF JOIN; DuckDB's native one is the oracle."""
+    from tsne_flink_spark.operators.asof import as_of_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey"),
+            F.col("o_orderdate").cast("timestamp").alias("ts_ord"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    out = as_of_join(ev, orders, on="user_id", left_ts="ts", right_ts="ts_ord")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("__matched_ts", "yyyy-MM-dd").alias("order_date"),
+        "n_orders",
+        "max_price",
+    ).orderBy("event_id")
+
+
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (event_type, then grand total) with GROUPING
     indicators — the grouping-sets operator class (absent in the reference;
@@ -551,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_user_activity": q_sliding_user_activity,
         "user_totals": q_user_totals,
         "event_rollup": q_event_rollup,
+        "event_order_asof": q_event_order_asof,
         "quality_scores": q_quality_scores,
         "multimodal_features": q_multimodal_features,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -807,6 +838,22 @@ SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
        strftime(to_timestamp(ws + 3600), '%Y-%m-%d %H:%M:%S') AS window_end,
        COUNT(DISTINCT user_id)::BIGINT AS n_users
 FROM expanded GROUP BY ws ORDER BY ws
+""",
+        "event_order_asof": """
+WITH ords AS (
+  SELECT o_custkey AS user_id,
+         o_orderdate::TIMESTAMP AS ts_ord,
+         COUNT(*)::BIGINT AS n_orders,
+         round(MAX(o_totalprice), 4) AS max_price
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       strftime(o.ts_ord, '%Y-%m-%d') AS order_date,
+       o.n_orders, o.max_price
+FROM events e
+ASOF LEFT JOIN ords o
+  ON e.user_id = o.user_id AND o.ts_ord <= e.ts
+ORDER BY e.event_id
 """,
         "event_rollup": """
 SELECT event_type,

@@ -141,3 +141,36 @@ def test_streaming_source_wiring(spark, tmp_path, events):
     # append mode only emits closed windows (watermark passed); the final
     # window stays open, so just assert the query ran and the table exists
     spark.sql("select * from win_counts").collect()
+
+
+def test_as_of_join(spark):
+    import datetime as dt
+
+    from tsne_flink_spark.operators.asof import as_of_join
+
+    t = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 10), 100),
+            (2, t(2024, 1, 1, 12), 100),
+            (3, t(2024, 1, 1, 9), 200),   # before any right row for 200
+            (4, t(2024, 1, 1, 11), 200),  # exactly at a right ts: inclusive
+        ],
+        "event_id bigint, ts timestamp, key bigint",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, t(2024, 1, 1, 9), "a", None),   # NULL payload field survives
+            (100, t(2024, 1, 1, 11), "b", 2.0),
+            (200, t(2024, 1, 1, 11), "c", 3.0),
+        ],
+        "key bigint, rts timestamp, tag string, score double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in as_of_join(left, right, on="key", left_ts="ts", right_ts="rts").collect()
+    }
+    assert out[1]["tag"] == "a" and out[1]["score"] is None  # atomic row carry
+    assert out[2]["tag"] == "b" and out[2]["score"] == 2.0
+    assert out[3]["tag"] is None and out[3]["__matched_ts"] is None  # no match
+    assert out[4]["tag"] == "c"  # right_ts == left_ts is inclusive
