@@ -334,6 +334,50 @@ def q_event_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS range join: for each multi-event session (>= 2 events), how many
+    events — across ALL users — fell inside its [start, end) window.
+    Bucketized interval join, the scalable alternative to Catalyst's
+    nested-loop for range predicates."""
+    from tsne_flink_spark.operators.rangejoin import range_join
+    from tsne_flink_spark.streaming.events import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = (
+        sessionize(ev, gap_minutes=30)
+        .where(F.col("n_events") >= 2)
+        .select(
+            F.col("user_id").alias("sess_user"),
+            F.col("session_start"),
+            F.col("session_end"),
+        )
+    )
+    joined = range_join(
+        ev.select("event_id", "ts", "value"),
+        sessions,
+        point_ts="ts",
+        start_ts="session_start",
+        end_ts="session_end",
+        bucket_width="1 hour",
+    )
+    return (
+        joined.groupBy("sess_user", "session_start")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlapping"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "sess_user",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_overlapping",
+            "sum_value",
+        )
+        .orderBy("sess_user", "session_start")
+    )
+
+
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (event_type, then grand total) with GROUPING
     indicators — the grouping-sets operator class (absent in the reference;
@@ -582,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_totals": q_user_totals,
         "event_rollup": q_event_rollup,
         "event_order_asof": q_event_order_asof,
+        "session_overlap": q_session_overlap,
         "quality_scores": q_quality_scores,
         "multimodal_features": q_multimodal_features,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -838,6 +883,33 @@ SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
        strftime(to_timestamp(ws + 3600), '%Y-%m-%d %H:%M:%S') AS window_end,
        COUNT(DISTINCT user_id)::BIGINT AS n_users
 FROM expanded GROUP BY ws ORDER BY ws
+""",
+        "session_overlap": """
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM gaps
+), sess AS (
+  SELECT user_id AS sess_user, MIN(ts) AS s0, MAX(ts) AS s1
+  FROM numbered GROUP BY user_id, session_seq
+  HAVING COUNT(*) >= 2
+)
+SELECT s.sess_user,
+       strftime(s.s0, '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*)::BIGINT AS n_overlapping,
+       round(SUM(e.value), 4) AS sum_value
+FROM sess s
+JOIN events e ON e.ts >= s.s0 AND e.ts < s.s1
+GROUP BY s.sess_user, s.s0
+ORDER BY s.sess_user, session_start
 """,
         "event_order_asof": """
 WITH ords AS (

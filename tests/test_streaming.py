@@ -174,3 +174,25 @@ def test_as_of_join(spark):
     assert out[2]["tag"] == "b" and out[2]["score"] == 2.0
     assert out[3]["tag"] is None and out[3]["__matched_ts"] is None  # no match
     assert out[4]["tag"] == "c"  # right_ts == left_ts is inclusive
+
+
+def test_range_join(spark):
+    import datetime as dt
+
+    from tsne_flink_spark.operators.rangejoin import range_join
+
+    t = dt.datetime
+    points = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 10, 30)), (2, t(2024, 1, 1, 11, 0)),
+         (3, t(2024, 1, 2, 9, 0))],
+        "pid bigint, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [("a", t(2024, 1, 1, 10), t(2024, 1, 1, 11)),   # pid 1 only ([s, e))
+         ("b", t(2024, 1, 1, 10), t(2024, 1, 2, 10)),   # pids 1, 2, 3
+         ("c", t(2024, 1, 3, 0), t(2024, 1, 4, 0))],    # none
+        "iid string, s timestamp, e timestamp",
+    )
+    out = range_join(points, intervals, "ts", "s", "e", bucket_width="1 hour")
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert got == {(1, "a"), (1, "b"), (2, "b"), (3, "b")}

@@ -1,0 +1,59 @@
+"""Range (interval) join — match point timestamps to [start, end) intervals.
+
+Catalyst executes a raw ``ts BETWEEN start AND end`` predicate as a
+broadcast-nested-loop join (all-pairs when neither side is small).  The
+scalable formulation buckets time: each point lands in one fixed-width
+bucket, each interval explodes into the buckets it overlaps, and the match
+becomes an equi-join on (key, bucket) plus the exact range filter.  A
+(point, interval) pair can only meet in the point's own bucket, so no
+post-join dedup is needed.  Shuffle: O(points + intervals * span/width) —
+choose ``bucket_width`` on the order of the typical interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    on: str | None = None,
+    bucket_width: str = "1 day",
+) -> DataFrame:
+    """Inner-join each point row to every interval row with
+    ``start <= ts < end`` (and equal ``on`` key when given).
+
+    Output: all point columns + all interval columns.  ``bucket_width`` is a
+    SQL interval literal (e.g. ``'1 day'``, ``'6 hours'``).
+    """
+    w = F.expr(f"INTERVAL {bucket_width}")
+    sec = F.unix_timestamp
+
+    # bucket index = floor(epoch / width); width in seconds from the literal
+    width_expr = (
+        F.unix_timestamp(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + w)
+    )
+    p = points.withColumn(
+        "__bucket",
+        F.floor(sec(F.col(point_ts).cast("timestamp")) / width_expr),
+    )
+    iv = intervals.withColumn(
+        "__b0", F.floor(sec(F.col(start_ts).cast("timestamp")) / width_expr)
+    ).withColumn(
+        "__b1", F.floor(sec(F.col(end_ts).cast("timestamp")) / width_expr)
+    )
+    iv = iv.withColumn(
+        "__bucket", F.explode(F.sequence(F.col("__b0"), F.col("__b1")))
+    ).drop("__b0", "__b1")
+
+    keys = ["__bucket"] + ([on] if on else [])
+    joined = p.join(iv, keys).where(
+        (F.col(point_ts).cast("timestamp") >= F.col(start_ts).cast("timestamp"))
+        & (F.col(point_ts).cast("timestamp") < F.col(end_ts).cast("timestamp"))
+    )
+    return joined.drop("__bucket")
