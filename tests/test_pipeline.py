@@ -163,7 +163,7 @@ def test_ivf_top_k_recall(spark):
         for r in ivf_top_k(emb, emb, 3, n_lists=8, n_probe=3).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.7, f"IVF recall {recall:.2f}"
+    assert recall >= 0.85, f"IVF recall {recall:.2f}"
 
 
 def test_text_analysis(spark, docs):

@@ -196,3 +196,50 @@ def test_range_join(spark):
     out = range_join(points, intervals, "ts", "s", "e", bucket_width="1 hour")
     got = {(r["pid"], r["iid"]) for r in out.collect()}
     assert got == {(1, "a"), (1, "b"), (2, "b"), (3, "b")}
+
+
+def test_range_join_non_utc_session(spark):
+    """Bucket width must not absorb the session timezone offset.
+
+    With TZ +01:00 and bucket_width '1 hour' the old epoch-anchored width
+    computation collapsed to 0 seconds (NULL buckets, silently empty join).
+    """
+    import datetime as dt
+
+    from tsne_flink_spark.operators.rangejoin import range_join
+
+    t = dt.datetime
+    points = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 10, 30)), (2, t(2024, 1, 1, 11, 0)),
+         (3, t(2024, 1, 2, 9, 0))],
+        "pid bigint, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [("a", t(2024, 1, 1, 10), t(2024, 1, 1, 11)),
+         ("b", t(2024, 1, 1, 10), t(2024, 1, 2, 10)),
+         ("c", t(2024, 1, 3, 0), t(2024, 1, 4, 0))],
+        "iid string, s timestamp, e timestamp",
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+    try:
+        out = range_join(points, intervals, "ts", "s", "e", bucket_width="1 hour")
+        got = {(r["pid"], r["iid"]) for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert got == {(1, "a"), (1, "b"), (2, "b"), (3, "b")}
+
+
+def test_interval_seconds_parsing():
+    from tsne_flink_spark.operators.rangejoin import _interval_seconds
+
+    assert _interval_seconds("1 day") == 86400
+    assert _interval_seconds("6 hours") == 21600
+    assert _interval_seconds("1 hour 30 minutes") == 5400
+    assert _interval_seconds("2 weeks") == 1209600
+    import pytest
+
+    with pytest.raises(ValueError):
+        _interval_seconds("3 parsecs")
+    with pytest.raises(ValueError):
+        _interval_seconds("")

@@ -321,8 +321,13 @@ def project_knn(
     candidates; union, dedupe, then true-distance top-k.
     """
     spark = points.sparkSession
+    head = points.select("features").head()
+    if head is None:  # empty input: no bounds to probe, no neighbors to emit
+        from tsne_flink_spark.schemas import COO
+
+        return spark.createDataFrame([], COO)
     if dimension is None:
-        dimension = len(points.select("features").head()["features"])
+        dimension = len(head["features"])
 
     mins, maxs = _feature_bounds(points, dimension)
 

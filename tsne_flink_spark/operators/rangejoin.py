@@ -12,8 +12,42 @@ choose ``bucket_width`` on the order of the typical interval length.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_UNIT_SECONDS = {
+    "week": 604800,
+    "day": 86400,
+    "hour": 3600,
+    "minute": 60,
+    "second": 1,
+}
+
+
+def _interval_seconds(literal: str) -> int:
+    """Parse a SQL interval literal (``'1 day'``, ``'1 hour 30 minutes'``)
+    into whole seconds, driver-side.
+
+    Computing the width on the cluster via an epoch-anchored
+    ``unix_timestamp(to_timestamp('1970-01-01') + INTERVAL w)`` is wrong in
+    non-UTC sessions: the anchor string parses in the session timezone, so
+    the width comes out as ``interval - tz_offset`` (zero when the offset
+    equals the width, e.g. TZ +01:00 with '1 hour').  Driver-side parsing
+    has no timezone dependence.
+    """
+    total = 0
+    matched = False
+    for qty, unit in re.findall(r"([+-]?\d+)\s*([a-zA-Z]+)", literal):
+        unit = unit.lower().rstrip("s")
+        if unit not in _UNIT_SECONDS:
+            raise ValueError(f"unsupported interval unit {unit!r} in {literal!r}")
+        total += int(qty) * _UNIT_SECONDS[unit]
+        matched = True
+    if not matched or total <= 0:
+        raise ValueError(f"cannot parse positive interval from {literal!r}")
+    return total
 
 
 def range_join(
@@ -31,13 +65,11 @@ def range_join(
     Output: all point columns + all interval columns.  ``bucket_width`` is a
     SQL interval literal (e.g. ``'1 day'``, ``'6 hours'``).
     """
-    w = F.expr(f"INTERVAL {bucket_width}")
     sec = F.unix_timestamp
 
-    # bucket index = floor(epoch / width); width in seconds from the literal
-    width_expr = (
-        F.unix_timestamp(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + w)
-    )
+    # bucket index = floor(epoch / width); width parsed driver-side so the
+    # session timezone can never shift it (see _interval_seconds).
+    width_expr = F.lit(_interval_seconds(bucket_width))
     p = points.withColumn(
         "__bucket",
         F.floor(sec(F.col(point_ts).cast("timestamp")) / width_expr),

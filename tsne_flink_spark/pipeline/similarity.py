@@ -223,28 +223,50 @@ def ivf_top_k(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 16,
+    n_lists: int | None = None,
     n_probe: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """IVF-style approximate top-k.
 
-    Coarse centroids are a deterministic sample of the corpus (k-means++-ish
-    seeding without the iterations — adequate as a partitioner); every corpus
-    vector joins its nearest list, every query probes its n_probe nearest
-    lists.  Centroids are broadcast; the candidate join is an equi-join on
-    list id.
+    Coarse centroids come from a seeded uniform ``sample`` of the corpus
+    (``limit`` would take the first-scanned rows — on sorted or
+    partition-skewed input the quantizer degenerates), refined with a few
+    driver-side Lloyd iterations over the sample.  ``n_lists`` defaults to
+    ~sqrt(N) so list size and list count stay balanced as the corpus grows;
+    every corpus vector joins its nearest list, every query probes its
+    n_probe nearest lists.  Centroids are broadcast; the candidate join is
+    an equi-join on list id.
     """
     from typing import Iterator
 
     import pandas as pd
 
-    sample = corpus.select(vec_col).limit(max(n_lists * 20, 200)).collect()
+    n_corpus = corpus.count()
+    if n_lists is None:
+        n_lists = max(4, min(4096, int(np.sqrt(max(n_corpus, 1)))))
+    target = max(n_lists * 20, 200)
+    if n_corpus <= target:
+        sample = corpus.select(vec_col).collect()
+    else:
+        frac = min(1.0, (target * 1.3) / n_corpus)
+        sample = (
+            corpus.select(vec_col).sample(False, frac, seed).limit(target).collect()
+        )
     X = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1)[:, None], 1e-12)
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(X), size=min(n_lists, len(X)), replace=False)
-    centroids = X[idx]
-    centroids /= np.maximum(np.linalg.norm(centroids, axis=1)[:, None], 1e-12)
+    centroids = Xn[idx]
+    # a few Lloyd iterations (spherical k-means) over the sample: cheap on
+    # the driver, markedly better list balance than raw sampled seeds
+    for _ in range(3):
+        assign = np.argmax(Xn @ centroids.T, axis=1)
+        for j in range(len(centroids)):
+            members = Xn[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+        centroids /= np.maximum(np.linalg.norm(centroids, axis=1)[:, None], 1e-12)
     dim = int(centroids.shape[1])
 
     def assign_lists(alias: str, n: int):

@@ -93,28 +93,78 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Document-pair cosine similarity in tf-idf space, computed sparsely:
-    join on shared terms, sum products, normalize — no dense vectors, no
-    all-pairs stage (pairs with no shared term never materialize)."""
+    """Document-pair cosine similarity in tf-idf space, computed sparsely
+    with LOSSLESS prefix filtering (the AllPairs bound, Bayardo et al.):
+
+    1. Sort each document's terms by a global rarest-first order (idf DESC —
+       idf is monotone decreasing in document frequency).
+    2. A term is in the document's *prefix* iff the L2 mass of its
+       normalized weights from that term onward could still reach
+       ``threshold``: sqrt(1 - cum_before) >= t.  If two docs share only
+       suffix terms of ``a``, then cos(a, b) <= ||suffix(a)|| < t — so every
+       qualifying pair shares at least one prefix term of ``a``.
+    3. Candidates = equi-join prefix(a) x all-terms(b): a ubiquitous term
+       ("the") sits in the suffix of almost every document, so it joins
+       few-prefix-docs x many docs instead of many x many — this removes the
+       ~N^2 hot-term blow-up while provably emitting every qualifying pair.
+    4. Exact dot over ALL shared terms for candidate pairs only, with the
+       same unnormalized sum / norm-product formula as the naive version, so
+       results are bit-compatible with the DuckDB oracle.
+
+    Shuffle profile: O(sum_term df_prefix(term) * df(term)) candidate join +
+    O(candidates * doc_len) verification — sub-quadratic whenever the
+    threshold prunes, degrading gracefully to the naive join at t = 0.
+    The per-doc norm attachment is a plain shuffle join (norms has one row
+    per document — broadcasting it would be O(N_docs) driver state).
+    """
     scored = tf_idf(docs, text_col, id_col).select(
-        F.col(id_col).alias("doc"), "term", "tfidf"
+        F.col(id_col).alias("doc"), "term", "tfidf", "idf"
+    )
+    scored.persist()  # reused 4x below (prefix, candidates, both dot sides)
+
+    # prefix selection on NORMALIZED squared mass, windowed per doc:
+    # keep term iff (totsq - cumsq_before) >= t^2 * totsq  (FP slack so a
+    # borderline term is kept, never dropped — losslessness over neatness)
+    w_doc = Window.partitionBy("doc")
+    w_before = (
+        w_doc.orderBy(F.col("idf").desc(), F.col("term").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sq = F.col("tfidf") * F.col("tfidf")
+    prefix = (
+        scored.withColumn("__totsq", F.sum(sq).over(w_doc))
+        .withColumn("__cumsq", F.coalesce(F.sum(sq).over(w_before), F.lit(0.0)))
+        .where(
+            (F.col("__totsq") - F.col("__cumsq"))
+            >= F.lit(threshold * threshold) * F.col("__totsq") - F.lit(1e-9)
+        )
+        .select(F.col("doc").alias("a"), "term")
+    )
+    b_all = scored.select(F.col("doc").alias("b"), "term")
+    cands = (
+        prefix.join(b_all, "term")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+    # exact dot over all shared terms, candidates only
+    wa = scored.select(F.col("doc").alias("a"), "term", F.col("tfidf").alias("wa"))
+    wb = scored.select(F.col("doc").alias("b"), "term", F.col("tfidf").alias("wb"))
+    dots = (
+        cands.join(wa, "a")
+        .join(wb, ["b", "term"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
     norms = scored.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("norm")
     )
-    a = scored.select(F.col("doc").alias("a"), "term", F.col("tfidf").alias("wa"))
-    b = scored.select(F.col("doc").alias("b"), "term", F.col("tfidf").alias("wb"))
-    dots = (
-        a.join(b, "term")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
-    )
     na = norms.select(F.col("doc").alias("a"), F.col("norm").alias("na"))
     nb = norms.select(F.col("doc").alias("b"), F.col("norm").alias("nb"))
     return (
-        dots.join(F.broadcast(na), "a")
-        .join(F.broadcast(nb), "b")
+        dots.join(na, "a")
+        .join(nb, "b")
         .select(
             "a", "b", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine")
         )

@@ -80,17 +80,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_EVENTS_DDL = (
+    "event_id bigint, ts long, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load the events table, tolerating TIMESTAMP(NANOS) parquet columns.
 
-    Spark's vectorized reader rejects INT64 TIMESTAMP(NANOS); read nanos as
-    long (legacy conf) and convert to a microsecond timestamp, matching
-    DuckDB's truncating read of the same file.
+    Spark's vectorized reader rejects INT64 TIMESTAMP(NANOS); supplying an
+    explicit schema that types ``ts`` as LONG reads the raw nanos without
+    touching session configuration (the previous approach set
+    ``spark.sql.legacy.parquet.nanosAsLong`` session-wide, silently turning
+    every later NANOS column in unrelated reads into LONG).  The nanos are
+    then truncated to a microsecond timestamp, matching DuckDB's read of the
+    same file.
     """
-    # session-wide: only affects NANOS columns, which only this table has;
-    # must stay set through execution, not just analysis
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.schema(_EVENTS_DDL).parquet(f"{sf_dir}/events.parquet")
     return df.withColumn(
         "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
     )
