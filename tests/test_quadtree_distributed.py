@@ -1,0 +1,116 @@
+"""Distributed quadtree build: structural merge equivalence.
+
+The capacity-1 PR quadtree's structure depends only on the point SET, so
+partition-wise builds merged via ``merge_quadtrees`` must reproduce the
+sequentially built tree (node-for-node), with aggregate sums equal up to FP
+summation order.  Reference semantics under test: QuadTree.scala:50-63
+(insert/subdivide), 123-152 (force evaluation).
+"""
+
+import numpy as np
+import pytest
+
+from tsne_flink_spark.operators.quadtree import (
+    build_quadtree,
+    build_quadtree_distributed,
+    merge_quadtrees,
+)
+
+
+def _canonical(tree):
+    """(cell-box -> (cum, sx, sy, point)) map, order-independent."""
+    out = {}
+    for n in range(tree.n_nodes):
+        if tree.cum[n] == 0 and not tree.has_point[n]:
+            continue
+        key = (tree.cx[n], tree.cy[n], tree.hw[n], tree.hh[n])
+        pt = (tree.px[n], tree.py[n]) if tree.has_point[n] else None
+        out[key] = (int(tree.cum[n]), tree.sx[n], tree.sy[n], pt)
+    return out
+
+
+def _assert_equivalent(a, b, tol=1e-9):
+    ca, cb = _canonical(a), _canonical(b)
+    assert set(ca) == set(cb)
+    for key in ca:
+        cum_a, sx_a, sy_a, pt_a = ca[key]
+        cum_b, sx_b, sy_b, pt_b = cb[key]
+        assert cum_a == cum_b
+        assert sx_a == pytest.approx(sx_b, abs=tol)
+        assert sy_a == pytest.approx(sy_b, abs=tol)
+        assert pt_a == pt_b
+
+
+def test_merge_equals_sequential_random():
+    rng = np.random.default_rng(7)
+    Y = rng.normal(0, 3, (400, 2))
+    seq = build_quadtree(Y)
+    # split into 7 uneven blocks, build each over the SAME root cell, merge
+    blocks = np.array_split(Y, 7)
+    half = max(Y[:, 0].ptp(), Y[:, 1].ptp())
+    parts = []
+    for blk in blocks:
+        t = build_quadtree(np.empty((0, 2)))
+        t.cx[0] = t.cy[0] = 0.0
+        t.hw[0] = t.hh[0] = half
+        for x, y in blk:
+            t.insert(float(x), float(y))
+        parts.append(t)
+    merged = parts[0]
+    for t in parts[1:]:
+        merged = merge_quadtrees(merged, t)
+    assert merged.cum[0] == seq.cum[0] == len(Y)
+    _assert_equivalent(merged, seq)
+    # identical forces for both trees at exact and approximate theta
+    for theta, cond in [(1e-300, "reference"), (0.5, "scaled")]:
+        f_seq, q_seq = seq.repulsive_forces(Y, theta, condition=cond)
+        f_mrg, q_mrg = merged.repulsive_forces(Y, theta, condition=cond)
+        np.testing.assert_allclose(f_mrg, f_seq, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(q_mrg, q_seq, rtol=1e-9, atol=1e-12)
+
+
+def test_merge_with_coincident_points():
+    """Coincident points accumulate in one leaf across partitions too, and a
+    later split re-seats the full leaf weight."""
+    base = np.array([[1.0, 1.0], [-2.0, 0.5], [0.25, -1.75]])
+    Y = np.concatenate([base, base, base])  # every point x3
+    half = max(Y[:, 0].ptp(), Y[:, 1].ptp())
+
+    def tree_of(block):
+        t = build_quadtree(np.empty((0, 2)))
+        t.cx[0] = t.cy[0] = 0.0
+        t.hw[0] = t.hh[0] = half
+        for x, y in block:
+            t.insert(float(x), float(y))
+        return t
+
+    merged = merge_quadtrees(tree_of(Y[:4]), tree_of(Y[4:]))
+    assert merged.cum[0] == 9
+    # leaves holding each distinct point must carry multiplicity 3
+    leaf_cums = sorted(
+        int(merged.cum[n])
+        for n in range(merged.n_nodes)
+        if merged.children[n, 0] == -1 and merged.has_point[n]
+    )
+    assert leaf_cums == [3, 3, 3]
+
+
+def test_distributed_build_matches_driver(spark):
+    rng = np.random.default_rng(3)
+    Y = rng.normal(0, 2, (300, 2))
+    emb = spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in enumerate(Y)],
+        "id int, y array<double>",
+    ).repartition(9)
+    dist = build_quadtree_distributed(emb)
+    seq = build_quadtree(Y)
+    assert dist.cum[0] == seq.cum[0] == len(Y)
+    _assert_equivalent(dist, seq)
+
+
+def test_distributed_build_empty(spark):
+    emb = spark.createDataFrame([], "id int, y array<double>")
+    t = build_quadtree_distributed(emb)
+    assert t.cum[0] == 0
+    f, q = t.repulsive_forces(np.zeros((2, 2)), 0.5)
+    assert (f == 0).all() and (q == 0).all()

@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tsne_flink_spark.functions.metrics import metric_expr, sqeuclidean
-from tsne_flink_spark.operators.quadtree import build_quadtree
+from tsne_flink_spark.operators.quadtree import (
+    build_quadtree,
+    build_quadtree_distributed,
+)
 
 
 def _repulsive_exact(embedding: DataFrame, n_components: int) -> DataFrame:
@@ -69,13 +72,29 @@ def _repulsive_barnes_hut(
     n_components: int,
     fix_bounds_mean: bool = False,
     bh_condition: str = "reference",
+    tree_build: str = "distributed",
 ) -> DataFrame:
-    """Barnes-Hut repulsive forces via a broadcast driver-built quadtree."""
+    """Barnes-Hut repulsive forces via a broadcast quadtree.
+
+    ``tree_build="distributed"`` (default) builds per-partition subtrees and
+    merges them executor-side (``build_quadtree_distributed``): the driver
+    sees only a 6-value bounds aggregate and the finished tree, removing the
+    per-iteration O(N) collect + single-threaded Python insert loop that was
+    the flagship query's scale ceiling.  ``"driver"`` keeps the legacy
+    collect-and-build path (useful for small N and equivalence tests; the
+    reference broadcasts the full tree the same way,
+    TsneHelpers.scala:234-264).
+    """
     if n_components != 2:
         raise ValueError("Barnes-Hut path supports n_components=2 (quadtree)")
-    rows = embedding.select("id", "y").collect()
-    Y = np.array([r["y"] for r in rows], dtype=np.float64)
-    tree = build_quadtree(Y, fix_bounds_mean=fix_bounds_mean)
+    if tree_build == "driver":
+        rows = embedding.select("id", "y").collect()
+        Y = np.array([r["y"] for r in rows], dtype=np.float64)
+        tree = build_quadtree(Y, fix_bounds_mean=fix_bounds_mean)
+    else:
+        tree = build_quadtree_distributed(
+            embedding, fix_bounds_mean=fix_bounds_mean
+        )
     bc = embedding.sparkSession.sparkContext.broadcast(tree)
 
     def eval_forces(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -107,6 +126,7 @@ def gradient(
     compute_loss: bool = False,
     fix_bounds_mean: bool = False,
     bh_condition: str = "reference",
+    tree_build: str = "distributed",
 ) -> tuple[DataFrame, DataFrame | None]:
     """One gradient evaluation.
 
@@ -123,6 +143,7 @@ def gradient(
             n_components,
             fix_bounds_mean=fix_bounds_mean,
             bh_condition=bh_condition,
+            tree_build=tree_build,
         )
 
     sum_q = rep.agg(F.sum("sumq").alias("__sum_q"))

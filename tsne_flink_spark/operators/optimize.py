@@ -63,6 +63,7 @@ def iteration_computation(
     iter_offset: int = 0,
     loss_sink: list | None = None,
     bh_condition: str = "reference",
+    tree_build: str = "distributed",
 ) -> DataFrame:
     """Run ``iterations`` gradient-descent steps from ``working_set``.
 
@@ -83,6 +84,7 @@ def iteration_computation(
             n_components=n_components,
             compute_loss=want_loss,
             bh_condition=bh_condition,
+            tree_build=tree_build,
         )
         updated = update_embedding(
             dy, ws, min_gain=MIN_GAIN, momentum=momentum, learning_rate=learning_rate
@@ -109,6 +111,7 @@ def optimize(
     n_components: int = 2,
     loss_sink: list | None = None,
     bh_condition: str = "reference",
+    tree_build: str = "distributed",
 ) -> DataFrame:
     """Full three-phase optimization; returns the final (id, y) embedding."""
     iter_init = min(iterations, 20)
@@ -123,19 +126,19 @@ def optimize(
     ws = iteration_computation(
         iter_init, initial_momentum, initial_working_set, exaggerated,
         metric, learning_rate, theta, n_components, 0, loss_sink,
-        bh_condition,
+        bh_condition, tree_build,
     )
     if iter_exag > 0:
         ws = iteration_computation(
             iter_exag, final_momentum, ws, exaggerated,
             metric, learning_rate, theta, n_components, iter_init, loss_sink,
-            bh_condition,
+            bh_condition, tree_build,
         )
     if iter_plain > 0:
         ws = iteration_computation(
             iter_plain, final_momentum, ws, plain,
             metric, learning_rate, theta, n_components,
-            iter_init + iter_exag, loss_sink, bh_condition,
+            iter_init + iter_exag, loss_sink, bh_condition, tree_build,
         )
     exaggerated.unpersist()
     plain.unpersist()

@@ -129,6 +129,59 @@ class QuadTree:
         # depth guard: treat as coincident with the leaf reached
         return True
 
+    def trim(self) -> "QuadTree":
+        """Shrink backing arrays to ``n_nodes`` (before serialization)."""
+        n = self.n_nodes
+        for name in ("cx", "cy", "hw", "hh", "sx", "sy", "px", "py"):
+            setattr(self, name, getattr(self, name)[:n].copy())
+        self.cum = self.cum[:n].copy()
+        self.has_point = self.has_point[:n].copy()
+        self.children = self.children[:n].copy()
+        return self
+
+    def _insert_weighted(
+        self, x: float, y: float, w: int, wsx: float, wsy: float, start: int = 0
+    ) -> None:
+        """Insert ``w`` coincident copies of (x, y) (aggregate sums
+        ``wsx, wsy``) descending from ``start``.
+
+        Used by the structural merge: a leaf of the other tree may hold
+        multiple bit-equal points, carried here as one weighted insert.  When
+        an occupied leaf must split, the OLD point is re-seated with its full
+        accumulated leaf weight (the sequential ``insert`` only ever re-seats
+        weight 1 because coincident copies can't be followed by a split in
+        one sequential pass per partition).
+        """
+        node = start
+        for _ in range(_MAX_DEPTH):
+            self.sx[node] += wsx
+            self.sy[node] += wsy
+            self.cum[node] += w
+            if self.children[node, 0] == -1:  # leaf
+                if not self.has_point[node]:
+                    self.has_point[node] = True
+                    self.px[node], self.py[node] = x, y
+                    return
+                if self.px[node] == x and self.py[node] == y:
+                    return  # coincident: accumulate in this leaf
+                ow = int(self.cum[node]) - w
+                osx = self.sx[node] - wsx
+                osy = self.sy[node] - wsy
+                ox, oy = self.px[node], self.py[node]
+                self._subdivide(node)
+                self.has_point[node] = False
+                oc = self._child_for(node, ox, oy)
+                self.sx[oc] += osx
+                self.sy[oc] += osy
+                self.cum[oc] += ow
+                self.has_point[oc] = True
+                self.px[oc], self.py[oc] = ox, oy
+            nxt = self._child_for(node, x, y)
+            if nxt == -1:
+                return
+            node = nxt
+        # depth guard: treat as coincident with the leaf reached
+
     # -- query --------------------------------------------------------------
 
     def repulsive_forces(
@@ -227,3 +280,109 @@ def build_quadtree(
     for x, y in Y:
         tree.insert(float(x), float(y))
     return tree
+
+
+def merge_quadtrees(a: QuadTree, b: QuadTree) -> QuadTree:
+    """Structurally merge ``b`` into ``a`` (same root cell geometry required).
+
+    The capacity-1 PR quadtree's STRUCTURE is determined by the point set
+    alone (a cell subdivides iff it contains >= 2 distinct points), not the
+    insertion order — so per-partition trees merged pairwise produce the
+    same tree a sequential build over all points would, with aggregate sums
+    (cum/sx/sy) equal up to floating-point summation order.  Cell geometry
+    is position-determined (identical root => identical child coordinates in
+    every tree), so child slots correspond index-for-index.
+
+    Cost: O(nodes of the smaller tree) pair visits, each O(1) plus at most
+    one subdivision chain bounded by the other tree's depth.
+    """
+    if b.cum[0] == 0:
+        return a
+    if a.cum[0] == 0:
+        return b
+    if a.n_nodes < b.n_nodes:
+        a, b = b, a
+    stack: list[tuple[int, int]] = [(0, 0)]
+    while stack:
+        na, nb = stack.pop()
+        if b.cum[nb] == 0:
+            continue
+        if b.children[nb, 0] == -1:  # b leaf (with >= 1 point)
+            if b.has_point[nb]:
+                a._insert_weighted(
+                    float(b.px[nb]),
+                    float(b.py[nb]),
+                    int(b.cum[nb]),
+                    float(b.sx[nb]),
+                    float(b.sy[nb]),
+                    start=na,
+                )
+            continue
+        if a.children[na, 0] == -1:  # a leaf, b internal: open a up
+            cum, sx, sy = int(a.cum[na]), float(a.sx[na]), float(a.sy[na])
+            a._subdivide(na)
+            if a.has_point[na]:
+                ox, oy = float(a.px[na]), float(a.py[na])
+                a.has_point[na] = False
+                oc = a._child_for(na, ox, oy)
+                a.sx[oc] += sx
+                a.sy[oc] += sy
+                a.cum[oc] += cum
+                a.has_point[oc] = True
+                a.px[oc], a.py[oc] = ox, oy
+            stack.append((na, nb))
+            continue
+        # both internal: fold b's subtree stats in, pair up children
+        a.cum[na] += b.cum[nb]
+        a.sx[na] += b.sx[nb]
+        a.sy[na] += b.sy[nb]
+        for c in range(4):
+            stack.append((int(a.children[na, c]), int(b.children[nb, c])))
+    return a
+
+
+def build_quadtree_distributed(
+    embedding, fix_bounds_mean: bool = False
+) -> QuadTree:
+    """Cluster-side quadtree build: per-partition subtrees + treeReduce merge.
+
+    Replaces the driver-side ``collect()`` + sequential Python insert loop
+    (the flagship query's scale ceiling — at 10^8 points that is a ~1.6 GB
+    per-iteration driver collect plus a single-threaded build, x300
+    iterations).  Here only a 6-value bounds/mean aggregate touches the
+    driver; partitions build local trees over the GLOBAL root cell in
+    parallel and ``treeReduce`` merges them on executors, so the driver
+    receives one finished tree to broadcast.
+
+    Root-cell construction matches ``build_quadtree`` bit-for-bit with the
+    default ``fix_bounds_mean=False`` (center (0,0), half-extent from global
+    min/max — DataFrame min/max equals numpy min/max exactly).
+
+    ``embedding``: DataFrame with a ``y ARRAY<DOUBLE>`` column (2-D).
+    """
+    import pyspark.sql.functions as F
+
+    b = embedding.agg(
+        F.min(F.col("y")[0]).alias("x0"),
+        F.max(F.col("y")[0]).alias("x1"),
+        F.min(F.col("y")[1]).alias("y0"),
+        F.max(F.col("y")[1]).alias("y1"),
+        F.avg(F.col("y")[0]).alias("mx"),
+        F.avg(F.col("y")[1]).alias("my"),
+    ).first()
+    if b is None or b["x0"] is None:  # empty input
+        return QuadTree(0.0, 0.0, 1.0)
+    mx, my = (float(b["mx"]), float(b["my"])) if fix_bounds_mean else (0.0, 0.0)
+    half = max(float(b["x1"] - b["x0"]), float(b["y1"] - b["y0"]))
+
+    def build_part(rows):
+        pts = [r["y"] for r in rows]
+        if not pts:
+            return
+        t = QuadTree(mx, my, half, capacity_hint=4 * max(len(pts), 16))
+        for p in pts:
+            t.insert(float(p[0]), float(p[1]))
+        yield t.trim()
+
+    trees = embedding.select("y").rdd.mapPartitions(build_part)
+    return trees.treeReduce(merge_quadtrees, depth=2)

@@ -42,6 +42,9 @@ class TSNE:
     # "reference" replicates quirk Q2 (summary vs SQUARED distance — exact
     # O(N^2) on compressed embeddings); "scaled" is canonical Barnes-Hut
     bh_condition: str = "reference"
+    # "distributed": executor-built quadtree (per-partition subtrees merged
+    # via treeReduce — no per-iteration driver collect); "driver": legacy
+    tree_build: str = "distributed"
     knn_method: str = "bruteforce"  # bruteforce | partition | project
     knn_iterations: int = 3
     knn_blocks: int | None = None
@@ -101,6 +104,7 @@ class TSNE:
             n_components=self.n_components,
             loss_sink=self.loss_records,
             bh_condition=self.bh_condition,
+            tree_build=self.tree_build,
         )
         p_joint.unpersist()
         return embedding
