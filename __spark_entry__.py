@@ -86,8 +86,9 @@ def q_joint_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pairwise_affinities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group entropy bisection (TsneHelpers.scala:162-180,434-504) over
-    embedding kNN edges — iterative numeric search, rows-only checked (golden
-    parity is covered by tests/test_affinities.py)."""
+    embedding kNN edges.  Deterministic (fixed 50-iteration bisection), so it
+    IS oracle-backed: see ``_bisection_oracle_sql`` for the DuckDB unrolled
+    50-step CTE replica (golden parity also in tests/test_affinities.py)."""
     from tsne_flink_spark.operators.affinities import pairwise_affinities
     from tsne_flink_spark.operators.knn import k_nearest_neighbors
 
@@ -653,10 +654,75 @@ SELECT i, j, round(dist, 6) AS v FROM ranked WHERE rn <= 5
 """
 
 
+def _bisection_oracle_sql(
+    k: int = 15, perplexity: float = 5.0, iters: int = 50, tol: float = 1e-5
+) -> str:
+    """DuckDB oracle for ``pairwise_affinities``: the reference's 50-step
+    entropy bisection (TsneHelpers.scala:434-504) unrolled into materialized
+    CTE steps (one h/convergence/state triple per iteration, freeze-on-
+    convergence preserved).  ``AS MATERIALIZED`` is load-bearing: without it
+    DuckDB inlines the single-referenced state chain and planning blows up
+    exponentially in ``iters``."""
+    target = f"ln({perplexity!r})"
+    parts = [
+        f"""WITH edges AS MATERIALIZED (
+  SELECT i, j, dist AS d FROM (
+    SELECT i, j, dist, row_number() OVER (PARTITION BY i ORDER BY dist, j) AS rn
+    FROM (
+      SELECT a.vec_id::INT AS i, b.vec_id::INT AS j, {_SQDIST} AS dist
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id <> b.vec_id
+    )
+  ) WHERE rn <= {k}
+), s0 AS MATERIALIZED (
+  SELECT i, 1.0::DOUBLE AS beta, '-infinity'::DOUBLE AS lo,
+         'infinity'::DOUBLE AS hi, FALSE AS done
+  FROM edges GROUP BY i
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", c{t} AS MATERIALIZED (
+  SELECT i, beta, lo, hi, done,
+         ln(sp) + beta * sdp / sp AS h,
+         abs(ln(sp) + beta * sdp / sp - {target}) < {tol!r} AS conv
+  FROM (
+    SELECT s.i, s.beta, s.lo, s.hi, s.done,
+           CASE WHEN SUM(exp(-e.d * s.beta)) = 0 THEN 1e-7
+                ELSE SUM(exp(-e.d * s.beta)) END AS sp,
+           SUM(e.d * exp(-e.d * s.beta)) AS sdp
+    FROM s{t-1} s JOIN edges e ON e.i = s.i
+    GROUP BY s.i, s.beta, s.lo, s.hi, s.done
+  )
+), s{t} AS MATERIALIZED (
+  SELECT i,
+    CASE WHEN done OR conv THEN beta
+         WHEN h > {target} THEN (CASE WHEN isinf(hi) THEN beta * 2.0 ELSE (beta + hi) / 2.0 END)
+         ELSE (CASE WHEN isinf(lo) THEN beta / 2.0 ELSE (beta + lo) / 2.0 END) END AS beta,
+    CASE WHEN done OR conv THEN lo WHEN h > {target} THEN beta ELSE lo END AS lo,
+    CASE WHEN done OR conv THEN hi WHEN h > {target} THEN hi ELSE beta END AS hi,
+    done OR conv AS done
+  FROM c{t}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT e.i, e.j,
+       round(exp(-e.d * s.beta)
+             / (CASE WHEN SUM(exp(-e.d * s.beta)) OVER (PARTITION BY e.i) = 0
+                     THEN 1e-7
+                     ELSE SUM(exp(-e.d * s.beta)) OVER (PARTITION BY e.i) END),
+             9) AS v
+FROM edges e JOIN s{iters} s ON s.i = e.i"""
+    )
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "knn_bruteforce": _KNN_ORACLE,
         "knn_partition": _KNN_ORACLE,
+        "pairwise_affinities": _bisection_oracle_sql(),
         "joint_distribution": """
 WITH coo AS (
   SELECT (l_orderkey % 100)::INT AS i, (l_partkey % 100)::INT AS j, l_quantity AS v
