@@ -85,10 +85,47 @@ def test_embedding_cosine_dedup(spark):
         (3, [0.0, 0.0, 1.0, 0.0]),
     ]
     emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
-    out = embedding_cosine_dedup(emb, threshold=0.99, num_planes=8)
+    out = embedding_cosine_dedup(emb, threshold=0.99, num_planes=8, bands=4)
     ids = {r["vec_id"] for r in out.collect()}
     assert 1 not in ids
     assert ids == {0, 2, 3}
+
+
+def test_embedding_dedup_recall(spark):
+    """Banded sign-LSH candidate recall vs exact all-pairs cosine at the
+    dedup threshold (0.95): gate >= 0.9 (VERDICT round-1 item 4)."""
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.dedup import embedding_duplicate_pairs
+
+    rng = np.random.default_rng(19)
+    base = rng.normal(0, 1, (60, 32))
+    rows = []
+    vid = 0
+    for i in range(60):
+        rows.append((vid, base[i].tolist())); vid += 1
+        # 2 perturbed near-copies per base vector (cosine mostly >= 0.95)
+        for _ in range(2):
+            rows.append((vid, (base[i] + rng.normal(0, 0.12, 32)).tolist()))
+            vid += 1
+    X = np.array([v for _, v in rows])
+    Xn = X / np.linalg.norm(X, axis=1)[:, None]
+    sims = Xn @ Xn.T
+    exact = {
+        (a, b)
+        for a in range(len(rows))
+        for b in range(a + 1, len(rows))
+        if sims[a, b] >= 0.95
+    }
+    assert len(exact) >= 60  # the regime is non-trivial
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        (r["a"], r["b"])
+        for r in embedding_duplicate_pairs(emb, threshold=0.95).collect()
+    }
+    assert got <= exact  # exact verification => precision 1
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"embedding dedup recall {recall:.2f}"
 
 
 def test_brute_force_top_k(spark):

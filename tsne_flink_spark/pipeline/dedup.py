@@ -430,58 +430,142 @@ def ngram_jaccard_pairs(
     )
 
 
-def embedding_cosine_dedup(
+def _hyperplane_band_assign(df, alias: str, id_type: str, planes, bands: int):
+    """(alias, __v, __band, __bucket, __norm): one row per (vector, band).
+
+    Sign bits for a whole Arrow batch via one GEMM against the plane matrix,
+    sliced into ``bands`` contiguous groups packed into per-band bucket keys
+    (minhash-style banding for cosine LSH).  ``df`` must have (alias, __v).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    num_planes = len(planes)
+    rpb = num_planes // bands
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            bits = (V @ planes.T > 0).astype(np.int64)  # (n, num_planes)
+            weights = 1 << np.arange(rpb, dtype=np.int64)
+            buckets = np.stack(
+                [
+                    bits[:, band * rpb : (band + 1) * rpb] @ weights
+                    for band in range(bands)
+                ],
+                axis=1,
+            )  # (n, bands)
+            n = bands
+            yield pd.DataFrame(
+                {
+                    alias: pdf[alias].to_numpy().repeat(n),
+                    "__v": [v for v in pdf["__v"] for _ in range(n)],
+                    "__band": np.tile(np.arange(bands, dtype=np.int32), len(pdf)),
+                    "__bucket": buckets.reshape(-1),
+                    "__norm": np.linalg.norm(V, axis=1).repeat(n),
+                }
+            )
+
+    return df.mapInPandas(
+        kernel,
+        schema=(
+            f"{alias} {id_type}, __v array<double>, __band int, "
+            "__bucket long, __norm double"
+        ),
+    )
+
+
+def embedding_duplicate_pairs(
     embeddings: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    num_planes: int = 16,
+    num_planes: int = 48,
+    bands: int = 6,
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """Near-dup rows by embedding cosine similarity.
+    """All (a, b) pairs with cosine >= threshold found via banded sign-LSH.
 
-    Candidates via random-hyperplane (sign) LSH: num_planes sign bits packed
-    into one bucket key; exact cosine verification on bucket-colliding pairs.
-    To survive skew, the bucket join is on the full key — expected bucket
-    size shrinks exponentially with num_planes.
+    Candidates collide when ANY band (num_planes/bands contiguous sign bits)
+    matches — the OR-across-bands construction that keeps recall high at
+    high thresholds: with 6 bands of 8 bits, a cosine-0.95 pair (per-bit
+    agreement p ~ 0.90) is caught with probability 1-(1-p^8)^6 ~ 0.96,
+    versus ~0.18 for a single all-16-bits-must-agree bucket (the round-1
+    design this replaces).  Every candidate is verified with the exact
+    cosine, so precision is 1; only recall is approximate (gated >= 0.9 by
+    tests/test_pipeline.py::test_embedding_dedup_recall).
+
+    Shuffle profile: O(rows x bands) — band+bucket equi-join, no all-pairs
+    stage; per-band bucket keys span 2^(num_planes/bands) values.
     """
     from tsne_flink_spark.functions.metrics import dot_unrolled
-    from tsne_flink_spark.pipeline.similarity import _as_double, _hyperplane_assign
+    from tsne_flink_spark.pipeline.similarity import _as_double
 
     if dim is None:
-        dim = len(embeddings.select(vec_col).head()[0])
+        head = embeddings.select(vec_col).head()
+        if head is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], f"a {dict(embeddings.dtypes)[id_col]}, b {dict(embeddings.dtypes)[id_col]}"
+            )
+        dim = len(head[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(num_planes, dim))
 
-    # sign buckets + norms via one GEMM per Arrow batch (see
-    # _hyperplane_assign for why not unrolled Column projections)
     id_type = dict(embeddings.dtypes)[id_col]
-    keyed = _hyperplane_assign(
+    keyed = _hyperplane_band_assign(
         embeddings.select(
             F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
         ),
         "__id",
         id_type,
         planes,
-        0,
+        bands,
     )
     left = keyed.select(
         F.col("__id").alias("a"), F.col("__v").alias("__va"),
-        F.col("__norm").alias("__na"), "__bucket",
+        F.col("__norm").alias("__na"), "__band", "__bucket",
     )
     right = keyed.select(
         F.col("__id").alias("b"), F.col("__v").alias("__vb"),
-        F.col("__norm").alias("__nb"), "__bucket",
+        F.col("__norm").alias("__nb"), "__band", "__bucket",
     )
-    # norms once per row pre-join; per-pair only the codegen-unrolled dot
-    dups = (
-        left.join(right, "__bucket")
+    # norms once per row pre-join; per-pair only the codegen-unrolled dot.
+    # dropDuplicates BEFORE the cosine verify would re-attach arrays to the
+    # dedup (see lsh_top_k) — instead verify first, then dedup slim (a, b).
+    return (
+        left.join(right, ["__band", "__bucket"])
         .where(F.col("a") < F.col("b"))
         .where(
             dot_unrolled(F.col("__va"), F.col("__vb"), dim)
             / (F.col("__na") * F.col("__nb"))
             >= threshold
+        )
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def embedding_cosine_dedup(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 48,
+    bands: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup rows by embedding cosine similarity: keep a row unless a
+    lower-id row is cosine-similar above ``threshold`` (candidates from
+    banded sign-LSH, exactly verified — see ``embedding_duplicate_pairs``).
+    """
+    dups = (
+        embedding_duplicate_pairs(
+            embeddings, vec_col, id_col, threshold, num_planes, bands, seed, dim
         )
         .select(F.col("b").alias("__kill"))
         .distinct()
