@@ -49,3 +49,35 @@ def test_fit_requires_exactly_one_input(spark):
     model = TSNE()
     with pytest.raises(ValueError):
         model.fit()
+
+
+def test_execution_plan_runs_no_job(spark, tmp_path):
+    """--executionPlan must dump the plan WITHOUT executing the pipeline
+    (Tsne.scala:89-95): plan file written, no output produced, zero Spark
+    jobs submitted."""
+    import numpy as np
+
+    from tsne_flink_spark.cli import main
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(0, 1, (12, 4))
+    csv = tmp_path / "pts.csv"
+    csv.write_text(
+        "".join(f"{i},{j},{X[i, j]}\n" for i in range(12) for j in range(4))
+    )
+    out_dir = tmp_path / "out"
+    plan_file = tmp_path / "plan.txt"
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None))
+    main([
+        "--input", str(csv), "--output", str(out_dir), "--dimension", "4",
+        "--knnMethod", "bruteforce", "--neighbors", "5", "--perplexity", "3",
+        "--iterations", "12", "--theta", "0.25",
+        "--executionPlan", str(plan_file),
+    ])
+    jobs_after = len(tracker.getJobIdsForGroup(None))
+    assert jobs_after == jobs_before, "plan-only mode submitted Spark jobs"
+    assert plan_file.exists()
+    text = plan_file.read_text()
+    assert "Physical Plan" in text or "AdaptiveSparkPlan" in text
+    assert not out_dir.exists()  # pipeline did not run, nothing was written

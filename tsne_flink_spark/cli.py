@@ -89,19 +89,22 @@ def main(argv: list[str] | None = None) -> None:
         knn_method=args.knnMethod,
         knn_iterations=args.knnIterations,
         knn_blocks=args.knnBlocks,
+        dimension=args.dimension,
     )
 
     if args.inputDistanceMatrix:
-        distances = read_distance_matrix(spark, args.input)
-        embedding = model.fit(distances=distances)
+        inputs = {"distances": read_distance_matrix(spark, args.input)}
     else:
-        points = read_points(spark, args.input, args.dimension)
-        embedding = model.fit(points=points)
+        inputs = {"points": read_points(spark, args.input, args.dimension)}
 
     if args.executionPlan:
-        write_execution_plan(embedding, args.executionPlan)
+        # plan-only: dump the one-iteration physical plan WITHOUT running
+        # the pipeline (Tsne.scala:89-95 — the reference prints the plan of
+        # the unexecuted job graph and exits)
+        write_execution_plan(model.plan(**inputs), args.executionPlan)
         return
 
+    embedding = model.fit(**inputs)
     write_embedding_csv(embedding, args.output, args.nComponents)
     write_loss(model.loss_records, args.loss_file)
 

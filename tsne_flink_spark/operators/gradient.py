@@ -91,6 +91,14 @@ def _repulsive_barnes_hut(
         rows = embedding.select("id", "y").collect()
         Y = np.array([r["y"] for r in rows], dtype=np.float64)
         tree = build_quadtree(Y, fix_bounds_mean=fix_bounds_mean)
+    elif tree_build == "stub":
+        # plan-only mode: broadcast an empty tree so the full physical plan
+        # (including the mapInPandas force stage) can be built and explained
+        # WITHOUT running any job — the reference's --executionPlan dumps the
+        # lazily assembled graph unexecuted (Tsne.scala:89-95)
+        from tsne_flink_spark.operators.quadtree import QuadTree
+
+        tree = QuadTree(0.0, 0.0, 1.0)
     else:
         tree = build_quadtree_distributed(
             embedding, fix_bounds_mean=fix_bounds_mean

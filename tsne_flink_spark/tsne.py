@@ -48,6 +48,9 @@ class TSNE:
     knn_method: str = "bruteforce"  # bruteforce | partition | project
     knn_iterations: int = 3
     knn_blocks: int | None = None
+    # input dimensionality; when set, the kNN distance expression is built
+    # without probing the data (keeps plan construction action-free)
+    dimension: int | None = None
     loss_records: list = field(default_factory=list)
 
     @property
@@ -56,7 +59,9 @@ class TSNE:
 
     def _knn(self, points: DataFrame) -> DataFrame:
         if self.knn_method == "bruteforce":
-            return k_nearest_neighbors(points, self._k, self.metric)
+            return k_nearest_neighbors(
+                points, self._k, self.metric, dim=self.dimension
+            )
         if self.knn_method == "partition":
             return partition_knn(points, self._k, self.metric, self.knn_blocks)
         if self.knn_method == "project":
@@ -64,6 +69,7 @@ class TSNE:
                 points,
                 self._k,
                 self.metric,
+                dimension=self.dimension,
                 iterations=self.knn_iterations,
                 seed=self.random_state,
             )
@@ -108,3 +114,53 @@ class TSNE:
         )
         p_joint.unpersist()
         return embedding
+
+    def plan(
+        self, points: DataFrame | None = None, distances: DataFrame | None = None
+    ) -> DataFrame:
+        """Assemble the ONE-ITERATION pipeline plan lazily — no job runs.
+
+        The reference's ``--executionPlan`` dumps the lazily assembled Flink
+        job graph without executing it (Tsne.scala:89-95); the Spark analogue
+        is the physical plan of one kNN -> affinities -> joint -> gradient ->
+        update -> center step.  The driver loop's per-iteration
+        ``materialize()`` is deliberately absent, and the Barnes-Hut stage is
+        planned against a stub broadcast tree, so nothing here triggers an
+        action.  With ``knn_method="bruteforce"``/``"partition"`` and
+        ``dimension`` set, plan construction runs ZERO Spark jobs;
+        ``"project"`` still probes feature bounds (a small aggregate job) to
+        place its shift literals.
+        """
+        from tsne_flink_spark.operators.gradient import gradient
+        from tsne_flink_spark.operators.embedding import (
+            center_embedding,
+            update_embedding,
+        )
+
+        if (points is None) == (distances is None):
+            raise ValueError("provide exactly one of points= or distances=")
+
+        knn = distances if distances is not None else self._knn(points)
+        p_cond = pairwise_affinities(knn, self.perplexity)
+        p_joint = joint_distribution(p_cond)
+        ids = (points if points is not None else p_joint.select(
+            p_joint["i"].alias("id")).distinct())
+        ws = init_working_set(
+            ids.select("id"), self.n_components, self.random_state
+        )
+        dy, _ = gradient(
+            p_joint,
+            ws.select("id", "y"),
+            metric=self.metric,
+            theta=self.theta,
+            n_components=self.n_components,
+            bh_condition=self.bh_condition,
+            tree_build="stub" if self.theta > 0 else self.tree_build,
+        )
+        updated = update_embedding(
+            dy, ws, momentum=self.initial_momentum,
+            learning_rate=self.learning_rate,
+        )
+        return center_embedding(updated, n_components=self.n_components).select(
+            "id", "y"
+        )
