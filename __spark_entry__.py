@@ -484,8 +484,9 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pair mining with exact n-gram Jaccard verification over
-    LSH candidates."""
+    """EXACT near-duplicate pair mining: every pair with 2-gram Jaccard >=
+    0.5 (lossless shared-shingle candidates + AllPairs prefix filtering, no
+    LSH recall loss) — deterministic, DuckDB-oracle-backed."""
     from tsne_flink_spark.pipeline.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -854,6 +855,34 @@ SELECT doc_id,
              ('the','a','and','of','to','in','is','it','that','for')))
              / greatest(len(ts), 1), 6) AS stop_ratio
 FROM toks
+""",
+        "ngram_jaccard_pairs": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ltok
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(ltok) - 1, 1) + 1),
+           i -> array_to_string(list_slice(ltok, i, i + 1), ' ')
+         )) AS grams
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), cands AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.grams, sb.grams))
+           / greatest(len(list_distinct(list_concat(sa.grams, sb.grams))), 1) AS j
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b
+)
+SELECT a, b, round(j, 6) AS jaccard FROM scored WHERE j >= 0.5
 """,
         "exact_dedup": """
 WITH fp AS (

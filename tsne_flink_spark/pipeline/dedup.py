@@ -393,29 +393,58 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     shingle_n: int = 2,
-    num_hashes: int = 64,
-    bands: int | None = None,
-    seed: int = 42,
 ) -> DataFrame:
-    """All near-duplicate pairs (a, b, jaccard) above threshold.
+    """ALL pairs (a, b, jaccard) with exact n-gram Jaccard >= threshold.
 
-    LSH candidates verified with exact n-gram Jaccard — the query-able
-    variant of minhash_lsh_dedup.  ``bands`` defaults to the S-curve-matched
-    count for ``threshold``.
+    EXACT (deterministic, DuckDB-oracle-backed), unlike minhash_lsh_dedup:
+    a pair with Jaccard >= t > 0 necessarily shares a shingle, so candidates
+    from a shared-shingle equi-join are lossless.  To keep hot shingles from
+    generating ~N^2 join rows, the join is prefix-filtered (AllPairs, Bayardo
+    et al.): order each document's shingles by a global rarest-first key
+    (document frequency); a qualifying pair must share one of the first
+    |s| - ceil(t*|s|) + 1 shingles of ``a`` — if the overlap hides entirely
+    in the suffix it is at most ceil(t|a|)-1 < t|a| <= the minimum overlap
+    t(|a|+|b|)/(1+t) any Jaccard->=t pair needs (|b| >= t|a| likewise).
+    Candidates then get the exact jaccard from their full shingle arrays.
+
+    Shuffle profile: O(sum_shingle df_prefix * df) candidate join +
+    O(candidates) verification — sub-quadratic on hot shingles; ubiquitous
+    shingles sort last and rarely enter any prefix.
     """
-    if bands is None:
-        bands = _auto_bands(num_hashes, threshold)
-    rows_per_band = num_hashes // bands
     # spread the raw rows first: the shingle projection is regex-heavy and
     # interpreted; it must run above the exchange, across all cores, in every
-    # branch that uses it (signatures AND both sides of the verify join)
+    # branch that uses it (exploded candidates AND both verify sides)
     with_sh = (
         _spread(docs.select(id_col, text_col), F.col(id_col))
         .select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    signed = minhash_signatures_table(with_sh, id_col, num_hashes, seed, spread=False)
-    cands = _lsh_candidate_pairs(signed, id_col, bands, rows_per_band)
+    exploded = with_sh.select(
+        F.col(id_col).alias("__id"),
+        F.size("__sh").alias("__sz"),
+        F.explode("__sh").alias("__g"),
+    )
+    gdf = exploded.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy(F.col("__df").asc(), F.col("__g").asc())
+    # prefix length |s| - ceil(t|s|) + 1; the 1e-9 slack rounds ceil DOWN on
+    # FP wobble, lengthening the prefix — losslessness over tightness
+    prefix = (
+        exploded.join(gdf, "__g")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(
+            F.col("__rn")
+            <= F.col("__sz")
+            - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9))
+            + F.lit(1)
+        )
+        .select(F.col("__id").alias("a"), "__g")
+    )
+    cands = (
+        prefix.join(exploded.select(F.col("__id").alias("b"), "__g"), "__g")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
     sh_a = with_sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
     sh_b = with_sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))
     return (
