@@ -143,6 +143,71 @@ def test_streaming_source_wiring(spark, tmp_path, events):
     spark.sql("select * from win_counts").collect()
 
 
+def test_sessionize_streaming_e2e(spark, tmp_path):
+    """session_window through a REAL multi-micro-batch stream: file source
+    (one file per trigger), watermark advances between batches, closed
+    sessions emit in append mode and match the batch result."""
+    import datetime as dt
+
+    from tsne_flink_spark.streaming.events import sessionize_streaming
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+
+    def ev(eid, uid, minutes, value):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "click", value, "{}")
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    # user 1: two sessions (gap > 30 min); user 2: one session
+    batch1 = spark.createDataFrame(
+        [ev(0, 1, 0, 1.0), ev(1, 1, 10, 2.0), ev(2, 2, 5, 5.0)], schema
+    )
+    batch2 = spark.createDataFrame(
+        [ev(3, 1, 120, 3.0), ev(4, 2, 15, 7.0)], schema
+    )
+    # sentinel far in the future: pushes the watermark past every real
+    # session so append mode emits them all before the stream drains
+    sentinel = spark.createDataFrame([ev(99, 999, 6000, 0.0)], schema)
+
+    path = tmp_path / "sess_src"
+    batch1.coalesce(1).write.mode("append").parquet(str(path))
+    batch2.coalesce(1).write.mode("append").parquet(str(path))
+    sentinel.coalesce(1).write.mode("append").parquet(str(path))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(path))
+    )
+    sess = sessionize_streaming(stream, gap="30 minutes")
+    assert sess.isStreaming
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_e2e")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 3  # genuinely multi-micro-batch
+    got = {
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            "select * from sessions_e2e where user_id < 999"
+        ).collect()
+    }
+    # batch-mode ground truth on the same rows
+    expected = {
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in sessionize_streaming(batch1.union(batch2), gap="30 minutes").collect()
+    }
+    assert got == expected
+    assert (1, 2, 3.0) in got and (1, 1, 3.0) in got and (2, 2, 12.0) in got
+
+
 def test_as_of_join(spark):
     import datetime as dt
 
