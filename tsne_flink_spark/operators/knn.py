@@ -242,35 +242,25 @@ def morton_key(points: DataFrame, mins: np.ndarray, maxs: np.ndarray) -> DataFra
 def _global_rank_by(df: DataFrame, order_col: str) -> DataFrame:
     """Distributed global rank by ``order_col`` (0-based, dense ordering).
 
-    Avoids the single-partition ``Window.orderBy`` by range-partitioning on
-    the key, ranking within partitions, and adding per-partition offsets —
-    the classic parallel zipWithIndex.
+    Avoids the single-partition ``Window.orderBy`` via range-partition +
+    within-partition sort + ``zipWithIndex`` (the classic parallel rank).
+
+    The RDD formulation is load-bearing for CORRECTNESS, not style: the
+    earlier pure-DataFrame version read the ``repartitionByRange`` exchange
+    from two plan branches (per-partition counts and local ranks), and the
+    range partitioner RE-SAMPLES its boundaries per evaluation — at N=100k
+    the two branches disagreed, offsets no longer matched local ranks, and
+    ranks silently came out non-dense (observed max rank 108193 for 100k
+    rows), corrupting the +-window candidate set.  ``zipWithIndex`` runs its
+    count and compute jobs over ONE materialized shuffle, so the boundaries
+    are consistent by construction.
     """
-    parts = df.repartitionByRange(F.col(order_col)).sortWithinPartitions(order_col)
-    with_pid = parts.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(order_col)
-    local = with_pid.withColumn("__local", F.row_number().over(w) - 1)
-    counts = (
-        local.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .withColumn(
-            "__offset",
-            F.coalesce(
-                F.sum("__cnt").over(
-                    Window.orderBy("__pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("__pid", "__offset")
-    )
-    return (
-        local.join(F.broadcast(counts), "__pid")
-        .withColumn("__rank", (F.col("__local") + F.col("__offset")).cast("long"))
-        .drop("__pid", "__local", "__offset")
-    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sdf = df.repartitionByRange(F.col(order_col)).sortWithinPartitions(order_col)
+    schema = StructType(list(df.schema.fields) + [StructField("__rank", LongType())])
+    ranked = sdf.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+    return df.sparkSession.createDataFrame(ranked, schema)
 
 
 def _zorder_candidates(points: DataFrame, k: int) -> DataFrame:
@@ -305,6 +295,25 @@ def _zorder_candidates(points: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _project(points: DataFrame, R: np.ndarray) -> DataFrame:
+    """(id, features) -> (id, features @ R): one GEMM per Arrow batch."""
+    Rmat = R.astype(np.float64)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["features"]])
+            P = X @ Rmat
+            yield pd.DataFrame(
+                {"id": pdf["id"], "features": [r.tolist() for r in P]}
+            )
+
+    return points.select("id", "features").mapInPandas(
+        kernel, schema="id int, features array<double>"
+    )
+
+
 def project_knn(
     points: DataFrame,
     k: int,
@@ -312,13 +321,24 @@ def project_knn(
     dimension: int | None = None,
     iterations: int = 3,
     seed: int = 0,
+    proj_dims: int | None = None,
+    window: int | None = None,
 ) -> DataFrame:
-    """Approximate kNN via random-shifted z-order sorts.
+    """Approximate kNN via z-order sorts over random low-dim projections.
 
-    For the original point set plus ``iterations - 1`` randomly shifted
-    copies (shift vectors generated driver-side from a seeded RNG — the
-    reference's are unseeded, quirk Q4), take +-k z-order rank neighbors as
-    candidates; union, dedupe, then true-distance top-k.
+    Per pass, features are projected through a seeded Gaussian matrix onto
+    ``proj_dims`` dimensions (default min(dim, 5)) and Morton-keyed; each
+    point's +-``window`` rank neighbors (default max(2k, 128)) become
+    candidates; passes union, then true-distance top-k.  Independent
+    projections per pass give the passes independent failure modes — the
+    reference's random SHIFTS of the full-dimensional curve
+    (TsneHelpers.scala:103-160, unseeded — quirk Q4) leave the z-order's
+    locality to decay with dimensionality (measured: recall 0.086 at
+    N=100k, d=16, k=10 for shifted 16-dim curves vs 0.6+ for projected
+    5-dim curves at the same candidate budget — see BASELINE.md B10).
+    For inputs already at or below ``proj_dims`` dimensions, the original
+    shifted-grid construction is kept (no projection needed, reference
+    parity).
     """
     spark = points.sparkSession
     head = points.select("features").head()
@@ -328,34 +348,45 @@ def project_knn(
         return spark.createDataFrame([], COO)
     if dimension is None:
         dimension = len(head["features"])
+    if proj_dims is None:
+        proj_dims = min(dimension, 5)
+    if window is None:
+        window = max(2 * k, 128)
 
-    mins, maxs = _feature_bounds(points, dimension)
-
-    span = maxs - mins
     rng = np.random.default_rng(seed)
-    shifts = [None] + [
-        rng.uniform(0.0, 1.0, size=dimension) * span
-        for _ in range(max(iterations - 1, 0))
-    ]
-
-    # The quantization grid must stay FIXED across shifted passes (covering
-    # [mins, maxs + span]); re-anchoring the grid to each shifted min would
-    # reproduce the identical z-order and make the extra passes useless.  The
-    # reference gets this for free by comparing raw double bits (grid anchored
-    # at absolute zero, ZOrder.scala:25-42).
-    grid_mins, grid_maxs = mins, maxs + span
-
     candidate_sets = []
-    for shift in shifts:
-        if shift is None:
-            shifted = points
-        else:
-            arr = F.array(*[F.lit(float(x)) for x in shift])
-            shifted = points.select(
-                "id", F.zip_with("features", arr, lambda a, b: a + b).alias("features")
-            )
-        keyed = morton_key(shifted, grid_mins, grid_maxs)
-        candidate_sets.append(_zorder_candidates(keyed, k))
+    if dimension <= proj_dims:
+        mins, maxs = _feature_bounds(points, dimension)
+        span = maxs - mins
+        shifts = [None] + [
+            rng.uniform(0.0, 1.0, size=dimension) * span
+            for _ in range(max(iterations - 1, 0))
+        ]
+        # The quantization grid must stay FIXED across shifted passes
+        # (covering [mins, maxs + span]); re-anchoring the grid to each
+        # shifted min would reproduce the identical z-order and make the
+        # extra passes useless.  The reference gets this for free by
+        # comparing raw double bits (anchored at absolute zero,
+        # ZOrder.scala:25-42).
+        grid_mins, grid_maxs = mins, maxs + span
+        for shift in shifts:
+            if shift is None:
+                shifted = points
+            else:
+                arr = F.array(*[F.lit(float(x)) for x in shift])
+                shifted = points.select(
+                    "id",
+                    F.zip_with("features", arr, lambda a, b: a + b).alias("features"),
+                )
+            keyed = morton_key(shifted, grid_mins, grid_maxs)
+            candidate_sets.append(_zorder_candidates(keyed, window))
+    else:
+        for _ in range(max(iterations, 1)):
+            R = rng.normal(size=(dimension, proj_dims))
+            projected = _project(points, R)
+            pmins, pmaxs = _feature_bounds(projected, proj_dims)
+            keyed = morton_key(projected, pmins, pmaxs)
+            candidate_sets.append(_zorder_candidates(keyed, window))
 
     candidates = candidate_sets[0]
     for c in candidate_sets[1:]:
