@@ -1,0 +1,193 @@
+"""Plan auditor: dump `explain("formatted")` for headline queries and grep
+the properties that matter at 100 TB — parquet filter/column pushdown,
+broadcast vs shuffle joins, whole-stage codegen spans, exchange counts.
+
+Usage: python tools/audit_plans.py [sf_dir] [query ...]   (writes PLANS.md)
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+AUDITED = [
+    "pricing_summary",
+    "regional_revenue",
+    "grouped_topk_orders",
+    "knn_partition",
+    "pairwise_affinities",
+    "tfidf_cosine_pairs",
+    "ngram_jaccard_pairs",
+    "minhash_dedup",
+    "ann_lsh",
+    "event_order_asof",
+    "session_overlap",
+    "windowed_event_counts",
+]
+
+
+NOTES = {
+    "pricing_summary": (
+        "Scan -> partial agg -> exchange -> final agg, all in 3 codegen "
+        "spans; the scan reads exactly the 7 aggregated columns and the "
+        "shipdate filter is pushed into parquet. Linear in input, one "
+        "shuffle on the 6-row group key space."
+    ),
+    "regional_revenue": (
+        "5-table star join: every dimension (region/nation/customer/"
+        "supplier) broadcasts (10 BroadcastHashJoins incl. reuse), so the "
+        "fact scan never shuffles for the join — only the final groupBy "
+        "exchanges. The 100-TB shape: dims stay broadcast-size forever."
+    ),
+    "grouped_topk_orders": (
+        "Window top-k: one hash exchange on the group key, rank inside the "
+        "sorted partition, no join at all."
+    ),
+    "knn_partition": (
+        "The 2 nested-loop joins are the INTENTIONAL blocked cross "
+        "(TsneHelpers ModuloKeyPartitioner redesign): B x B block-pair "
+        "rows, each evaluated as one vectorized numpy GEMM with map-side "
+        "per-pair top-k, so the shuffle into the global top-k is "
+        "O(N*k*B), never O(N^2) rows."
+    ),
+    "pairwise_affinities": (
+        "The nested-loop joins belong to the brute-force kNN baseline "
+        "feeding the bisection (all-pairs by definition; partition/project "
+        "kNN are the scale paths). The bisection itself is one hash "
+        "exchange on i + one Arrow pass, no joins."
+    ),
+    "tfidf_cosine_pairs": (
+        "Prefix-filtered AllPairs: the 16 broadcast joins are the tiny "
+        "idf/doc-frequency side tables; the candidate and verification "
+        "joins are shuffle hash joins on term — at real scale AQE keeps "
+        "the idf side broadcast while candidate joins shuffle, and the "
+        "prefix filter bounds the hot-term blow-up."
+    ),
+    "ngram_jaccard_pairs": (
+        "Same AllPairs shape over int64-hashed shingles; document-"
+        "frequency table broadcasts, shared-shingle candidate join "
+        "shuffles on the shingle hash."
+    ),
+    "minhash_dedup": (
+        "The 2 sort-merge joins are the banded candidate self-join on "
+        "(band, bucket) — the right strategy at scale (both sides are the "
+        "full signature table; neither should broadcast)."
+    ),
+    "ann_lsh": (
+        "Bucket equi-join of multi-probe query buckets against corpus "
+        "base buckets; norms precomputed per row before the join so the "
+        "per-pair work is just the codegen-unrolled dot."
+    ),
+    "event_order_asof": (
+        "Union-tag + ordered window as-of join: one exchange on the key, "
+        "one sort, zero range explosion — no join operator at all."
+    ),
+    "session_overlap": (
+        "Bucketized range join: interval side explodes into covering "
+        "buckets, equi-join on (key, bucket) + exact range filter; the "
+        "broadcast is the small interval side at this SF."
+    ),
+    "windowed_event_counts": (
+        "Tumbling window agg: partial agg before the exchange (map-side "
+        "combine), one shuffle on (window, event_type)."
+    ),
+}
+
+
+def audit(plan: str, codegen_plan: str) -> dict:
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", codegen_plan)
+    return {
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "nested_loop_joins": len(re.findall(r"NestedLoopJoin", plan)),
+        "codegen_spans": int(m.group(1)) if m else 0,
+        "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+        "scans": len(re.findall(r"Scan parquet", plan)),
+        "read_schemas": re.findall(r"ReadSchema: ([^\n]+)", plan),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) or set(AUDITED)
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-audit")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "false")  # static plans: AQE
+        # wrapping hides codegen subtrees and join strategies pre-execution
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    out = io.StringIO()
+    out.write(
+        "# PLANS — physical-plan audit of headline queries\n\n"
+        f"Generated by `python tools/audit_plans.py {sf_dir}` "
+        "(plans audited with AQE OFF so join strategies and codegen subtrees\n"
+        "are visible statically; the engine RUNS with AQE on, which can\n"
+        "only improve these plans — converting eligible sort-merge joins\n"
+        "to broadcast and coalescing small shuffle partitions at runtime).\n\n"
+        "What the audit checks, per query: parquet scans read ONLY the\n"
+        "needed columns (ReadSchema), filters reach the scan\n"
+        "(PushedFilters), small sides broadcast, no accidental\n"
+        "nested-loop joins, and the bulk of each stage sits inside\n"
+        "whole-stage codegen.\n\n"
+    )
+    summary_rows = []
+    for name in AUDITED:
+        if name not in only:
+            continue
+        df = qs[name](spark, sf_dir)
+
+        def explain(mode: str) -> str:
+            return df._jdf.queryExecution().explainString(
+                df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    mode
+                )
+            )
+
+        a = audit(explain("formatted"), explain("codegen"))
+        summary_rows.append((name, a))
+        out.write(f"## {name}\n\n")
+        out.write(
+            f"- exchanges: {a['exchanges']}, broadcast joins: "
+            f"{a['broadcast_joins']}, sort-merge joins: {a['sortmerge_joins']}, "
+            f"nested-loop joins: {a['nested_loop_joins']}, codegen spans: "
+            f"{a['codegen_spans']}, parquet scans: {a['scans']} "
+            f"(with pushed filters: {a['pushed_filters']})\n"
+        )
+        for rs in sorted(set(a["read_schemas"])):
+            out.write(f"- ReadSchema: `{rs.strip()}`\n")
+        if name in NOTES:
+            out.write(f"\n{NOTES[name]}\n")
+        out.write("\n")
+    out.write("## Summary\n\n")
+    out.write(
+        "| query | exchanges | bcast joins | SMJ | NLJ | codegen spans |\n"
+        "|---|---|---|---|---|---|\n"
+    )
+    for name, a in summary_rows:
+        out.write(
+            f"| {name} | {a['exchanges']} | {a['broadcast_joins']} | "
+            f"{a['sortmerge_joins']} | {a['nested_loop_joins']} | "
+            f"{a['codegen_spans']} |\n"
+        )
+    with open("PLANS.md", "w") as f:
+        f.write(out.getvalue())
+    print(out.getvalue()[-1500:])
+
+
+if __name__ == "__main__":
+    main()
