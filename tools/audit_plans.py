@@ -32,9 +32,9 @@ AUDITED = [
 NOTES = {
     "pricing_summary": (
         "Scan -> partial agg -> exchange -> final agg, all in 3 codegen "
-        "spans; the scan reads exactly the 7 aggregated columns and the "
-        "shipdate filter is pushed into parquet. Linear in input, one "
-        "shuffle on the 6-row group key space."
+        "spans; the scan reads exactly the 5 aggregated/grouping columns "
+        "of 16 (column pruning; the query has no row filter). Linear in "
+        "input, one shuffle on the 6-row group key space."
     ),
     "regional_revenue": (
         "5-table star join: every dimension (region/nation/customer/"
