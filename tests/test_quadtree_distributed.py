@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 from tsne_flink_spark.operators.quadtree import (
+    QuadTree,
     build_quadtree,
     build_quadtree_distributed,
     merge_quadtrees,
@@ -23,7 +24,7 @@ def _canonical(tree):
     for n in range(tree.n_nodes):
         if tree.cum[n] == 0 and not tree.has_point[n]:
             continue
-        key = (tree.cx[n], tree.cy[n], tree.hw[n], tree.hh[n])
+        key = (tree.cx[n], tree.cy[n], tree.half, int(tree.depth[n]))
         pt = (tree.px[n], tree.py[n]) if tree.has_point[n] else None
         out[key] = (int(tree.cum[n]), tree.sx[n], tree.sy[n], pt)
     return out
@@ -50,9 +51,7 @@ def test_merge_equals_sequential_random():
     half = max(Y[:, 0].ptp(), Y[:, 1].ptp())
     parts = []
     for blk in blocks:
-        t = build_quadtree(np.empty((0, 2)))
-        t.cx[0] = t.cy[0] = 0.0
-        t.hw[0] = t.hh[0] = half
+        t = QuadTree(0.0, 0.0, half)
         for x, y in blk:
             t.insert(float(x), float(y))
         parts.append(t)
@@ -77,9 +76,7 @@ def test_merge_with_coincident_points():
     half = max(Y[:, 0].ptp(), Y[:, 1].ptp())
 
     def tree_of(block):
-        t = build_quadtree(np.empty((0, 2)))
-        t.cx[0] = t.cy[0] = 0.0
-        t.hw[0] = t.hh[0] = half
+        t = QuadTree(0.0, 0.0, half)
         for x, y in block:
             t.insert(float(x), float(y))
         return t

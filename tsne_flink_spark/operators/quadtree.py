@@ -37,18 +37,28 @@ class QuadTree:
         n = max(capacity_hint, 16)
         self.cx = np.zeros(n)
         self.cy = np.zeros(n)
-        self.hw = np.zeros(n)  # half-width
-        self.hh = np.zeros(n)  # half-height
+        # Cells are all square and halve per level (the reference sizes both
+        # child dimensions by hWidth, QuadTree.scala:80-81, and the root is
+        # square — quirk Q2), so per-node extents are fully determined by
+        # (root half-extent, depth).  Storing a uint8 depth instead of two
+        # float64 extent arrays cuts the serialized tree ~35% — this is the
+        # per-iteration broadcast at scale (303 MB at N=1M before, see
+        # BASELINE.md B11).  half * 2^-depth is exact in IEEE-754, so cell
+        # geometry is bit-identical to the old repeated-halving arrays.
+        self.half = float(half_extent)  # root half-extent
+        self.depth = np.zeros(n, dtype=np.uint8)
         self.cum = np.zeros(n, dtype=np.int64)
         self.sx = np.zeros(n)  # running sum of inserted points
         self.sy = np.zeros(n)
-        self.children = np.full((n, 4), -1, dtype=np.int64)  # NW NE SW SE
+        self.children = np.full((n, 4), -1, dtype=np.int32)  # NW NE SW SE
         self.has_point = np.zeros(n, dtype=bool)
         self.px = np.zeros(n)
         self.py = np.zeros(n)
         self.n_nodes = 1
         self.cx[0], self.cy[0] = cx, cy
-        self.hw[0] = self.hh[0] = half_extent
+
+    def _half_of(self, node: int) -> float:
+        return self.half / (1 << int(self.depth[node]))
 
     # -- construction -------------------------------------------------------
 
@@ -57,24 +67,26 @@ class QuadTree:
         if self.n_nodes + need <= cap:
             return
         new = max(cap * 2, self.n_nodes + need)
-        for name in ("cx", "cy", "hw", "hh", "sx", "sy", "px", "py"):
+        for name in ("cx", "cy", "sx", "sy", "px", "py"):
             arr = getattr(self, name)
             setattr(self, name, np.resize(arr, new))
+        self.depth = np.resize(self.depth, new)
         self.cum = np.resize(self.cum, new)
         self.has_point = np.resize(self.has_point, new)
-        ch = np.full((new, 4), -1, dtype=np.int64)
+        ch = np.full((new, 4), -1, dtype=np.int32)
         ch[: len(self.children)] = self.children
         self.children = ch
 
     def _contains(self, node: int, x: float, y: float) -> bool:
+        h = self._half_of(node)
         return (
-            self.cx[node] - self.hw[node] <= x <= self.cx[node] + self.hw[node]
-            and self.cy[node] - self.hh[node] <= y <= self.cy[node] + self.hh[node]
+            self.cx[node] - h <= x <= self.cx[node] + h
+            and self.cy[node] - h <= y <= self.cy[node] + h
         )
 
     def _subdivide(self, node: int) -> None:
         # Children sized by hWidth on both axes, as the reference does.
-        nw = 0.5 * self.hw[node]
+        nw = 0.5 * self._half_of(node)
         base = self.n_nodes
         self._grow(4)
         offs = ((-nw, nw), (nw, nw), (-nw, -nw), (nw, -nw))  # NW NE SW SE
@@ -82,7 +94,7 @@ class QuadTree:
             idx = base + c
             self.cx[idx] = self.cx[node] + dx
             self.cy[idx] = self.cy[node] + dy
-            self.hw[idx] = self.hh[idx] = nw
+            self.depth[idx] = self.depth[node] + 1
             self.cum[idx] = 0
             self.sx[idx] = self.sy[idx] = 0.0
             self.children[idx] = -1
@@ -132,8 +144,9 @@ class QuadTree:
     def trim(self) -> "QuadTree":
         """Shrink backing arrays to ``n_nodes`` (before serialization)."""
         n = self.n_nodes
-        for name in ("cx", "cy", "hw", "hh", "sx", "sy", "px", "py"):
+        for name in ("cx", "cy", "sx", "sy", "px", "py"):
             setattr(self, name, getattr(self, name)[:n].copy())
+        self.depth = self.depth[:n].copy()
         self.cum = self.cum[:n].copy()
         self.has_point = self.has_point[:n].copy()
         self.children = self.children[:n].copy()
@@ -229,10 +242,11 @@ class QuadTree:
             dy = qy - com_y
             D = dx * dx + dy * dy
             denom = np.sqrt(D) if condition == "scaled" else D
+            # cell extent = half * 2^-depth (exact), max(hH, hW) == extent
+            # since every cell is square
+            extent = self.half * np.exp2(-self.depth[nodes].astype(np.float64))
             with np.errstate(divide="ignore", invalid="ignore"):
-                summary = (
-                    np.maximum(self.hh[nodes], self.hw[nodes]) / denom < theta
-                )
+                summary = extent / denom < theta
             accept = ~drop & (leaf | summary)
 
             if accept.any():
