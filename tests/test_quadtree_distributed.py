@@ -15,6 +15,7 @@ from tsne_flink_spark.operators.quadtree import (
     build_quadtree,
     build_quadtree_distributed,
     merge_quadtrees,
+    merge_quadtrees_scalar,
 )
 
 
@@ -55,11 +56,19 @@ def test_merge_equals_sequential_random():
         for x, y in blk:
             t.insert(float(x), float(y))
         parts.append(t)
+    import copy
+
+    parts_scalar = copy.deepcopy(parts)
     merged = parts[0]
     for t in parts[1:]:
         merged = merge_quadtrees(merged, t)
     assert merged.cum[0] == seq.cum[0] == len(Y)
     _assert_equivalent(merged, seq)
+    # the vectorized merge must match the scalar reference merge too
+    merged_s = parts_scalar[0]
+    for t in parts_scalar[1:]:
+        merged_s = merge_quadtrees_scalar(merged_s, t)
+    _assert_equivalent(merged, merged_s)
     # identical forces for both trees at exact and approximate theta
     for theta, cond in [(1e-300, "reference"), (0.5, "scaled")]:
         f_seq, q_seq = seq.repulsive_forces(Y, theta, condition=cond)

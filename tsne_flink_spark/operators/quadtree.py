@@ -296,8 +296,206 @@ def build_quadtree(
     return tree
 
 
+def _bulk_subdivide(tree: QuadTree, nodes: np.ndarray) -> None:
+    """Subdivide many (unique) leaf nodes at once — the vectorized
+    counterpart of ``_subdivide``, bit-identical cell geometry
+    (half * 2^-(depth+1) equals repeated halving exactly in IEEE-754)."""
+    k = len(nodes)
+    if k == 0:
+        return
+    base = tree.n_nodes
+    tree._grow(4 * k)
+    nw = tree.half * np.exp2(-(tree.depth[nodes].astype(np.float64) + 1.0))
+    child_idx = base + 4 * np.arange(k, dtype=np.int64)[:, None] + np.arange(4)[None, :]
+    offs_x = np.array([-1.0, 1.0, -1.0, 1.0])  # NW NE SW SE
+    offs_y = np.array([1.0, 1.0, -1.0, -1.0])
+    flat = child_idx.ravel()
+    tree.cx[flat] = (tree.cx[nodes][:, None] + nw[:, None] * offs_x[None, :]).ravel()
+    tree.cy[flat] = (tree.cy[nodes][:, None] + nw[:, None] * offs_y[None, :]).ravel()
+    tree.depth[flat] = np.repeat(tree.depth[nodes] + 1, 4)
+    tree.cum[flat] = 0
+    tree.sx[flat] = 0.0
+    tree.sy[flat] = 0.0
+    tree.has_point[flat] = False
+    tree.children[flat] = -1
+    tree.children[nodes] = child_idx.astype(np.int32)
+    tree.n_nodes += 4 * k
+
+
+def _children_for(tree: QuadTree, nodes: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized ``_child_for``: first containing child in NW,NE,SW,SE
+    order (ties on shared cell boundaries resolve identically), -1 if none.
+    ``nodes`` must all be internal."""
+    ch = tree.children[nodes].astype(np.int64)  # (k, 4)
+    h = tree.half * np.exp2(-tree.depth[ch[:, 0]].astype(np.float64))  # child half
+    cxs, cys = tree.cx[ch], tree.cy[ch]
+    hcol = h[:, None]
+    cont = (
+        (cxs - hcol <= x[:, None])
+        & (x[:, None] <= cxs + hcol)
+        & (cys - hcol <= y[:, None])
+        & (y[:, None] <= cys + hcol)
+    )
+    first = np.argmax(cont, axis=1)
+    rows = np.arange(len(nodes))
+    return np.where(cont[rows, first], ch[rows, first], -1)
+
+
+def _bulk_insert_weighted(
+    tree: QuadTree,
+    starts: np.ndarray,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    ws: np.ndarray,
+    wsxs: np.ndarray,
+    wsys: np.ndarray,
+) -> None:
+    """Vectorized batch of ``_insert_weighted`` descents.  Safe because the
+    caller guarantees the start nodes root DISJOINT subtrees (merge pairs
+    are geometry-aligned, so no two descents ever touch the same node)."""
+    cur = starts.astype(np.int64).copy()
+    for _ in range(_MAX_DEPTH):
+        if not len(cur):
+            return
+        tree.cum[cur] += ws
+        tree.sx[cur] += wsxs
+        tree.sy[cur] += wsys
+        leaf = tree.children[cur, 0] == -1
+        done = np.zeros(len(cur), dtype=bool)
+        if leaf.any():
+            l = np.flatnonzero(leaf)
+            ln = cur[l]
+            no_pt = ~tree.has_point[ln]
+            seat = l[no_pt]
+            sn = cur[seat]
+            tree.has_point[sn] = True
+            tree.px[sn] = xs[seat]
+            tree.py[sn] = ys[seat]
+            done[seat] = True
+            occ = l[~no_pt]
+            on = cur[occ]
+            coinc = (tree.px[on] == xs[occ]) & (tree.py[on] == ys[occ])
+            done[occ[coinc]] = True
+            split = occ[~coinc]
+            if len(split):
+                snodes = cur[split]
+                ow = tree.cum[snodes] - ws[split]
+                osx = tree.sx[snodes] - wsxs[split]
+                osy = tree.sy[snodes] - wsys[split]
+                opx = tree.px[snodes].copy()
+                opy = tree.py[snodes].copy()
+                _bulk_subdivide(tree, snodes)
+                tree.has_point[snodes] = False
+                oc = _children_for(tree, snodes, opx, opy)
+                v = oc >= 0
+                ocv = oc[v]
+                tree.cum[ocv] += ow[v]
+                tree.sx[ocv] += osx[v]
+                tree.sy[ocv] += osy[v]
+                tree.has_point[ocv] = True
+                tree.px[ocv] = opx[v]
+                tree.py[ocv] = opy[v]
+        keep = ~done
+        cur, xs, ys, ws, wsxs, wsys = (
+            cur[keep], xs[keep], ys[keep], ws[keep], wsxs[keep], wsys[keep]
+        )
+        if not len(cur):
+            return
+        nxt = _children_for(tree, cur, xs, ys)
+        v = nxt >= 0
+        cur, xs, ys, ws, wsxs, wsys = (
+            nxt[v], xs[v], ys[v], ws[v], wsxs[v], wsys[v]
+        )
+    # depth guard: remaining descents treated as coincident (as scalar does)
+
+
 def merge_quadtrees(a: QuadTree, b: QuadTree) -> QuadTree:
-    """Structurally merge ``b`` into ``a`` (same root cell geometry required).
+    """Structurally merge ``b`` into ``a`` — vectorized level-synchronous
+    frontier traversal (same semantics as ``merge_quadtrees_scalar``; the
+    per-node-pair Python loop was the distributed build's bottleneck at
+    N=1M: ~10 s per big merge, 62 s for the whole reduce chain measured).
+
+    Frontier pairs are geometry-aligned and unique per level, so all the
+    fancy-indexed scatter-adds hit distinct nodes; deferred weighted
+    inserts (b-leaf cases) root disjoint subtrees, so the batched descent
+    is race-free.  FP sums may differ from the scalar merge in summation
+    order only.
+    """
+    if b.cum[0] == 0:
+        return a
+    if a.cum[0] == 0:
+        return b
+    if a.n_nodes < b.n_nodes:
+        a, b = b, a
+    na = np.zeros(1, dtype=np.int64)
+    nb = np.zeros(1, dtype=np.int64)
+    ins: list[tuple[np.ndarray, ...]] = []
+    while len(na):
+        live = b.cum[nb] > 0
+        na, nb = na[live], nb[live]
+        if not len(na):
+            break
+        bleaf = b.children[nb, 0] == -1
+        c3 = bleaf & b.has_point[nb]
+        if c3.any():
+            i = np.flatnonzero(c3)
+            ins.append(
+                (
+                    na[i],
+                    b.px[nb[i]].copy(),
+                    b.py[nb[i]].copy(),
+                    b.cum[nb[i]].copy(),
+                    b.sx[nb[i]].copy(),
+                    b.sy[nb[i]].copy(),
+                )
+            )
+        rest = ~bleaf
+        na, nb = na[rest], nb[rest]
+        if not len(na):
+            break
+        aleaf = a.children[na, 0] == -1
+        if aleaf.any():
+            ln = na[aleaf]
+            cum0 = a.cum[ln].copy()
+            sx0 = a.sx[ln].copy()
+            sy0 = a.sy[ln].copy()
+            haspt = a.has_point[ln].copy()
+            opx = a.px[ln].copy()
+            opy = a.py[ln].copy()
+            _bulk_subdivide(a, ln)
+            hn = ln[haspt]
+            if len(hn):
+                a.has_point[hn] = False
+                oc = _children_for(a, hn, opx[haspt], opy[haspt])
+                v = oc >= 0
+                ocv = oc[v]
+                a.cum[ocv] += cum0[haspt][v]
+                a.sx[ocv] += sx0[haspt][v]
+                a.sy[ocv] += sy0[haspt][v]
+                a.has_point[ocv] = True
+                a.px[ocv] = opx[haspt][v]
+                a.py[ocv] = opy[haspt][v]
+        # all a-side internal now: fold stats, pair children index-for-index
+        a.cum[na] += b.cum[nb]
+        a.sx[na] += b.sx[nb]
+        a.sy[na] += b.sy[nb]
+        na = a.children[na].astype(np.int64).ravel()
+        nb = b.children[nb].astype(np.int64).ravel()
+    if ins:
+        _bulk_insert_weighted(
+            a,
+            np.concatenate([t[0] for t in ins]),
+            np.concatenate([t[1] for t in ins]),
+            np.concatenate([t[2] for t in ins]),
+            np.concatenate([t[3] for t in ins]),
+            np.concatenate([t[4] for t in ins]),
+            np.concatenate([t[5] for t in ins]),
+        )
+    return a
+
+
+def merge_quadtrees_scalar(a: QuadTree, b: QuadTree) -> QuadTree:
+    """Reference scalar merge (kept for equivalence testing).
 
     The capacity-1 PR quadtree's STRUCTURE is determined by the point set
     alone (a cell subdivides iff it contains >= 2 distinct points), not the
