@@ -60,11 +60,11 @@ NOTES = {
         "exchange on i + one Arrow pass, no joins."
     ),
     "tfidf_cosine_pairs": (
-        "Prefix-filtered AllPairs: the 16 broadcast joins are the tiny "
-        "idf/doc-frequency side tables; the candidate and verification "
-        "joins are shuffle hash joins on term — at real scale AQE keeps "
-        "the idf side broadcast while candidate joins shuffle, and the "
-        "prefix filter bounds the hot-term blow-up."
+        "Prefix-filtered AllPairs: candidate and verification joins are "
+        "shuffle hash joins on term; the idf/doc-frequency side tables "
+        "are NOT force-broadcast (vocabulary size is unbounded at corpus "
+        "scale) — AQE broadcasts them at runtime when they are actually "
+        "small. The prefix filter bounds the hot-term blow-up."
     ),
     "ngram_jaccard_pairs": (
         "Same AllPairs shape over int64-hashed shingles; document-"

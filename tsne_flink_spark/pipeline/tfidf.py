@@ -64,7 +64,10 @@ def tf_idf(
         F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df")))
         + F.lit(1.0),
     )
-    return tf.join(F.broadcast(idf), "term").select(
+    # no forced broadcast: the idf table is one row per DISTINCT TERM, which
+    # is unbounded at corpus scale (web-scale vocabularies reach 10^8 terms).
+    # AQE broadcasts it at runtime whenever it is actually small.
+    return tf.join(idf, "term").select(
         id_col, "term", "tf", "idf", (F.col("tf") * F.col("idf")).alias("tfidf")
     )
 
