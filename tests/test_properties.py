@@ -81,11 +81,18 @@ def test_quadtree_barnes_hut_close_to_exact():
 
 
 def test_quadtree_coincident_points():
-    """Coincident points accumulate in one leaf (QuadTree.scala:50-52); a
-    bit-equal query point contributes nothing from its own leaf; and — a
-    reference quirk faithfully replicated — when a coincident leaf is later
-    subdivided, its point is re-seated ONCE (insertIntoSubTree(leafPoint),
-    QuadTree.scala:59), so the duplicate's mass is dropped from the subtree.
+    """Coincident points accumulate in one leaf (QuadTree.scala:50-52), and a
+    bit-equal query point contributes nothing from its own leaf
+    (QuadTree.scala:128).
+
+    DOCUMENTED DIVERGENCE (round 2): when a coincident leaf is later
+    subdivided, the reference re-seats its point ONCE
+    (insertIntoSubTree(leafPoint), QuadTree.scala:59), silently dropping the
+    duplicates' mass from the subtree — an insertion-ORDER-dependent data
+    loss that no order-independent distributed build can reproduce (whether
+    mass is lost would depend on how points were partitioned).  The engine
+    instead re-seats the full accumulated weight, so sequential, merged, and
+    distributed builds agree exactly and no mass is lost.
     """
     from tsne_flink_spark.operators.quadtree import build_quadtree
 
@@ -95,9 +102,9 @@ def test_quadtree_coincident_points():
     # query (0,0): its own leaf is skipped — only (1,1) contributes
     q = 1.0 / (1.0 + 2.0)
     assert sumq[0] == pytest.approx(q)
-    # query (1,1): the (0,0) leaf contributes with cumSize 1, not 2 — the
-    # coincident multiplicity was lost at subdivision (reference behavior)
-    assert sumq[2] == pytest.approx(q)
+    # query (1,1): the (0,0) leaf contributes BOTH coincident copies
+    # (cumSize 2 — the reference would have dropped one at subdivision)
+    assert sumq[2] == pytest.approx(2 * q)
 
 
 def test_morton_key_orders_like_zorder():

@@ -101,6 +101,39 @@ def test_merge_with_coincident_points():
     assert leaf_cums == [3, 3, 3]
 
 
+def test_sequential_split_reseats_full_coincident_weight():
+    """Regression: insert p, a bit-equal copy of p, THEN a near point r —
+    the split below must carry BOTH copies of p (cum=2), matching the
+    structural merge's weighting (found by round-2 review: the old insert
+    re-seated weight 1, undercounting cum/sx/sy along the split chain)."""
+    p = (0.25, 0.25)
+    r = (0.25 + 1e-9, 0.25)
+    seq = QuadTree(0.0, 0.0, 1.0)
+    for x, y in [p, p, r]:
+        assert seq.insert(x, y)
+    # merged variant: copies of p in one tree, r in another
+    t1 = QuadTree(0.0, 0.0, 1.0)
+    t1.insert(*p); t1.insert(*p)
+    t2 = QuadTree(0.0, 0.0, 1.0)
+    t2.insert(*r)
+    merged = merge_quadtrees(t1, t2)
+    _assert_equivalent(seq, merged, tol=1e-12)
+    # p's leaf carries both copies in BOTH trees
+    for tree in (seq, merged):
+        leaf_cums = sorted(
+            int(tree.cum[n])
+            for n in range(tree.n_nodes)
+            if tree.children[n, 0] == -1 and tree.has_point[n]
+        )
+        assert leaf_cums == [1, 2]
+    # forces agree between sequential and merged trees on this data
+    Y = np.array([p, p, r])
+    f1, q1 = seq.repulsive_forces(Y, 0.5, condition="scaled")
+    f2, q2 = merged.repulsive_forces(Y, 0.5, condition="scaled")
+    np.testing.assert_allclose(f1, f2, rtol=1e-12)
+    np.testing.assert_allclose(q1, q2, rtol=1e-12)
+
+
 def test_distributed_build_matches_driver(spark):
     rng = np.random.default_rng(3)
     Y = rng.normal(0, 2, (300, 2))

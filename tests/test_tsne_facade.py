@@ -81,3 +81,31 @@ def test_execution_plan_runs_no_job(spark, tmp_path):
     text = plan_file.read_text()
     assert "Physical Plan" in text or "AdaptiveSparkPlan" in text
     assert not out_dir.exists()  # pipeline did not run, nothing was written
+
+
+def test_execution_plan_project_knn_runs_no_job(spark, tmp_path):
+    """Plan-only must also be job-free for knn_method=project (stub bounds +
+    placeholder rank; zipWithIndex would otherwise submit jobs at plan
+    CONSTRUCTION time — round-2 review finding)."""
+    import numpy as np
+
+    from tsne_flink_spark.cli import main
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(0, 1, (12, 4))
+    csv = tmp_path / "pts.csv"
+    csv.write_text(
+        "".join(f"{i},{j},{X[i, j]}\n" for i in range(12) for j in range(4))
+    )
+    plan_file = tmp_path / "plan.txt"
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None))
+    main([
+        "--input", str(csv), "--output", str(tmp_path / "out"),
+        "--dimension", "4", "--knnMethod", "project", "--neighbors", "5",
+        "--perplexity", "3", "--iterations", "5", "--theta", "0.25",
+        "--executionPlan", str(plan_file),
+    ])
+    assert len(tracker.getJobIdsForGroup(None)) == jobs_before
+    assert plan_file.exists()
+    assert not (tmp_path / "out").exists()

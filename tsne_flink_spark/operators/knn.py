@@ -263,16 +263,25 @@ def _global_rank_by(df: DataFrame, order_col: str) -> DataFrame:
     return df.sparkSession.createDataFrame(ranked, schema)
 
 
-def _zorder_candidates(points: DataFrame, k: int) -> DataFrame:
+def _zorder_candidates(points: DataFrame, k: int, stub_rank: bool = False) -> DataFrame:
     """Candidate pairs: each point with its +-k neighbors in z-order rank.
 
     Parallel reformulation of findPossibleNeighbors
     (TsneHelpers.scala:136-160): rank by Morton key, then a bucketed
     equi-join (bucket size k+1; each row joins buckets {b-1, b, b+1})
     filtered to 1 <= |rank_a - rank_b| <= k.  Emits candidate (i, j) pairs.
+
+    ``stub_rank`` substitutes a lazy placeholder rank (plan-only mode —
+    ``zipWithIndex`` submits jobs at construction time, which plan dumping
+    must not).
     """
     ranked = points.select("id", "__z")
-    ranked = _global_rank_by(ranked, "__z").drop("__z")
+    if stub_rank:
+        ranked = ranked.withColumn(
+            "__rank", F.monotonically_increasing_id()
+        ).drop("__z")
+    else:
+        ranked = _global_rank_by(ranked, "__z").drop("__z")
 
     bucket = (F.col("__rank") / F.lit(k + 1)).cast("long")
     a = ranked.select(
@@ -323,6 +332,7 @@ def project_knn(
     seed: int = 0,
     proj_dims: int | None = None,
     window: int | None = None,
+    _plan_stub: bool = False,
 ) -> DataFrame:
     """Approximate kNN via z-order sorts over random low-dim projections.
 
@@ -341,13 +351,21 @@ def project_knn(
     parity).
     """
     spark = points.sparkSession
-    head = points.select("features").head()
-    if head is None:  # empty input: no bounds to probe, no neighbors to emit
-        from tsne_flink_spark.schemas import COO
+    if _plan_stub:
+        # plan-only mode (TSNE.plan): no data probes, no bounds jobs, lazy
+        # placeholder rank — the dumped plan stands in for the executed one
+        # everywhere except the rank exchange (zipWithIndex is inherently
+        # eager, so the true rank cannot appear in an unexecuted plan)
+        if dimension is None:
+            raise ValueError("plan-stub mode requires dimension")
+    else:
+        head = points.select("features").head()
+        if head is None:  # empty input: no bounds, no neighbors to emit
+            from tsne_flink_spark.schemas import COO
 
-        return spark.createDataFrame([], COO)
-    if dimension is None:
-        dimension = len(head["features"])
+            return spark.createDataFrame([], COO)
+        if dimension is None:
+            dimension = len(head["features"])
     if proj_dims is None:
         proj_dims = min(dimension, 5)
     if window is None:
@@ -356,7 +374,11 @@ def project_knn(
     rng = np.random.default_rng(seed)
     candidate_sets = []
     if dimension <= proj_dims:
-        mins, maxs = _feature_bounds(points, dimension)
+        if _plan_stub:
+            mins = np.zeros(dimension)
+            maxs = np.ones(dimension)
+        else:
+            mins, maxs = _feature_bounds(points, dimension)
         span = maxs - mins
         shifts = [None] + [
             rng.uniform(0.0, 1.0, size=dimension) * span
@@ -379,14 +401,29 @@ def project_knn(
                     F.zip_with("features", arr, lambda a, b: a + b).alias("features"),
                 )
             keyed = morton_key(shifted, grid_mins, grid_maxs)
-            candidate_sets.append(_zorder_candidates(keyed, window))
+            candidate_sets.append(
+                _zorder_candidates(keyed, window, stub_rank=_plan_stub)
+            )
     else:
+        from pyspark.storagelevel import StorageLevel
+
         for _ in range(max(iterations, 1)):
             R = rng.normal(size=(dimension, proj_dims))
             projected = _project(points, R)
-            pmins, pmaxs = _feature_bounds(projected, proj_dims)
+            if _plan_stub:
+                pmins = np.zeros(proj_dims)
+                pmaxs = np.ones(proj_dims)
+            else:
+                # persisted: the projection GEMM otherwise re-evaluates for
+                # the bounds scan AND the rank shuffle (>= 2x per pass).
+                # Cached blocks are reclaimed by LRU / clearCache, as with
+                # the other per-call persists in this package.
+                projected = projected.persist(StorageLevel.MEMORY_AND_DISK)
+                pmins, pmaxs = _feature_bounds(projected, proj_dims)
             keyed = morton_key(projected, pmins, pmaxs)
-            candidate_sets.append(_zorder_candidates(keyed, window))
+            candidate_sets.append(
+                _zorder_candidates(keyed, window, stub_rank=_plan_stub)
+            )
 
     candidates = candidate_sets[0]
     for c in candidate_sets[1:]:

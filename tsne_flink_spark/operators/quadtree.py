@@ -5,7 +5,13 @@ including its quirks, so that theta=0 degenerates to the exact gradient and
 golden tests match:
 
 - node capacity 1; coincident (bit-equal) points accumulate in one leaf
-  (QuadTree.scala:50-63).
+  (QuadTree.scala:50-63).  DOCUMENTED DIVERGENCE: when such a leaf later
+  splits, the reference re-seats its point once (QuadTree.scala:59),
+  dropping the duplicates' mass insertion-ORDER-dependently — behavior no
+  order-independent distributed build can reproduce.  This engine re-seats
+  the full accumulated weight, so sequential, merged, and distributed
+  builds agree exactly and no mass is lost
+  (tests/test_properties.py::test_quadtree_coincident_points).
 - ``subDivide`` uses hWidth for BOTH child half-dimensions
   (QuadTree.scala:80-81) — safe because the root is square (quirk Q2).
 - summary condition ``max(hHeight, hWidth) / D < theta`` with D the *squared*
@@ -123,15 +129,23 @@ class QuadTree:
                     return True
                 if self.px[node] == x and self.py[node] == y:
                     return True  # coincident: accumulate in this leaf
+                # re-seat the old leaf point one level down with its FULL
+                # accumulated weight: the leaf may hold w >= 2 bit-equal
+                # copies (cum/sx/sy below exclude the new point added at
+                # the top of this loop iteration).  Re-seating weight 1
+                # here undercounted cum/sx/sy along the split chain for
+                # coincident-point data, making sequentially built trees
+                # disagree with the (correct-weight) structural merge.
                 ox, oy = self.px[node], self.py[node]
+                ow = int(self.cum[node]) - 1
+                osx = self.sx[node] - x
+                osy = self.sy[node] - y
                 self._subdivide(node)
                 self.has_point[node] = False
-                # re-seat the old leaf point one level down (children are
-                # fresh leaves, so this is O(1))
                 oc = self._child_for(node, ox, oy)
-                self.sx[oc] += ox
-                self.sy[oc] += oy
-                self.cum[oc] += 1
+                self.sx[oc] += osx
+                self.sy[oc] += osy
+                self.cum[oc] += ow
                 self.has_point[oc] = True
                 self.px[oc], self.py[oc] = ox, oy
             nxt = self._child_for(node, x, y)
@@ -140,6 +154,12 @@ class QuadTree:
             node = nxt
         # depth guard: treat as coincident with the leaf reached
         return True
+
+    def __getstate__(self):
+        # serialize compact: _grow leaves up to 2x slack capacity, which
+        # would otherwise ship in every treeReduce hop and tree broadcast
+        self.trim()
+        return self.__dict__
 
     def trim(self) -> "QuadTree":
         """Shrink backing arrays to ``n_nodes`` (before serialization)."""
@@ -161,9 +181,9 @@ class QuadTree:
         Used by the structural merge: a leaf of the other tree may hold
         multiple bit-equal points, carried here as one weighted insert.  When
         an occupied leaf must split, the OLD point is re-seated with its full
-        accumulated leaf weight (the sequential ``insert`` only ever re-seats
-        weight 1 because coincident copies can't be followed by a split in
-        one sequential pass per partition).
+        accumulated leaf weight — the same rule the sequential ``insert``
+        applies (a leaf can hold w >= 2 coincident copies before a distinct
+        point arrives and splits it).
         """
         node = start
         for _ in range(_MAX_DEPTH):

@@ -497,6 +497,12 @@ def _hyperplane_band_assign(df, alias: str, id_type: str, planes, bands: int):
     import pandas as pd
 
     num_planes = len(planes)
+    if bands < 1 or num_planes % bands != 0:
+        # a silent remainder would weaken the LSH (planes dropped), and
+        # bands > num_planes would make every bucket 0 — an all-pairs join
+        raise ValueError(
+            f"bands ({bands}) must divide num_planes ({num_planes})"
+        )
     rpb = num_planes // bands
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -242,6 +242,10 @@ def ivf_top_k(
 
     import pandas as pd
 
+    # one full count() per call: needed for the sqrt(N) list sizing AND the
+    # uniform sampling fraction (any exact uniform sample needs N).  It is a
+    # single column-pruned scan, amortized by the heavier assignment pass an
+    # IVF build pays anyway.
     n_corpus = corpus.count()
     if n_lists is None:
         n_lists = max(4, min(4096, int(np.sqrt(max(n_corpus, 1)))))

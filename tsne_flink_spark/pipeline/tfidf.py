@@ -123,7 +123,10 @@ def tfidf_cosine_pairs(
     scored = tf_idf(docs, text_col, id_col).select(
         F.col(id_col).alias("doc"), "term", "tfidf", "idf"
     )
-    scored.persist()  # reused 4x below (prefix, candidates, both dot sides)
+    # persisted: reused 4x below (prefix, candidates, both dot sides).  The
+    # cache lives until LRU eviction or spark.catalog.clearCache() — there is
+    # no safe in-function unpersist point for a lazily returned DataFrame.
+    scored.persist()
 
     # prefix selection on NORMALIZED squared mass, windowed per doc:
     # keep term iff (totsq - cumsq_before) >= t^2 * totsq  (FP slack so a

@@ -126,10 +126,11 @@ class TSNE:
         update -> center step.  The driver loop's per-iteration
         ``materialize()`` is deliberately absent, and the Barnes-Hut stage is
         planned against a stub broadcast tree, so nothing here triggers an
-        action.  With ``knn_method="bruteforce"``/``"partition"`` and
-        ``dimension`` set, plan construction runs ZERO Spark jobs;
-        ``"project"`` still probes feature bounds (a small aggregate job) to
-        place its shift literals.
+        action.  With ``dimension`` set, plan construction runs ZERO Spark
+        jobs for every knn_method: ``"project"`` is planned in stub mode
+        (placeholder quantization bounds and a lazy placeholder rank column
+        standing in for the zipWithIndex exchange, which is inherently eager
+        and so cannot appear in an unexecuted plan).
         """
         from tsne_flink_spark.operators.gradient import gradient
         from tsne_flink_spark.operators.embedding import (
@@ -140,7 +141,20 @@ class TSNE:
         if (points is None) == (distances is None):
             raise ValueError("provide exactly one of points= or distances=")
 
-        knn = distances if distances is not None else self._knn(points)
+        if distances is not None:
+            knn = distances
+        elif self.knn_method == "project":
+            knn = project_knn(
+                points,
+                self._k,
+                self.metric,
+                dimension=self.dimension,
+                iterations=self.knn_iterations,
+                seed=self.random_state,
+                _plan_stub=True,
+            )
+        else:
+            knn = self._knn(points)
         p_cond = pairwise_affinities(knn, self.perplexity)
         p_joint = joint_distribution(p_cond)
         ids = (points if points is not None else p_joint.select(
