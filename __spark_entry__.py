@@ -411,6 +411,20 @@ def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace tokens and the BPE-ish sub-word
+    count (alnum runs + non-space punctuation chars) — the cheap stand-in a
+    training-data pipeline uses when only a budget estimate is needed."""
+    from tsne_flink_spark.pipeline.text import bpe_ish_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: heuristic prose-likeness in [0,1] plus
     sub-word-ish (BPE stand-in) token counts — all codegen Column math."""
@@ -629,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": q_event_rollup,
         "event_order_asof": q_event_order_asof,
         "session_overlap": q_session_overlap,
+        "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "multimodal_features": q_multimodal_features,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1036,6 +1051,13 @@ SELECT user_id,
        COUNT(*)::BIGINT AS n_events,
        round(SUM(value), 4) AS sum_value
 FROM events GROUP BY user_id ORDER BY user_id
+""",
+        "token_counts": """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,
+       (len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+        + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')))::BIGINT AS n_bpe_tokens
+FROM documents
 """,
         "quality_scores": """
 WITH toks AS (

@@ -208,6 +208,60 @@ def test_sessionize_streaming_e2e(spark, tmp_path):
     assert (1, 2, 3.0) in got and (1, 1, 3.0) in got and (2, 2, 12.0) in got
 
 
+def test_stream_stream_interval_join_e2e(spark, tmp_path):
+    """Watermarked stream-stream interval join through real micro-batches:
+    both sides are file streams, the time-bound condition keeps state
+    finite, and the joined output matches the batch-mode result."""
+    import datetime as dt
+
+    from tsne_flink_spark.streaming.events import stream_stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    lschema = "l_id bigint, ts timestamp, key bigint"
+    rschema = "r_id bigint, rts timestamp, key bigint"
+    lrows = [(1, at(0), 7), (2, at(30), 7), (3, at(0), 8), (99, at(6000), 0)]
+    rrows = [(10, at(5), 7), (11, at(50), 7), (12, at(200), 7),
+             (13, at(10), 8), (98, at(6000), 0)]
+    ldf = spark.createDataFrame(lrows, lschema)
+    rdf = spark.createDataFrame(rrows, rschema)
+    lpath, rpath = tmp_path / "l", tmp_path / "r"
+    ldf.coalesce(1).write.parquet(str(lpath))
+    rdf.coalesce(1).write.parquet(str(rpath))
+
+    lstream = spark.readStream.schema(lschema).parquet(str(lpath))
+    rstream = spark.readStream.schema(rschema).parquet(str(rpath))
+    joined = stream_stream_interval_join(
+        lstream, rstream, on="key", lower="0 seconds", upper="1 hour"
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in spark.sql("select * from ssj where l_id < 99").collect()
+    }
+    batch = {
+        (r["l_id"], r["r_id"])
+        for r in stream_stream_interval_join(
+            ldf, rdf, on="key", lower="0 seconds", upper="1 hour"
+        ).where("l_id < 99").collect()
+    }
+    # l1 matches r10+r11 (within +1h), l2 matches r11 (50 >= 30), l3 -> r13
+    assert batch == {(1, 10), (1, 11), (2, 11), (3, 13)}
+    assert got == batch
+
+
 def test_as_of_join(spark):
     import datetime as dt
 

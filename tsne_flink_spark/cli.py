@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Barnes-Hut summary condition: 'reference' replicates "
                         "the reference's non-scale-invariant test (quirk Q2); "
                         "'scaled' is canonical scale-invariant Barnes-Hut")
+    p.add_argument("--treeBuild", choices=["distributed", "driver"],
+                   default="distributed",
+                   help="Barnes-Hut quadtree build: 'distributed' merges "
+                        "per-partition subtrees executor-side (no per-"
+                        "iteration driver collect); 'driver' is the legacy "
+                        "collect-and-build path")
     # the reference documents --lossFile but reads key "loss" (quirk Q5):
     # accept both spellings.
     p.add_argument("--lossFile", "--loss", dest="loss_file", default="loss.txt")
@@ -86,6 +92,7 @@ def main(argv: list[str] | None = None) -> None:
         final_momentum=args.finalMomentum,
         theta=args.theta,
         bh_condition=args.bhCondition,
+        tree_build=args.treeBuild,
         knn_method=args.knnMethod,
         knn_iterations=args.knnIterations,
         knn_blocks=args.knnBlocks,

@@ -191,6 +191,36 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "rts",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on ``on`` with an event-time interval
+    condition: right_ts in [left_ts - lower... left_ts + upper] — i.e.
+    ``left_ts - lower <= right_ts <= left_ts + upper``.
+
+    Streaming: BOTH sides are watermarked, and the interval condition bounds
+    the join state Spark must keep (without a time bound a stream-stream
+    join's state grows forever; with it, rows age out as the watermark
+    passes ``upper``).  Batch: the same code degrades to an ordinary
+    equi-join + range filter, so one call site serves both modes.
+    """
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lower}"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond).drop(rw[on])
+
+
 def stream_events_from_files(
     spark, path: str, schema: str = (
         "event_id bigint, ts timestamp, user_id bigint, "
