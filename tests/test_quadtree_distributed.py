@@ -134,6 +134,44 @@ def test_sequential_split_reseats_full_coincident_weight():
     np.testing.assert_allclose(q1, q2, rtol=1e-12)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=120),
+        dup_every=st.integers(min_value=2, max_value=6),
+        n_blocks=st.integers(min_value=1, max_value=9),
+        seed=st.integers(min_value=0, max_value=10_000),
+    )
+    def test_merge_equivalence_property(n, dup_every, n_blocks, seed):
+        """For ANY point set (including bit-equal duplicates and coincident
+        splits) and ANY partitioning, merged partition trees must equal the
+        sequential build: same cells, same integer masses, same points."""
+        rng = np.random.default_rng(seed)
+        Y = rng.normal(0, 2, (n, 2))
+        Y[::dup_every] = Y[0]  # inject coincident copies
+        perm = rng.permutation(n)
+        half = max(Y[:, 0].ptp(), Y[:, 1].ptp()) or 1.0
+        seq = QuadTree(0.0, 0.0, half)
+        for x, y in Y:
+            seq.insert(float(x), float(y))
+        parts = []
+        for blk in np.array_split(perm, min(n_blocks, n)):
+            t = QuadTree(0.0, 0.0, half)
+            for i in blk:
+                t.insert(float(Y[i, 0]), float(Y[i, 1]))
+            parts.append(t)
+        merged = parts[0]
+        for t in parts[1:]:
+            merged = merge_quadtrees(merged, t)
+        assert merged.cum[0] == seq.cum[0]
+        _assert_equivalent(merged, seq, tol=1e-9)
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
+
+
 def test_distributed_build_matches_driver(spark):
     rng = np.random.default_rng(3)
     Y = rng.normal(0, 2, (300, 2))
