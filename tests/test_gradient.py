@@ -128,3 +128,17 @@ def test_loss_decreases(spark):
     assert len(sink) == 2  # iterations 10, 20
     losses = [loss for _, loss in sorted(sink)]
     assert losses[-1] <= losses[0]
+
+
+def test_tree_build_validation(spark):
+    """Unknown tree_build strings error instead of silently falling back to
+    the distributed build (the CLI is choice-restricted; the API is not)."""
+    import pytest
+
+    from tsne_flink_spark.operators.gradient import _repulsive_barnes_hut
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], "id int, y array<double>"
+    )
+    with pytest.raises(ValueError, match="tree_build"):
+        _repulsive_barnes_hut(emb, theta=0.5, n_components=2, tree_build="drivers")

@@ -182,6 +182,21 @@ def test_ivf_top_k_shapes(spark):
     assert len(by_q) >= 40  # nearly every query got candidates
 
 
+def test_ivf_top_k_n_corpus_hint(spark):
+    """A caller-supplied n_corpus skips the count scan and yields the same
+    result as the counted path (the count only sizes lists/sampling)."""
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.similarity import ivf_top_k
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(0, 1, 8).tolist()) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    counted = ivf_top_k(emb, emb, 2, n_lists=4, n_probe=2).collect()
+    hinted = ivf_top_k(emb, emb, 2, n_lists=4, n_probe=2, n_corpus=50).collect()
+    assert sorted(map(tuple, counted)) == sorted(map(tuple, hinted))
+
+
 def test_ivf_top_k_recall(spark):
     import numpy as np
 

@@ -7,6 +7,13 @@ Public API mirrors the reference's ``TsneHelpers`` surface
 snake_cased, plus a ``TSNE`` estimator facade and large-scale data-pipeline
 operators (dedup, similarity search, text analysis, multimodal) that the
 reference does not have.
+
+Cache lifetime: some operators (``tfidf_cosine_pairs``, ``minhash_lsh_dedup``,
+``ngram_jaccard_pairs``, ``project_knn``) ``persist()`` an intermediate that
+is consumed several times by the lazily returned DataFrame; there is no safe
+in-function unpersist point, so the blocks live until LRU eviction.
+Long-lived sessions issuing many such calls should run
+``spark.catalog.clearCache()`` between batches of work.
 """
 
 from tsne_flink_spark.operators.knn import (

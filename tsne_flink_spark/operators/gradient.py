@@ -87,6 +87,11 @@ def _repulsive_barnes_hut(
     """
     if n_components != 2:
         raise ValueError("Barnes-Hut path supports n_components=2 (quadtree)")
+    if tree_build not in ("driver", "stub", "distributed"):
+        raise ValueError(
+            f"tree_build must be one of 'driver', 'stub', 'distributed'; "
+            f"got {tree_build!r}"
+        )
     if tree_build == "driver":
         rows = embedding.select("id", "y").collect()
         Y = np.array([r["y"] for r in rows], dtype=np.float64)

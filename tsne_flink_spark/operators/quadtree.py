@@ -143,11 +143,12 @@ class QuadTree:
                 self._subdivide(node)
                 self.has_point[node] = False
                 oc = self._child_for(node, ox, oy)
-                self.sx[oc] += osx
-                self.sy[oc] += osy
-                self.cum[oc] += ow
-                self.has_point[oc] = True
-                self.px[oc], self.py[oc] = ox, oy
+                if oc >= 0:  # 1-ulp FP edge: skip re-seat, keep aggregates
+                    self.sx[oc] += osx
+                    self.sy[oc] += osy
+                    self.cum[oc] += ow
+                    self.has_point[oc] = True
+                    self.px[oc], self.py[oc] = ox, oy
             nxt = self._child_for(node, x, y)
             if nxt == -1:
                 return False
@@ -204,11 +205,12 @@ class QuadTree:
                 self._subdivide(node)
                 self.has_point[node] = False
                 oc = self._child_for(node, ox, oy)
-                self.sx[oc] += osx
-                self.sy[oc] += osy
-                self.cum[oc] += ow
-                self.has_point[oc] = True
-                self.px[oc], self.py[oc] = ox, oy
+                if oc >= 0:  # mirror the vectorized `oc >= 0` guard
+                    self.sx[oc] += osx
+                    self.sy[oc] += osy
+                    self.cum[oc] += ow
+                    self.has_point[oc] = True
+                    self.px[oc], self.py[oc] = ox, oy
             nxt = self._child_for(node, x, y)
             if nxt == -1:
                 return
@@ -557,11 +559,12 @@ def merge_quadtrees_scalar(a: QuadTree, b: QuadTree) -> QuadTree:
                 ox, oy = float(a.px[na]), float(a.py[na])
                 a.has_point[na] = False
                 oc = a._child_for(na, ox, oy)
-                a.sx[oc] += sx
-                a.sy[oc] += sy
-                a.cum[oc] += cum
-                a.has_point[oc] = True
-                a.px[oc], a.py[oc] = ox, oy
+                if oc >= 0:  # mirror the vectorized `oc >= 0` guard
+                    a.sx[oc] += sx
+                    a.sy[oc] += sy
+                    a.cum[oc] += cum
+                    a.has_point[oc] = True
+                    a.px[oc], a.py[oc] = ox, oy
             stack.append((na, nb))
             continue
         # both internal: fold b's subtree stats in, pair up children

@@ -42,7 +42,11 @@ def _interval_seconds(literal: str) -> int:
     for qty, unit in re.findall(r"([+-]?\d+)\s*([a-zA-Z]+)", literal):
         unit = unit.lower().rstrip("s")
         if unit not in _UNIT_SECONDS:
-            raise ValueError(f"unsupported interval unit {unit!r} in {literal!r}")
+            raise ValueError(
+                f"unsupported interval unit {unit!r} in {literal!r}; "
+                f"allowed units: {', '.join(_UNIT_SECONDS)} "
+                "(sub-second and calendar units are not supported)"
+            )
         total += int(qty) * _UNIT_SECONDS[unit]
         matched = True
     if not matched or total <= 0:
@@ -62,8 +66,12 @@ def range_join(
     """Inner-join each point row to every interval row with
     ``start <= ts < end`` (and equal ``on`` key when given).
 
-    Output: all point columns + all interval columns.  ``bucket_width`` is a
-    SQL interval literal (e.g. ``'1 day'``, ``'6 hours'``).
+    Output: all point columns + all interval columns.  ``bucket_width`` is
+    an interval literal combining the units week/day/hour/minute/second
+    (e.g. ``'1 day'``, ``'6 hours'``, ``'1 hour 30 minutes'``), parsed
+    driver-side to whole seconds (see ``_interval_seconds``; sub-second and
+    calendar units — month, year — are rejected with ``ValueError`` because
+    bucketing is fixed-width whole-second arithmetic).
     """
     sec = F.unix_timestamp
 

@@ -221,6 +221,9 @@ def minhash_lsh_dedup(
     Connected components are approximated by one representative hop
     (b removed when a<b are dups) — the standard single-pass policy.
     ``bands`` defaults to the S-curve-matched count for ``threshold``.
+
+    Caches an intermediate shingle table for the call's lifetime (reclaimed
+    by LRU or ``spark.catalog.clearCache()`` — see the package docstring).
     """
     if bands is None:
         bands = _auto_bands(num_hashes, threshold)
@@ -410,6 +413,9 @@ def ngram_jaccard_pairs(
     Shuffle profile: O(sum_shingle df_prefix * df) candidate join +
     O(candidates) verification — sub-quadratic on hot shingles; ubiquitous
     shingles sort last and rarely enter any prefix.
+
+    Caches an intermediate shingle table for the call's lifetime (reclaimed
+    by LRU or ``spark.catalog.clearCache()`` — see the package docstring).
     """
     # spread the raw rows first: the shingle projection is regex-heavy and
     # interpreted; it must run above the exchange, across all cores, in every

@@ -226,8 +226,15 @@ def ivf_top_k(
     n_lists: int | None = None,
     n_probe: int = 4,
     seed: int = 42,
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k.
+
+    ``n_corpus``: caller-supplied corpus row count.  When given, the
+    per-call ``corpus.count()`` scan is skipped — useful when issuing many
+    queries against one corpus whose size is already known (the count only
+    sizes ``n_lists`` and the sampling fraction, so a stale-but-close value
+    is harmless).
 
     Coarse centroids come from a seeded uniform ``sample`` of the corpus
     (``limit`` would take the first-scanned rows — on sorted or
@@ -242,11 +249,12 @@ def ivf_top_k(
 
     import pandas as pd
 
-    # one full count() per call: needed for the sqrt(N) list sizing AND the
-    # uniform sampling fraction (any exact uniform sample needs N).  It is a
-    # single column-pruned scan, amortized by the heavier assignment pass an
+    # the count feeds the sqrt(N) list sizing AND the uniform sampling
+    # fraction (any exact uniform sample needs N).  Without a caller hint it
+    # is one column-pruned scan, amortized by the heavier assignment pass an
     # IVF build pays anyway.
-    n_corpus = corpus.count()
+    if n_corpus is None:
+        n_corpus = corpus.count()
     if n_lists is None:
         n_lists = max(4, min(4096, int(np.sqrt(max(n_corpus, 1)))))
     target = max(n_lists * 20, 200)

@@ -119,6 +119,9 @@ def tfidf_cosine_pairs(
     threshold prunes, degrading gracefully to the naive join at t = 0.
     The per-doc norm attachment is a plain shuffle join (norms has one row
     per document — broadcasting it would be O(N_docs) driver state).
+
+    Caches the scored-terms table for the call's lifetime (reclaimed by LRU
+    or ``spark.catalog.clearCache()`` — see the package docstring).
     """
     scored = tf_idf(docs, text_col, id_col).select(
         F.col(id_col).alias("doc"), "term", "tfidf", "idf"
