@@ -70,4 +70,63 @@ def test_events_loader(spark):
         pytest.skip("testdata not present")
     ev = load_events(spark, sf)
     row = ev.select("ts").head()
-    assert row["ts"].year >= 2020  # nanos converted to a plausible timestamp
+    assert row["ts"].year >= 2020  # unit detected, timestamp plausible
+
+
+def _write_events_parquet(tmp_path, unit):
+    """Write a tiny events table with ts encoded in the given unit
+    ('ns'/'us'/'ms' timestamp, or 'int64' for an un-annotated raw-nanos
+    column)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    stamps = [base + datetime.timedelta(minutes=m) for m in (0, 5, 90)]
+    if unit == "int64":
+        ts_arr = pa.array(
+            [int(t.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e9) for t in stamps],
+            type=pa.int64(),
+        )
+    else:
+        ts_arr = pa.array(stamps, type=pa.timestamp(unit))
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "ts": ts_arr,
+            "user_id": pa.array([10, 10, 11], type=pa.int64()),
+            "event_type": pa.array(["view", "click", "view"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    sf_dir = tmp_path / f"sf_{unit}"
+    sf_dir.mkdir()
+    pq.write_table(table, str(sf_dir / "events.parquet"))
+    return str(sf_dir)
+
+
+@pytest.mark.parametrize("unit", ["ns", "us", "ms", "int64"])
+def test_events_loader_units(spark, tmp_path, unit):
+    """load_events must decode the same wall-clock instants regardless of the
+    parquet timestamp encoding (the regenerated driver data switched
+    NANOS -> MICROS between rounds; the loader detects the unit from the
+    footer instead of assuming one)."""
+    from tsne_flink_spark.sources.readers import load_events
+
+    sf_dir = _write_events_parquet(tmp_path, unit)
+    rows = load_events(spark, sf_dir).orderBy("event_id").collect()
+    assert [r["event_id"] for r in rows] == [1, 2, 3]
+    stamps = [r["ts"] for r in rows]
+    assert all(t.year == 2024 and t.month == 3 for t in stamps)
+    assert (stamps[1] - stamps[0]).total_seconds() == 300.0
+    assert (stamps[2] - stamps[0]).total_seconds() == 5400.0
+
+
+def test_parquet_ts_unit_detection(tmp_path):
+    from tsne_flink_spark.sources.readers import _parquet_ts_unit
+
+    for unit, expect in [("ns", "ns"), ("us", "us"), ("ms", "ms"), ("int64", None)]:
+        sf_dir = _write_events_parquet(tmp_path, unit)
+        assert _parquet_ts_unit(f"{sf_dir}/events.parquet") == expect

@@ -86,18 +86,59 @@ _EVENTS_DDL = (
 )
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table, tolerating TIMESTAMP(NANOS) parquet columns.
+def _parquet_ts_unit(path: str, column: str = "ts") -> str | None:
+    """Read the physical timestamp unit of ``column`` from the parquet footer.
 
-    Spark's vectorized reader rejects INT64 TIMESTAMP(NANOS); supplying an
-    explicit schema that types ``ts`` as LONG reads the raw nanos without
-    touching session configuration (the previous approach set
-    ``spark.sql.legacy.parquet.nanosAsLong`` session-wide, silently turning
-    every later NANOS column in unrelated reads into LONG).  The nanos are
-    then truncated to a microsecond timestamp, matching DuckDB's read of the
-    same file.
+    Returns ``'ns' | 'us' | 'ms' | 's'`` for timestamp-typed columns, or
+    ``None`` when the column is stored as a plain integer (no logical
+    timestamp annotation).  Footer-only: no row groups are read, so this is
+    O(1) regardless of table size and safe to call per-query at 100 TB.
     """
-    df = spark.read.schema(_EVENTS_DDL).parquet(f"{sf_dir}/events.parquet")
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = sorted(
+            glob.glob(os.path.join(path, "*.parquet"))
+            or glob.glob(os.path.join(path, "part-*"))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        path = parts[0]
+    field_type = pq.ParquetFile(path).schema_arrow.field(column).type
+    return getattr(field_type, "unit", None)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, tolerating any parquet timestamp encoding.
+
+    The ``ts`` column's unit is detected from the parquet footer (cheap,
+    footer-only) rather than assumed:
+
+    - TIMESTAMP(MICROS/MILLIS/SECONDS): plain ``spark.read.parquet`` — Spark
+      decodes these natively and the vectorized reader stays on.
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects INT64
+      TIMESTAMP(NANOS), so an explicit schema typing ``ts`` as LONG reads the
+      raw nanos (without touching session configuration — the earlier
+      approach of setting ``spark.sql.legacy.parquet.nanosAsLong``
+      session-wide silently retyped every later NANOS column in unrelated
+      reads), then truncates to a microsecond timestamp, matching DuckDB's
+      read of the same file.
+    - Plain INT64 with no timestamp annotation: treated as epoch nanoseconds
+      (the only un-annotated encoding the driver has ever produced).
+    """
+    path = f"{sf_dir}/events.parquet"
+    unit = _parquet_ts_unit(path)
+    if unit in ("us", "ms", "s"):
+        # Parquet timestamps without isAdjustedToUTC surface as
+        # TIMESTAMP_NTZ; downstream operators (sessionize's epoch-seconds
+        # lag, the as-of join) expect the classic TIMESTAMP type, so pin it.
+        return spark.read.parquet(path).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+    df = spark.read.schema(_EVENTS_DDL).parquet(path)
     return df.withColumn(
         "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
     )
