@@ -12,10 +12,13 @@ O(N*k) rows shuffled, no O(N) per-task state.  Repulsive forces:
 
 - theta == 0: exact, pure-DataFrame — crossJoin + Column-expression math
   (equals the quadtree degenerate case; used by the golden tests).
-- theta > 0: Barnes-Hut — the N x 2 embedding is collected (16 bytes/point;
-  1M points = 16 MB), the quadtree built on the driver and broadcast, and
-  forces evaluated in a vectorized ``mapInPandas`` (the reference does the
-  same tree broadcast, TsneHelpers.scala:234-264).
+- theta > 0: Barnes-Hut — tree built driver-side or distributed
+  (``tree_build``), broadcast, and forces evaluated in a vectorized
+  ``mapInPandas`` (the reference does the same tree broadcast,
+  TsneHelpers.scala:234-264); or ``tree_build="summary"`` — the 100-TB
+  scale path that replaces the O(N) per-iteration tree broadcast with a
+  depth-capped far-field summary + near-field shuffle (operators/farfield.py,
+  BASELINE.md B14).
 """
 
 from __future__ import annotations
@@ -66,6 +69,161 @@ def _repulsive_exact(embedding: DataFrame, n_components: int) -> DataFrame:
     )
 
 
+def _repulsive_summary(
+    embedding: DataFrame,
+    theta: float,
+    fix_bounds_mean: bool,
+    bh_condition: str,
+    summary_depth: int | None = None,
+) -> DataFrame | None:
+    """Barnes-Hut repulsion WITHOUT the per-iteration O(N) tree broadcast
+    (BASELINE.md B11): broadcast a depth-capped cell-aggregate pyramid
+    (O(4^D) bytes, constant in N) and shuffle each point only to the query
+    blocks within a theta-derived halo.  See operators/farfield.py for the
+    decomposition and its accuracy argument.
+
+    Returns None when the regime calls for the full-tree path instead
+    (degenerate extent, tiny N, or halo ~ grid — e.g. the reference's
+    non-scale-invariant condition on a compressed embedding, which
+    degenerates to exact evaluation by design).
+    """
+    from tsne_flink_spark.operators import farfield
+    from tsne_flink_spark.operators.quadtree import build_quadtree
+
+    spark = embedding.sparkSession
+    b = embedding.agg(
+        F.min(F.col("y")[0]).alias("x0"),
+        F.max(F.col("y")[0]).alias("x1"),
+        F.min(F.col("y")[1]).alias("y0"),
+        F.max(F.col("y")[1]).alias("y1"),
+        F.avg(F.col("y")[0]).alias("mx"),
+        F.avg(F.col("y")[1]).alias("my"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if b is None or b["x0"] is None:
+        return None
+    mx, my = (float(b["mx"]), float(b["my"])) if fix_bounds_mean else (0.0, 0.0)
+    half = max(float(b["x1"] - b["x0"]), float(b["y1"] - b["y0"]))
+    plan = farfield.plan_summary(
+        int(b["n"]), half, theta, bh_condition, mx, my,
+        summary_depth=summary_depth,
+    )
+    if plan is None:
+        return None
+
+    grid, cellw, rc = plan.grid, plan.cellw, plan.rc
+    block, bpa = 1 << plan.block_bits, plan.blocks_per_axis
+    x_origin, y_origin = mx - half, my - half
+
+    def cell_ix(col: str, origin: float):
+        return F.least(
+            F.greatest(F.floor((F.col(col) - F.lit(origin)) / F.lit(cellw)),
+                       F.lit(0)),
+            F.lit(grid - 1),
+        ).cast("long")
+
+    pts = embedding.select(
+        "id", F.col("y")[0].alias("px"), F.col("y")[1].alias("py")
+    ).withColumn("ix", cell_ix("px", x_origin)).withColumn(
+        "iy", cell_ix("py", y_origin)
+    )
+
+    # mass side: replicate the full-tree root containment (insert drops
+    # points outside the root cell — reference behavior)
+    mass = pts.where(
+        (F.abs(F.col("px") - F.lit(mx)) <= F.lit(half))
+        & (F.abs(F.col("py") - F.lit(my)) <= F.lit(half))
+    )
+
+    # depth-D cell aggregates -> driver (bounded by 4^D rows) -> pyramid
+    agg = (
+        mass.groupBy((F.col("ix") * grid + F.col("iy")).alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("cum"),
+            F.sum("px").alias("sx"),
+            F.sum("py").alias("sy"),
+        )
+        .toPandas()
+    )
+    levels = farfield.build_pyramid(
+        agg["cell"].to_numpy(np.int64),
+        agg["cum"].to_numpy(np.int64),
+        agg["sx"].to_numpy(np.float64),
+        agg["sy"].to_numpy(np.float64),
+        plan,
+    )
+    bc = spark.sparkContext.broadcast(levels)
+
+    qdf = pts.withColumn(
+        "bkey",
+        (F.shiftright(F.col("ix"), plan.block_bits) * bpa
+         + F.shiftright(F.col("iy"), plan.block_bits)),
+    ).select("id", "px", "py", "bkey")
+
+    # near-field shipping: a point in cell (ix, iy) is essential for every
+    # block whose halo rectangle [block*b - rc, block*b + block-1 + rc]
+    # contains the cell — a 1-4 block range per axis for typical rc
+    def block_range(col: str):
+        lo = F.greatest(
+            F.floor((F.col(col) - F.lit(rc)) / F.lit(float(block))), F.lit(0)
+        ).cast("long")
+        hi = F.least(
+            F.floor((F.col(col) + F.lit(rc)) / F.lit(float(block))),
+            F.lit(bpa - 1),
+        ).cast("long")
+        return F.sequence(lo, hi)
+
+    # NOTE: the point side shares lineage with qdf; same-name attributes on
+    # both cogroup sides get silently deduplicated away (observed: the right
+    # side arrives with only the grouping key), so alias to distinct names
+    pmass = (
+        mass.withColumn("bx", F.explode(block_range("ix")))
+        .withColumn("by", F.explode(block_range("iy")))
+        .select(
+            F.col("px").alias("nx"),
+            F.col("py").alias("ny"),
+            (F.col("bx") * bpa + F.col("by")).alias("nbkey"),
+        )
+    )
+
+    def eval_block(key, qpdf: pd.DataFrame, ppdf: pd.DataFrame):
+        if not len(qpdf):
+            return pd.DataFrame(
+                {"id": pd.Series([], dtype="int64"),
+                 "rep": pd.Series([], dtype=object),
+                 "sumq": pd.Series([], dtype="float64")}
+            )
+        bx, by = divmod(int(key[0]), bpa)
+        qx = qpdf["px"].to_numpy(np.float64)
+        qy = qpdf["py"].to_numpy(np.float64)
+        halo = (
+            bx * block - rc, bx * block + block - 1 + rc,
+            by * block - rc, by * block + block - 1 + rc,
+        )
+        qbbox = (qx.min(), qx.max(), qy.min(), qy.max())
+        w, comx, comy = farfield.far_masses(bc.value, plan, halo, qbbox)
+        forces, sumq = farfield.eval_far(qx, qy, w, comx, comy)
+        if len(ppdf):
+            P = np.stack(
+                [ppdf["nx"].to_numpy(np.float64), ppdf["ny"].to_numpy(np.float64)],
+                axis=1,
+            )
+            ltree = build_quadtree(P, fix_bounds_mean=True)
+            Q = np.stack([qx, qy], axis=1)
+            nf, ns = ltree.repulsive_forces(Q, theta, condition=bh_condition)
+            forces += nf
+            sumq += ns
+        return pd.DataFrame(
+            {"id": qpdf["id"].to_numpy(), "rep": list(forces), "sumq": sumq}
+        )
+
+    return (
+        qdf.groupby("bkey")
+        .cogroup(pmass.groupby("nbkey"))
+        .applyInPandas(eval_block, schema="id int, rep array<double>, sumq double")
+    )
+
+
 def _repulsive_barnes_hut(
     embedding: DataFrame,
     theta: float,
@@ -87,11 +245,16 @@ def _repulsive_barnes_hut(
     """
     if n_components != 2:
         raise ValueError("Barnes-Hut path supports n_components=2 (quadtree)")
-    if tree_build not in ("driver", "stub", "distributed"):
+    if tree_build not in ("driver", "stub", "distributed", "summary"):
         raise ValueError(
-            f"tree_build must be one of 'driver', 'stub', 'distributed'; "
-            f"got {tree_build!r}"
+            f"tree_build must be one of 'driver', 'stub', 'distributed', "
+            f"'summary'; got {tree_build!r}"
         )
+    if tree_build == "summary":
+        res = _repulsive_summary(embedding, theta, fix_bounds_mean, bh_condition)
+        if res is not None:
+            return res
+        tree_build = "distributed"  # degenerate regime: full-tree fallback
     if tree_build == "driver":
         rows = embedding.select("id", "y").collect()
         Y = np.array([r["y"] for r in rows], dtype=np.float64)
