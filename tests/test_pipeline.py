@@ -242,17 +242,52 @@ def test_multimodal_features(spark, docs):
     feats = {r["doc_id"]: r for r in extract_image_features(with_payload).collect()}
     assert set(feats) == {0, 1, 2, 3, 4, 5, 6}
     assert len(feats[0]["features"]) == 16
-    # identical text -> identical payload -> identical fake decode
+    # identical text -> identical payload -> identical decode
     assert feats[0]["mean_r"] == feats[1]["mean_r"]
     frames = sample_frames(with_payload, n_frames=3).collect()
     assert len(frames) == 7 * 3
 
 
-def test_decode_image_stub_raises():
+def test_decode_image_roundtrip():
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.multimodal import decode_image, encode_ppm
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    assert (decode_image(encode_ppm(img)) == img).all()
+    gray = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+    out = decode_image(encode_ppm(gray))
+    assert out.shape == (5, 9, 3)
+    assert (out[:, :, 0] == gray).all() and (out[:, :, 2] == gray).all()
+
+
+def test_decode_image_header_variants():
+    import numpy as np
+
     from tsne_flink_spark.pipeline.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x00\x01", fake=False)
+    # comments + arbitrary whitespace in the header are legal Netpbm
+    raster = bytes(range(2 * 2 * 3))
+    payload = b"P6 # a comment\n# another\n 2\t2\n255\n" + raster
+    img = decode_image(payload)
+    assert img.shape == (2, 2, 3)
+    assert img.ravel().tolist() == list(raster)
+    # 16-bit big-endian maxval scales down to 8-bit
+    import struct
+
+    raster16 = struct.pack(">12H", *([65535, 0, 32768] * 4))
+    img16 = decode_image(b"P6\n2 2\n65535\n" + raster16)
+    assert img16.ravel().tolist() == [255, 0, 127] * 4
+
+
+def test_decode_image_rejects_unknown_formats():
+    from tsne_flink_spark.pipeline.multimodal import decode_image
+
+    with pytest.raises(ValueError):
+        decode_image(b"\x00\x01")
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n")  # real PNG magic: loud, not wrong
 
 
 def test_tfidf_top_terms(spark, docs):
@@ -329,9 +364,11 @@ def test_resize_images(spark, docs):
     with_payload = attach_binary_payload(docs)
     out = {r["doc_id"]: r for r in resize_images(with_payload, 4, 6).collect()}
     assert set(out) == {0, 1, 2, 3, 4, 5, 6}
+    from tsne_flink_spark.pipeline.multimodal import decode_image
+
     for r in out.values():
         assert r["height"] == 4 and r["width"] == 6
-        assert len(r["payload"]) == 4 * 6 * 3  # raw RGB bytes
+        assert decode_image(bytes(r["payload"])).shape == (4, 6, 3)
     # identical source text -> identical payload -> identical resize
     assert bytes(out[0]["payload"]) == bytes(out[1]["payload"])
 
