@@ -497,6 +497,36 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(docs, threshold=0.8).select("doc_id").orderBy("doc_id")
 
 
+def q_minhash_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the MinHash dedup (deterministic, oracle the
+    constant (0, 0) row): soundness — every killed doc has a lower-id doc
+    with exact shingle-Jaccard >= threshold, recomputed from scratch;
+    completeness — no surviving pair both band-collides and exceeds the
+    exact threshold.  See pipeline/dedup.py invariant-check section."""
+    from tsne_flink_spark.pipeline.dedup import minhash_dedup_invariants
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_invariants(docs, threshold=0.8)
+
+
+def q_simhash_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the SimHash dedup: exact Hamming distances
+    recomputed from scratch; oracle is the constant (0, 0) row."""
+    from tsne_flink_spark.pipeline.dedup import simhash_dedup_invariants
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup_invariants(docs)
+
+
+def q_embedding_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the embedding-cosine dedup: exact cosines
+    recomputed from the vectors; oracle is the constant (0, 0) row."""
+    from tsne_flink_spark.pipeline.dedup import embedding_dedup_invariants
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dedup_invariants(emb, threshold=0.98)
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT near-duplicate pair mining: every pair with 2-gram Jaccard >=
     0.5 (lossless shared-shingle candidates + AllPairs prefix filtering, no
@@ -632,9 +662,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_check": q_minhash_dedup_check,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_dedup": q_simhash_dedup,
+        "simhash_dedup_check": q_simhash_dedup_check,
         "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_check": q_embedding_dedup_check,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -734,6 +767,12 @@ FROM edges e JOIN s{iters} s ON s.i = e.i"""
     return "".join(parts)
 
 
+_DEDUP_CHECK_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS unjustified_kills,
+       CAST(0 AS BIGINT) AS missed_candidates
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "knn_bruteforce": _KNN_ORACLE,
@@ -771,6 +810,17 @@ FROM lineitem
         "distinct_pairs": """
 SELECT DISTINCT o_custkey, o_orderstatus FROM orders
 """,
+        # The three *_dedup_check oracles are the constant (0, 0) row: the
+        # survivor sets are hash-/seed-specific (not SQL-reproducible), so
+        # the Spark side computes deterministic invariant VIOLATION COUNTS
+        # over its own output — soundness (every kill justified by an
+        # exact-similarity lower-id partner, recomputed from scratch) and
+        # candidate-set completeness (no surviving band-colliding pair above
+        # the exact threshold).  A correct implementation yields exactly
+        # (0, 0), so the driver's hash comparison IS the invariant check.
+        "minhash_dedup_check": _DEDUP_CHECK_ORACLE,
+        "simhash_dedup_check": _DEDUP_CHECK_ORACLE,
+        "embedding_dedup_check": _DEDUP_CHECK_ORACLE,
         "centering": """
 WITH emb AS (
   SELECT vec_id::INT AS id,

@@ -393,3 +393,34 @@ def test_rolling_fingerprint(spark, docs):
     assert rfp != out[0]
     with pytest.raises(ValueError):
         docs.select(rolling_fingerprint(F.col("text"), mod=2**61 - 1))
+
+
+def test_dedup_invariant_checks(spark, docs):
+    """The soundness/completeness invariant counters must be exactly (0, 0)
+    on any corpus — these back the *_dedup_check driver oracles."""
+    from tsne_flink_spark.pipeline.dedup import (
+        minhash_dedup_invariants,
+        simhash_dedup_invariants,
+    )
+
+    r = minhash_dedup_invariants(docs, threshold=0.5).head()
+    assert (r["unjustified_kills"], r["missed_candidates"]) == (0, 0)
+    r = simhash_dedup_invariants(docs, max_hamming=10).head()
+    assert (r["unjustified_kills"], r["missed_candidates"]) == (0, 0)
+
+
+def test_embedding_dedup_invariant_check(spark):
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.dedup import embedding_dedup_invariants
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 8))
+    # append near-duplicates of the first five vectors
+    vecs = np.concatenate([base, base[:5] + rng.normal(0, 1e-3, (5, 8))])
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    r = embedding_dedup_invariants(emb, threshold=0.98).head()
+    assert (r["unjustified_kills"], r["missed_candidates"]) == (0, 0)

@@ -640,3 +640,217 @@ def embedding_cosine_dedup(
     return embeddings.join(
         dups, embeddings[id_col] == dups["__kill"], "left_anti"
     )
+
+
+# -- invariant checks (driver correctness gate) -------------------------------
+#
+# The three approximate dedup operators are hash-/seed-specific, so no plain
+# SQL oracle can reproduce their survivor sets.  What IS independently
+# checkable is a pair of DETERMINISTIC invariants that pin the semantics:
+#
+# - soundness ("unjustified_kills"): every removed row must have a LOWER-ID
+#   row in the corpus that exceeds the exact similarity threshold (exact
+#   n-gram Jaccard / Hamming / cosine — recomputed from scratch, not from
+#   the operator's internals).  The one-hop kill policy guarantees this by
+#   construction; the check catches any regression that removes rows without
+#   an exact-verified justification.
+# - completeness over the candidate set ("missed_candidates"): no SURVIVING
+#   pair may both collide in an LSH band/bucket AND exceed the exact
+#   threshold — such a pair was a generated candidate that exact
+#   verification confirmed, so one of them should have been removed.
+#
+# Both counts are exactly 0 for a correct implementation, independent of the
+# probabilistic recall of the banding (which only affects pairs that never
+# collide).  The driver's oracle for these queries is the constant
+# (0, 0) row — the hash comparison then IS the invariant verification.
+
+def minhash_dedup_invariants(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int | None = None,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """One row (unjustified_kills BIGINT, missed_candidates BIGINT); both 0
+    iff ``minhash_lsh_dedup``'s output satisfies the dedup invariants."""
+    if bands is None:
+        bands = _auto_bands(num_hashes, threshold)
+    rows_per_band = num_hashes // bands
+    survivors = minhash_lsh_dedup(
+        docs, text_col, id_col, threshold, num_hashes, bands, shingle_n, seed
+    ).select(id_col)
+    with_sh = (
+        docs.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    killed = with_sh.join(survivors, id_col, "left_anti")
+
+    # soundness: killed b must have some a < b with exact Jaccard >= t
+    all_a = with_sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
+    kb = killed.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))
+    justified = (
+        kb.join(F.broadcast(all_a), F.col("a") < F.col("b"))
+        .where(jaccard_similarity(F.col("__sha"), F.col("__shb")) >= threshold)
+        .select("b")
+        .distinct()
+    )
+    unjustified = (
+        kb.select("b").exceptAll(justified)
+        .agg(F.count(F.lit(1)).alias("unjustified_kills"))
+    )
+
+    # completeness: no surviving band-colliding pair with exact J >= t
+    surv_sh = with_sh.join(survivors, id_col)
+    signed = minhash_signatures_table(surv_sh, id_col, num_hashes, seed)
+    cands = _lsh_candidate_pairs(signed, id_col, bands, rows_per_band)
+    sh_a = surv_sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
+    sh_b = surv_sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))
+    missed = (
+        cands.join(sh_a, "a")
+        .join(sh_b, "b")
+        .where(jaccard_similarity(F.col("__sha"), F.col("__shb")) >= threshold)
+        .agg(F.count(F.lit(1)).alias("missed_candidates"))
+    )
+    return unjustified.crossJoin(missed)
+
+
+def simhash_dedup_invariants(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """One row (unjustified_kills BIGINT, missed_candidates BIGINT) for
+    ``simhash_dedup`` — exact Hamming distances recomputed from scratch."""
+    survivors = simhash_dedup(docs, text_col, id_col, max_hamming, seed).select(
+        id_col
+    )
+    sh = simhash_table(docs, text_col, id_col, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    killed = sh.join(survivors, id_col, "left_anti")
+
+    all_a = sh.select(F.col(id_col).alias("a"), F.col("simhash").alias("__sa"))
+    kb = killed.select(F.col(id_col).alias("b"), F.col("simhash").alias("__sb"))
+    justified = (
+        kb.join(F.broadcast(all_a), F.col("a") < F.col("b"))
+        .where(
+            _popcount64(F.col("__sa").bitwiseXOR(F.col("__sb"))) <= max_hamming
+        )
+        .select("b")
+        .distinct()
+    )
+    unjustified = (
+        kb.select("b").exceptAll(justified)
+        .agg(F.count(F.lit(1)).alias("unjustified_kills"))
+    )
+
+    surv_sh = sh.join(survivors, id_col)
+    banded = surv_sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(simhash_bands(F.col("simhash"))).alias("__band", "__key"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("__sa"), "__band", "__key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("__sb"), "__band", "__key"
+    )
+    missed = (
+        left.join(right, ["__band", "__key"])
+        .where(F.col("a") < F.col("b"))
+        .where(
+            _popcount64(F.col("__sa").bitwiseXOR(F.col("__sb"))) <= max_hamming
+        )
+        .select("a", "b")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("missed_candidates"))
+    )
+    return unjustified.crossJoin(missed)
+
+
+def embedding_dedup_invariants(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 48,
+    bands: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """One row (unjustified_kills BIGINT, missed_candidates BIGINT) for
+    ``embedding_cosine_dedup`` — exact cosines recomputed from the vectors."""
+    from tsne_flink_spark.functions.metrics import dot_unrolled
+    from tsne_flink_spark.pipeline.similarity import _as_double
+
+    if dim is None:
+        head = embeddings.select(vec_col).head()
+        dim = len(head[0]) if head is not None else 0
+    survivors = embedding_cosine_dedup(
+        embeddings, vec_col, id_col, threshold, num_planes, bands, seed, dim
+    ).select(id_col)
+    normed = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn(
+        "__norm",
+        F.sqrt(F.aggregate("__v", F.lit(0.0), lambda acc, x: acc + x * x)),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    killed = normed.join(survivors, id_col, "left_anti")
+
+    cos = dot_unrolled(F.col("__va"), F.col("__vb"), dim) / (
+        F.col("__na") * F.col("__nb")
+    )
+    all_a = normed.select(
+        F.col(id_col).alias("a"), F.col("__v").alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    kb = killed.select(
+        F.col(id_col).alias("b"), F.col("__v").alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    justified = (
+        kb.join(F.broadcast(all_a), F.col("a") < F.col("b"))
+        .where(cos >= threshold)
+        .select("b")
+        .distinct()
+    )
+    unjustified = (
+        kb.select("b").exceptAll(justified)
+        .agg(F.count(F.lit(1)).alias("unjustified_kills"))
+    )
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(num_planes, dim))
+    id_type = dict(embeddings.dtypes)[id_col]
+    surv_keyed = _hyperplane_band_assign(
+        normed.join(survivors, id_col).select(
+            F.col(id_col).alias("__id"), F.col("__v")
+        ),
+        "__id",
+        id_type,
+        planes,
+        bands,
+    )
+    left = surv_keyed.select(
+        F.col("__id").alias("a"), F.col("__v").alias("__va"),
+        F.col("__norm").alias("__na"), "__band", "__bucket",
+    )
+    right = surv_keyed.select(
+        F.col("__id").alias("b"), F.col("__v").alias("__vb"),
+        F.col("__norm").alias("__nb"), "__band", "__bucket",
+    )
+    missed = (
+        left.join(right, ["__band", "__bucket"])
+        .where(F.col("a") < F.col("b"))
+        .where(cos >= threshold)
+        .select("a", "b")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("missed_candidates"))
+    )
+    return unjustified.crossJoin(missed)
