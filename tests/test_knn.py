@@ -1,6 +1,7 @@
 """kNN operator tests — mirrors TsneHelpersTestSuite.scala:29-74."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.fixtures import KNN_INPUT, KNN_RESULTS
 from tsne_flink_spark.operators.knn import (
@@ -79,3 +80,40 @@ def test_project_knn_shape(spark, knn_points):
         by_i.setdefault(r["i"], []).append(r)
     assert set(by_i) == set(range(9))
     assert all(len(v) <= 2 for v in by_i.values())
+
+
+def test_global_rank_density_and_determinism(spark):
+    """_global_rank_by must produce DENSE 0..N-1 ranks (the silent failure
+    mode at N=100k was non-dense ranks from re-sampled range boundaries) and
+    must assign IDENTICAL ranks when the result is consumed from two plan
+    branches — including for duplicate order keys, which only a total
+    (order, tiebreak) sort makes deterministic across shuffle reads."""
+    import numpy as np
+
+    from tsne_flink_spark.operators.knn import _global_rank_by
+
+    n = 20_000
+    rng = np.random.default_rng(23)
+    # heavy duplication: ~1000 distinct keys over 20k rows
+    keys = rng.integers(0, 1000, n).astype("int64")
+    df = spark.createDataFrame(
+        [(int(i), int(k)) for i, k in enumerate(keys)], "id long, key long"
+    ).repartition(32)
+    ranked = _global_rank_by(df, "key", "id")
+
+    rows = ranked.collect()
+    got = sorted(r["__rank"] for r in rows)
+    assert got == list(range(n))  # dense, 0-based, no gaps or dupes
+    by_rank = {r["__rank"]: (r["key"], r["id"]) for r in rows}
+    ordered = [by_rank[i] for i in range(n)]
+    assert ordered == sorted(ordered)  # rank order == total (key, id) order
+
+    # two independent consumptions (self-join on id) must agree on ranks
+    a = ranked.select(F.col("id").alias("ia"), F.col("__rank").alias("ra"))
+    b = ranked.select(F.col("id").alias("ib"), F.col("__rank").alias("rb"))
+    mismatches = (
+        a.join(b, F.col("ia") == F.col("ib"))
+        .where(F.col("ra") != F.col("rb"))
+        .count()
+    )
+    assert mismatches == 0

@@ -239,28 +239,58 @@ def morton_key(points: DataFrame, mins: np.ndarray, maxs: np.ndarray) -> DataFra
     return points.mapInPandas(add_key, schema=schema)
 
 
-def _global_rank_by(df: DataFrame, order_col: str) -> DataFrame:
-    """Distributed global rank by ``order_col`` (0-based, dense ordering).
+def _global_rank_by(df: DataFrame, order_col: str, *tiebreak: str) -> DataFrame:
+    """Distributed global rank by ``order_col`` (0-based, dense ordering),
+    entirely JVM-side: one MATERIALIZED range-sorted shuffle, per-partition
+    offsets (a #partitions-row driver collect), and
+    ``monotonically_increasing_id``'s partition-local counter as the local
+    rank — no window, no second exchange, no Python round-trip.
 
-    Avoids the single-partition ``Window.orderBy`` via range-partition +
-    within-partition sort + ``zipWithIndex`` (the classic parallel rank).
+    Two details are load-bearing for CORRECTNESS, not style:
 
-    The RDD formulation is load-bearing for CORRECTNESS, not style: the
-    earlier pure-DataFrame version read the ``repartitionByRange`` exchange
-    from two plan branches (per-partition counts and local ranks), and the
-    range partitioner RE-SAMPLES its boundaries per evaluation — at N=100k
-    the two branches disagreed, offsets no longer matched local ranks, and
-    ranks silently came out non-dense (observed max rank 108193 for 100k
-    rows), corrupting the +-window candidate set.  ``zipWithIndex`` runs its
-    count and compute jobs over ONE materialized shuffle, so the boundaries
-    are consistent by construction.
+    - the range shuffle is pinned with ``materialize()`` (localCheckpoint):
+      the range partitioner RE-SAMPLES its boundaries per evaluation, and an
+      earlier version that read the exchange from two plan branches got
+      inconsistent boundaries at N=100k — offsets no longer matched local
+      ranks and ranks silently came out non-dense (observed max rank 108193
+      for 100k rows), corrupting the +-window candidate set.  (A
+      ``zipWithIndex`` formulation fixed that too, but paid a full-dataset
+      Python (de)serialization round-trip per call — 3x per project_knn.)
+      The checkpoint also pins the storage order, which makes the
+      scan-order local index identical across the counts job, the final
+      job, and every downstream plan branch.
+    - ``tiebreak`` columns make the pre-checkpoint sort total, so the
+      materialized order (hence every rank) is reproducible across
+      re-runs, not just across branches of one run.
     """
-    from pyspark.sql.types import LongType, StructField, StructType
+    from tsne_flink_spark.operators.optimize import materialize
 
-    sdf = df.repartitionByRange(F.col(order_col)).sortWithinPartitions(order_col)
-    schema = StructType(list(df.schema.fields) + [StructField("__rank", LongType())])
-    ranked = sdf.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-    return df.sparkSession.createDataFrame(ranked, schema)
+    sdf = materialize(
+        df.repartitionByRange(F.col(order_col)).sortWithinPartitions(
+            order_col, *tiebreak
+        )
+    )
+    # monotonically_increasing_id = (partition_id << 33) | scan-order index;
+    # over a checkpointed (storage-order-pinned) sorted partition the local
+    # index IS the local rank — no window, no extra exchange
+    mid = F.monotonically_increasing_id()
+    pid = F.shiftright(mid, 33)
+    local = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    counts = (
+        sdf.groupBy(pid.alias("__pid"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    by_pid = {r["__pid"]: r["__c"] for r in counts}
+    max_pid = max(by_pid, default=0)
+    offsets, acc = [], 0
+    for p in range(int(max_pid) + 1):  # empty partitions emit no count row
+        offsets.append(acc)
+        acc += by_pid.get(p, 0)
+    off_lit = F.array(*[F.lit(int(o)).cast("long") for o in offsets])
+    return sdf.withColumn(
+        "__rank", (F.element_at(off_lit, (pid + 1).cast("int")) + local).cast("long")
+    )
 
 
 def _zorder_candidates(points: DataFrame, k: int, stub_rank: bool = False) -> DataFrame:
@@ -272,8 +302,8 @@ def _zorder_candidates(points: DataFrame, k: int, stub_rank: bool = False) -> Da
     filtered to 1 <= |rank_a - rank_b| <= k.  Emits candidate (i, j) pairs.
 
     ``stub_rank`` substitutes a lazy placeholder rank (plan-only mode —
-    ``zipWithIndex`` submits jobs at construction time, which plan dumping
-    must not).
+    the real rank materializes its range shuffle and collects partition
+    counts at construction time, which plan dumping must not).
     """
     ranked = points.select("id", "__z")
     if stub_rank:
@@ -281,7 +311,7 @@ def _zorder_candidates(points: DataFrame, k: int, stub_rank: bool = False) -> Da
             "__rank", F.monotonically_increasing_id()
         ).drop("__z")
     else:
-        ranked = _global_rank_by(ranked, "__z").drop("__z")
+        ranked = _global_rank_by(ranked, "__z", "id").drop("__z")
 
     bucket = (F.col("__rank") / F.lit(k + 1)).cast("long")
     a = ranked.select(
