@@ -117,3 +117,51 @@ def test_global_rank_density_and_determinism(spark):
         .count()
     )
     assert mismatches == 0
+
+
+def test_hilbert_transform_properties():
+    """The vectorized Skilling transform must be a bijection whose key order
+    walks the grid through ADJACENT cells (the locality property Morton
+    lacks and the reason project_knn defaults to curve='hilbert')."""
+    import numpy as np
+
+    from tsne_flink_spark.operators.knn import _axes_to_hilbert_transpose
+
+    bits, d = 3, 2
+    side = 1 << bits
+    coords = np.array([(x, y) for x in range(side) for y in range(side)],
+                      dtype=np.uint32)
+    T = _axes_to_hilbert_transpose(coords, bits)
+    # pack exactly as space_filling_key does: bit-planes msb-first, dim-major
+    idx = np.zeros(len(coords), dtype=np.int64)
+    for b in range(bits - 1, -1, -1):
+        for dim in range(d):
+            idx = (idx << 1) | ((T[:, dim] >> b) & 1)
+    assert len(set(idx.tolist())) == side * side  # bijection
+    order = np.argsort(idx)
+    walk = coords[order].astype(np.int64)
+    steps = np.abs(np.diff(walk, axis=0)).sum(axis=1)
+    assert (steps == 1).all()  # every step is unit Manhattan: true Hilbert
+
+
+def test_hilbert_transform_3d_bijection():
+    import numpy as np
+
+    from tsne_flink_spark.operators.knn import _axes_to_hilbert_transpose
+
+    bits, d = 2, 3
+    side = 1 << bits
+    coords = np.array(
+        [(x, y, z) for x in range(side) for y in range(side) for z in range(side)],
+        dtype=np.uint32,
+    )
+    T = _axes_to_hilbert_transpose(coords, bits)
+    idx = np.zeros(len(coords), dtype=np.int64)
+    for b in range(bits - 1, -1, -1):
+        for dim in range(d):
+            idx = (idx << 1) | ((T[:, dim] >> b) & 1)
+    assert len(set(idx.tolist())) == side ** 3
+    order = np.argsort(idx)
+    walk = coords[order].astype(np.int64)
+    steps = np.abs(np.diff(walk, axis=0)).sum(axis=1)
+    assert (steps == 1).all()

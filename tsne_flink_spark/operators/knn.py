@@ -189,16 +189,67 @@ def _feature_bounds(points: DataFrame, dim: int) -> tuple[np.ndarray, np.ndarray
     return mins, maxs
 
 
-def morton_key(points: DataFrame, mins: np.ndarray, maxs: np.ndarray) -> DataFrame:
-    """Append a sortable BINARY Morton (z-order) key column ``__z``.
+def _axes_to_hilbert_transpose(q: np.ndarray, bits: int) -> np.ndarray:
+    """Skilling's AxesToTranspose, vectorized over rows: map quantized
+    coordinates (n, d) uint32 to the 'transpose' form of the Hilbert index,
+    where bit-plane-interleaving the result (exactly the Morton packing)
+    yields the Hilbert index msb-first.
 
-    Each dimension is min-max quantized to 16 bits, then bit-planes are
-    interleaved msb-first across dimensions (plane b of dim 0, plane b of
-    dim 1, ...), yielding a d*16-bit big-endian byte string whose
-    lexicographic order is the z-order.  The reference instead compares raw
-    double bits pairwise (ZOrder.scala:25-42) inside a parallelism-1 sort; a
+    Public-domain algorithm from J. Skilling, "Programming the Hilbert
+    curve", AIP Conf. Proc. 707 (2004); the scalar per-coordinate loop is
+    replaced by numpy masks over all rows at once.
+    """
+    X = q.astype(np.uint32).copy()
+    d = X.shape[1]
+    M = np.uint32(1 << (bits - 1))
+    # inverse undo excess work
+    Q = M
+    while Q > 1:
+        P = np.uint32(Q - 1)
+        for i in range(d):
+            mask = (X[:, i] & Q) != 0
+            t = (X[:, 0] ^ X[:, i]) & P
+            X0_flip = X[:, 0] ^ P
+            X0_swap = X[:, 0] ^ t
+            Xi_swap = X[:, i] ^ t
+            X[:, 0] = np.where(mask, X0_flip, X0_swap)
+            if i != 0:
+                X[:, i] = np.where(mask, X[:, i], Xi_swap)
+        Q = np.uint32(Q >> 1)
+    # Gray encode
+    for i in range(1, d):
+        X[:, i] ^= X[:, i - 1]
+    t = np.zeros(len(X), dtype=np.uint32)
+    Q = M
+    while Q > 1:
+        mask = (X[:, d - 1] & Q) != 0
+        t = np.where(mask, t ^ np.uint32(Q - 1), t)
+        Q = np.uint32(Q >> 1)
+    X ^= t[:, None]
+    return X
+
+
+def space_filling_key(
+    points: DataFrame,
+    mins: np.ndarray,
+    maxs: np.ndarray,
+    curve: str = "morton",
+) -> DataFrame:
+    """Append a sortable BINARY space-filling-curve key column ``__z``.
+
+    Each dimension is min-max quantized to 16 bits; then either the raw
+    coordinates (``curve="morton"``) or their Hilbert transpose
+    (``curve="hilbert"``) have their bit-planes interleaved msb-first across
+    dimensions (plane b of dim 0, plane b of dim 1, ...), yielding a
+    d*16-bit big-endian byte string whose lexicographic order is the curve
+    order.  Hilbert visits every cell through adjacent cells (no Morton
+    boundary jumps), which measurably improves rank-window neighbor recall
+    at the same cost (BASELINE.md B10).  The reference compares raw double
+    bits pairwise (ZOrder.scala:25-42) inside a parallelism-1 sort; a
     materialized sortable key lets Spark range-partition the sort.
     """
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"curve must be 'morton' or 'hilbert', got {curve!r}")
     mins_b = mins.astype(np.float64)
     span = np.maximum(maxs.astype(np.float64) - mins_b, 1e-300)
 
@@ -214,6 +265,8 @@ def morton_key(points: DataFrame, mins: np.ndarray, maxs: np.ndarray) -> DataFra
                 0,
                 (1 << _MORTON_BITS) - 1,
             )
+            if curve == "hilbert":
+                q = _axes_to_hilbert_transpose(q, _MORTON_BITS)
             # bits[n, b, dim]: plane b (msb-first) of each dim
             planes = (
                 (q[:, None, :] >> (np.arange(_MORTON_BITS - 1, -1, -1)[None, :, None]))
@@ -237,6 +290,11 @@ def morton_key(points: DataFrame, mins: np.ndarray, maxs: np.ndarray) -> DataFra
         list(points.schema.fields) + [StructField("__z", BinaryType())]
     )
     return points.mapInPandas(add_key, schema=schema)
+
+
+def morton_key(points: DataFrame, mins: np.ndarray, maxs: np.ndarray) -> DataFrame:
+    """Morton (z-order) key — reference-parity ordering (ZOrder.scala)."""
+    return space_filling_key(points, mins, maxs, curve="morton")
 
 
 def _global_rank_by(df: DataFrame, order_col: str, *tiebreak: str) -> DataFrame:
@@ -358,27 +416,33 @@ def project_knn(
     k: int,
     metric: str = "sqeuclidean",
     dimension: int | None = None,
-    iterations: int = 3,
+    iterations: int = 4,
     seed: int = 0,
     proj_dims: int | None = None,
     window: int | None = None,
+    curve: str = "hilbert",
     _plan_stub: bool = False,
 ) -> DataFrame:
-    """Approximate kNN via z-order sorts over random low-dim projections.
+    """Approximate kNN via space-filling-curve sorts over random low-dim
+    projections.
 
     Per pass, features are projected through a seeded Gaussian matrix onto
-    ``proj_dims`` dimensions (default min(dim, 5)) and Morton-keyed; each
-    point's +-``window`` rank neighbors (default max(2k, 128)) become
-    candidates; passes union, then true-distance top-k.  Independent
-    projections per pass give the passes independent failure modes — the
-    reference's random SHIFTS of the full-dimensional curve
-    (TsneHelpers.scala:103-160, unseeded — quirk Q4) leave the z-order's
-    locality to decay with dimensionality (measured: recall 0.086 at
-    N=100k, d=16, k=10 for shifted 16-dim curves vs 0.6+ for projected
-    5-dim curves at the same candidate budget — see BASELINE.md B10).
-    For inputs already at or below ``proj_dims`` dimensions, the original
-    shifted-grid construction is kept (no projection needed, reference
-    parity).
+    ``proj_dims`` dimensions (default min(dim, 5)) and curve-keyed
+    (Hilbert by default — adjacent curve positions are always adjacent
+    cells, unlike Morton's boundary jumps; measured +0.03-0.09 recall at
+    the same candidate budget, B10); each point's +-``window`` rank
+    neighbors (default max(2k, 256)) become candidates; passes union, then
+    true-distance top-k.  The 4-pass/256-window defaults hit recall 0.853
+    at N=100k, d=16, k=10 (B10) at ~25% extra cost at small N, where
+    fixed overheads dominate.  Independent projections per pass give the passes
+    independent failure modes — the reference's random SHIFTS of the
+    full-dimensional curve (TsneHelpers.scala:103-160, unseeded — quirk Q4)
+    leave the z-order's locality to decay with dimensionality (measured:
+    recall 0.086 at N=100k, d=16, k=10 for shifted 16-dim curves vs 0.6+
+    for projected 5-dim curves at the same candidate budget — see
+    BASELINE.md B10).  For inputs already at or below ``proj_dims``
+    dimensions, the original shifted-grid Morton construction is kept
+    (reference parity, ZOrder.scala:25-42).
     """
     spark = points.sparkSession
     if _plan_stub:
@@ -399,7 +463,7 @@ def project_knn(
     if proj_dims is None:
         proj_dims = min(dimension, 5)
     if window is None:
-        window = max(2 * k, 128)
+        window = max(2 * k, 256)
 
     rng = np.random.default_rng(seed)
     candidate_sets = []
@@ -450,7 +514,7 @@ def project_knn(
                 # the other per-call persists in this package.
                 projected = projected.persist(StorageLevel.MEMORY_AND_DISK)
                 pmins, pmaxs = _feature_bounds(projected, proj_dims)
-            keyed = morton_key(projected, pmins, pmaxs)
+            keyed = space_filling_key(projected, pmins, pmaxs, curve=curve)
             candidate_sets.append(
                 _zorder_candidates(keyed, window, stub_rank=_plan_stub)
             )
