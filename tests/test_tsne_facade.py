@@ -109,3 +109,55 @@ def test_execution_plan_project_knn_runs_no_job(spark, tmp_path):
     assert len(tracker.getJobIdsForGroup(None)) == jobs_before
     assert plan_file.exists()
     assert not (tmp_path / "out").exists()
+
+
+def test_embedding_quality_knn_preservation(spark):
+    """Embedding-quality gate (round-2 task #7): on clustered input the 2-D
+    embedding's 10-NN neighborhoods must (a) stay within the input cluster
+    (purity >> 1/n_clusters chance) and (b) overlap the input-space 10-NN
+    well above the 10/(N-1) chance floor.  Driver-measured reference run:
+    purity 0.956, preservation 0.175 at N=500/30 iters (BASELINE B16); the
+    driver testdata embeddings are structureless iid noise where this metric
+    is pinned at chance, hence the synthetic clustered fixture.
+    """
+    import numpy as np
+
+    from tsne_flink_spark.tsne import TSNE
+
+    rng = np.random.default_rng(42)
+    n_clusters, per = 8, 40
+    centers = rng.normal(0, 4.0, (n_clusters, 16))
+    X = np.concatenate(
+        [centers[i] + rng.normal(0, 0.5, (per, 16)) for i in range(n_clusters)]
+    )
+    n = len(X)
+    labels = np.repeat(np.arange(n_clusters), per)
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)], "id int, features array<double>"
+    )
+
+    model = TSNE(
+        perplexity=10.0, iterations=20, theta=0.5, knn_method="partition",
+        neighbors=15, random_state=0, bh_condition="scaled",
+    )
+    out = model.fit(points=emb)
+    Y = np.zeros((n, 2))
+    for r in out.collect():
+        Y[r["id"]] = r["y"]
+
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    in_nn = np.argpartition(d2, 10, axis=1)[:, :10]
+    e2 = ((Y[:, None, :] - Y[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(e2, np.inf)
+    out_nn = np.argpartition(e2, 10, axis=1)[:, :10]
+
+    purity = float(
+        np.mean([np.mean(labels[out_nn[i]] == labels[i]) for i in range(n)])
+    )
+    preservation = float(
+        np.mean([len(set(in_nn[i]) & set(out_nn[i])) / 10 for i in range(n)])
+    )
+    # chance: purity 1/8 = 0.125, preservation 10/319 = 0.031
+    assert purity >= 0.75, f"cluster purity {purity:.3f}"
+    assert preservation >= 0.08, f"10-NN preservation {preservation:.3f}"
