@@ -69,6 +69,44 @@ def q_knn_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("i", "j", F.round("v", 6).alias("v"))
 
 
+def q_knn_project_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for project_knn (oracle: constant zero row):
+    every emitted distance must equal the true metric recomputed from the
+    vectors; <= k neighbors per point; no self-edges; no duplicate pairs.
+    Provably 0 regardless of which (approximate) candidates were probed."""
+    from tsne_flink_spark.functions.metrics import metric_expr
+    from tsne_flink_spark.operators.knn import project_knn
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("int").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+    )
+    k = 5
+    out = project_knn(emb, k, "sqeuclidean", iterations=3, seed=0)
+    fa = emb.select(F.col("id").alias("i"), F.col("features").alias("__fa"))
+    fb = emb.select(F.col("id").alias("j"), F.col("features").alias("__fb"))
+    true_d = metric_expr("sqeuclidean", F.col("__fa"), F.col("__fb"))
+    bad_dist = (
+        out.join(fa, "i").join(fb, "j")
+        .where(F.abs(F.col("v") - true_d) > 1e-9)
+        .agg(F.count(F.lit(1)).alias("bad_dist"))
+    )
+    overfull = (
+        out.groupBy("i").agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > k)
+        .agg(F.count(F.lit(1)).alias("overfull_points"))
+    )
+    selfe = out.where(F.col("i") == F.col("j")).agg(
+        F.count(F.lit(1)).alias("self_edges")
+    )
+    dups = (
+        out.groupBy("i", "j").agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_pairs"))
+    )
+    return bad_dist.crossJoin(overfull).crossJoin(selfe).crossJoin(dups)
+
+
 def q_joint_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transpose/union/group-sum/broadcast-normalize (TsneHelpers.scala:182-196)
     on a COO matrix derived from lineitem."""
@@ -576,9 +614,28 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q", "c", F.round("sim", 6).alias("sim"))
 
 
+def q_ann_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the LSH ANN (oracle: constant zero row) —
+    reported sims must equal exact cosines, <= k per query, no self/dup
+    rows.  See pipeline/similarity.topk_invariants."""
+    from tsne_flink_spark.pipeline.similarity import lsh_top_k, topk_invariants
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return topk_invariants(lsh_top_k(emb, emb, k=3), emb, k=3)
+
+
+def q_ann_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the IVF ANN (oracle: constant zero row)."""
+    from tsne_flink_spark.pipeline.similarity import ivf_top_k, topk_invariants
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return topk_invariants(ivf_top_k(emb, emb, k=3), emb, k=3)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload -> Arrow-batched feature extraction
-    (decode stubbed with a deterministic fake)."""
+    """Multimodal pipeline: synthesized binary PPM payloads -> Arrow-batched
+    REAL decode (dependency-free Netpbm codec) -> per-image feature
+    extraction."""
     from tsne_flink_spark.pipeline.multimodal import (
         attach_binary_payload,
         extract_image_features,
@@ -670,7 +727,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_check": q_embedding_dedup_check,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_check": q_ann_lsh_check,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_check": q_ann_ivf_check,
+        "knn_project_check": q_knn_project_check,
         "sliding_user_activity": q_sliding_user_activity,
         "user_totals": q_user_totals,
         "event_rollup": q_event_rollup,
@@ -772,6 +832,13 @@ SELECT CAST(0 AS BIGINT) AS unjustified_kills,
        CAST(0 AS BIGINT) AS missed_candidates
 """
 
+_ANN_CHECK_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS bad_sim,
+       CAST(0 AS BIGINT) AS overfull_queries,
+       CAST(0 AS BIGINT) AS self_matches,
+       CAST(0 AS BIGINT) AS dup_pairs
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -821,6 +888,15 @@ SELECT DISTINCT o_custkey, o_orderstatus FROM orders
         "minhash_dedup_check": _DEDUP_CHECK_ORACLE,
         "simhash_dedup_check": _DEDUP_CHECK_ORACLE,
         "embedding_dedup_check": _DEDUP_CHECK_ORACLE,
+        # same verified-invariant pattern for the approximate ANN / kNN ops
+        "ann_lsh_check": _ANN_CHECK_ORACLE,
+        "ann_ivf_check": _ANN_CHECK_ORACLE,
+        "knn_project_check": """
+SELECT CAST(0 AS BIGINT) AS bad_dist,
+       CAST(0 AS BIGINT) AS overfull_points,
+       CAST(0 AS BIGINT) AS self_edges,
+       CAST(0 AS BIGINT) AS dup_pairs
+""",
         "centering": """
 WITH emb AS (
   SELECT vec_id::INT AS id,

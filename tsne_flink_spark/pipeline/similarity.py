@@ -352,3 +352,64 @@ def ivf_top_k(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def topk_invariants(
+    result: DataFrame,
+    embeddings: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tol: float = 1e-9,
+) -> DataFrame:
+    """Deterministic invariant violation counters for an ANN top-k result
+    (columns q, c, sim) — the verified-invariant oracle pattern (see
+    pipeline/dedup.py): each count is provably 0 for a correct
+    implementation regardless of the (approximate) candidate generation.
+
+    - ``bad_sim``: rows whose reported similarity differs from the exact
+      cosine recomputed from the vectors by more than ``tol``;
+    - ``overfull_queries``: queries with more than ``k`` results;
+    - ``self_matches``: rows with q == c (operators exclude self);
+    - ``dup_pairs``: duplicated (q, c) rows.
+    """
+    from tsne_flink_spark.functions.metrics import dot_unrolled
+
+    head = embeddings.select(vec_col).head()
+    dim = len(head[0]) if head is not None else 0
+    normed = embeddings.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn(
+        "__n", F.sqrt(F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    va = normed.select(
+        F.col("__id").alias("q"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    vb = normed.select(
+        F.col("__id").alias("c"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    cos = dot_unrolled(F.col("__va"), F.col("__vb"), dim) / (
+        F.col("__na") * F.col("__nb")
+    )
+    bad_sim = (
+        result.join(va, "q")
+        .join(vb, "c")
+        .where(F.abs(F.col("sim") - cos) > tol)
+        .agg(F.count(F.lit(1)).alias("bad_sim"))
+    )
+    overfull = (
+        result.groupBy("q")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > k)
+        .agg(F.count(F.lit(1)).alias("overfull_queries"))
+    )
+    selfm = result.where(F.col("q") == F.col("c")).agg(
+        F.count(F.lit(1)).alias("self_matches")
+    )
+    dups = (
+        result.groupBy("q", "c")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_pairs"))
+    )
+    return bad_sim.crossJoin(overfull).crossJoin(selfm).crossJoin(dups)
