@@ -475,6 +475,13 @@ def ngram_jaccard_pairs(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    # spread the candidate pairs before the verify join: (a, b) rows are a
+    # few bytes each, so AQE coalesces them to 1-2 partitions by SIZE — and
+    # then the array_intersect verification (the query's dominant CPU, up to
+    # millions of pairs x hundreds-element arrays) serializes on 2 cores
+    # (observed: 35-40 s runs vs 4 s with the verify spread across 32).
+    # An explicit repartition is exempt from AQE coalescing.
+    cands = _spread(cands, F.col("a"))
     sh_a = with_sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
     sh_b = with_sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))
     inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
