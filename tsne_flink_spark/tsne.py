@@ -129,8 +129,9 @@ class TSNE:
         action.  With ``dimension`` set, plan construction runs ZERO Spark
         jobs for every knn_method: ``"project"`` is planned in stub mode
         (placeholder quantization bounds and a lazy placeholder rank column
-        standing in for the zipWithIndex exchange, which is inherently eager
-        and so cannot appear in an unexecuted plan).
+        standing in for the real global rank, whose materialized range
+        shuffle and partition-count collect are inherently eager and so
+        cannot appear in an unexecuted plan).
         """
         from tsne_flink_spark.operators.gradient import gradient
         from tsne_flink_spark.operators.embedding import (
