@@ -614,6 +614,71 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q", "c", F.round("sim", 6).alias("sim"))
 
 
+def q_multimodal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the multimodal pipeline (oracle: constant
+    zero row): one feature row per document, every decoded channel mean in
+    [0, 255], std finite and non-negative, and the 16-dim block-mean
+    feature vector in [0, 1]."""
+    from tsne_flink_spark.pipeline.multimodal import (
+        attach_binary_payload,
+        extract_image_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = extract_image_features(attach_binary_payload(docs))
+    n_docs = docs.count()
+    in_range = (
+        F.col("mean_r").between(0.0, 255.0)
+        & F.col("mean_g").between(0.0, 255.0)
+        & F.col("mean_b").between(0.0, 255.0)
+        & (F.col("std_gray") >= 0.0)
+        & ~F.isnan("std_gray")
+        & (F.size("features") == 16)
+        & F.forall("features", lambda x: x.between(0.0, 1.0))
+    )
+    bad_rows = feats.where(~in_range).agg(
+        F.count(F.lit(1)).alias("bad_feature_rows")
+    )
+    row_delta = feats.agg(
+        (F.count(F.lit(1)) - F.lit(n_docs)).cast("long").alias("row_count_delta")
+    )
+    return bad_rows.crossJoin(row_delta)
+
+
+def q_tsne_embedding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the flagship t-SNE (oracle: constant zero
+    row): exactly one finite 2-D output row per input point, zero-mean per
+    component (the loop ends with center_embedding; tolerance 1e-6)."""
+    from tsne_flink_spark.tsne import TSNE
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("int").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+    )
+    n_in = emb.count()
+    model = TSNE(
+        perplexity=10.0, iterations=20, theta=0.5, knn_method="partition",
+        neighbors=15, random_state=0, bh_condition="scaled",
+    )
+    out = model.fit(points=emb).select(
+        "id", F.col("y")[0].alias("y0"), F.col("y")[1].alias("y1")
+    )
+    bad = (
+        F.isnan("y0") | F.isnan("y1")
+        | (F.abs("y0") > F.lit(1e12)) | (F.abs("y1") > F.lit(1e12))
+    )
+    agg = out.agg(
+        (F.count(F.lit(1)) - F.lit(n_in)).cast("long").alias("row_count_delta"),
+        F.sum(bad.cast("long")).alias("nonfinite_rows"),
+        (F.abs(F.avg("y0")) > 1e-6).cast("long").alias("uncentered_y0"),
+        (F.abs(F.avg("y1")) > 1e-6).cast("long").alias("uncentered_y1"),
+        (F.count_distinct(F.col("id")) - F.lit(n_in)).cast("long").alias(
+            "dup_id_delta"
+        ),
+    )
+    return agg
+
+
 def q_ann_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified invariants for the LSH ANN (oracle: constant zero row) —
     reported sims must equal exact cosines, <= k per query, no self/dup
@@ -739,6 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "multimodal_features": q_multimodal_features,
+        "multimodal_check": q_multimodal_check,
+        "tsne_embedding_check": q_tsne_embedding_check,
         "tfidf_top_terms": q_tfidf_top_terms,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "tsne_embedding": q_tsne_embedding,
@@ -896,6 +963,17 @@ SELECT CAST(0 AS BIGINT) AS bad_dist,
        CAST(0 AS BIGINT) AS overfull_points,
        CAST(0 AS BIGINT) AS self_edges,
        CAST(0 AS BIGINT) AS dup_pairs
+""",
+        "multimodal_check": """
+SELECT CAST(0 AS BIGINT) AS bad_feature_rows,
+       CAST(0 AS BIGINT) AS row_count_delta
+""",
+        "tsne_embedding_check": """
+SELECT CAST(0 AS BIGINT) AS row_count_delta,
+       CAST(0 AS BIGINT) AS nonfinite_rows,
+       CAST(0 AS BIGINT) AS uncentered_y0,
+       CAST(0 AS BIGINT) AS uncentered_y1,
+       CAST(0 AS BIGINT) AS dup_id_delta
 """,
         "centering": """
 WITH emb AS (
