@@ -141,3 +141,83 @@ def test_morton_key_orders_like_zorder():
     # verify pairwise consistency of adjacent elements with the comparator
     for a, b in zip(order_by_key, order_by_key[1:]):
         assert not zorder_less(q[b], q[a]) or keys[a] == keys[b]
+
+
+def test_hilbert_bijection_random_coords():
+    """Property: the vectorized Skilling transform is injective on random
+    16-bit coordinates in 2-5 dims (key collisions would silently merge
+    distinct points into one curve position)."""
+    import numpy as np
+
+    from tsne_flink_spark.operators.knn import _axes_to_hilbert_transpose
+
+    rng = np.random.default_rng(31)
+    for d in (2, 3, 5):
+        coords = rng.integers(0, 1 << 16, size=(5000, d)).astype(np.uint32)
+        coords = np.unique(coords, axis=0)
+        T = _axes_to_hilbert_transpose(coords, 16)
+        # pack to python ints (d*16 bits) and count
+        keys = set()
+        for row in T:
+            k = 0
+            for b in range(15, -1, -1):
+                for dim in range(d):
+                    k = (k << 1) | int((row[dim] >> b) & 1)
+            keys.add(k)
+        assert len(keys) == len(coords)
+
+
+def test_farfield_pyramid_mass_conservation_random():
+    """Property: for random occupied-cell sets, every pyramid level sums to
+    the same totals, and for random blocks far emissions + halo cells
+    exactly partition the mass (no double counting, none dropped)."""
+    import numpy as np
+
+    from tsne_flink_spark.operators import farfield
+
+    rng = np.random.default_rng(13)
+    for trial in range(10):
+        depth = int(rng.integers(4, 8))
+        plan = farfield.plan_summary(
+            10**6, 1.0, 0.5, "scaled", summary_depth=depth
+        )
+        grid = plan.grid
+        k = int(rng.integers(1, min(grid * grid, 2000)))
+        cells = rng.choice(grid * grid, size=k, replace=False).astype(np.int64)
+        cum = rng.integers(1, 100, k)
+        sx = rng.normal(0, 1, k)
+        sy = rng.normal(0, 1, k)
+        levels = farfield.build_pyramid(cells, cum, sx, sy, plan)
+        for lvl in levels:
+            assert lvl["cum"].sum() == cum.sum()
+        block = 1 << plan.block_bits
+        bpa = plan.blocks_per_axis
+        bx, by = int(rng.integers(0, bpa)), int(rng.integers(0, bpa))
+        halo = (
+            bx * block - plan.rc, bx * block + block - 1 + plan.rc,
+            by * block - plan.rc, by * block + block - 1 + plan.rc,
+        )
+        w = plan.cellw
+        qbbox = (
+            -1.0 + (halo[0] + plan.rc) * w, -1.0 + (halo[1] + 1 - plan.rc) * w,
+            -1.0 + (halo[2] + plan.rc) * w, -1.0 + (halo[3] + 1 - plan.rc) * w,
+        )
+        fw, _, _ = farfield.far_masses(levels, plan, halo, qbbox)
+        ix, iy = cells // grid, cells % grid
+        in_halo = (
+            (ix >= halo[0]) & (ix <= halo[1]) & (iy >= halo[2]) & (iy <= halo[3])
+        )
+        assert fw.sum() + cum[in_halo].sum() == cum.sum(), (trial, depth)
+
+
+def test_netpbm_roundtrip_random_images():
+    """Property: encode->decode is the identity for random image shapes."""
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.multimodal import decode_image, encode_ppm
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_image(encode_ppm(img)) == img).all()
