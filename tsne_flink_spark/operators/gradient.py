@@ -154,11 +154,17 @@ def _repulsive_summary(
     )
     bc = spark.sparkContext.broadcast(levels)
 
+    # Explicitly repartition both cogroup sides on the block key: the
+    # cogroup's own exchange gets AQE-coalesced by SIZE (a few bytes/row),
+    # which serialized the CPU-heavy eval_block Python stage onto ~14 tasks
+    # at N=1M; an explicit repartition is exempt from coalescing and
+    # Catalyst elides the redundant second exchange.
+    n_eval = spark.sparkContext.defaultParallelism * 2
     qdf = pts.withColumn(
         "bkey",
         (F.shiftright(F.col("ix"), plan.block_bits) * bpa
          + F.shiftright(F.col("iy"), plan.block_bits)),
-    ).select("id", "px", "py", "bkey")
+    ).select("id", "px", "py", "bkey").repartition(n_eval, "bkey")
 
     # near-field shipping: a point in cell (ix, iy) is essential for every
     # block whose halo rectangle [block*b - rc, block*b + block-1 + rc]
@@ -184,6 +190,7 @@ def _repulsive_summary(
             F.col("py").alias("ny"),
             (F.col("bx") * bpa + F.col("by")).alias("nbkey"),
         )
+        .repartition(n_eval, "nbkey")
     )
 
     def eval_block(key, qpdf: pd.DataFrame, ppdf: pd.DataFrame):
