@@ -246,3 +246,40 @@ def test_summary_large_n_spark_path(spark):
 
     e_summ, e_full = mean_err(rep), mean_err(full_rep)
     assert e_summ <= 1.2 * e_full, (e_summ, e_full)
+
+
+def test_summary_mode_full_optimize_loop(spark):
+    """Integration: the summary path must survive the real driver loop
+    (materialize/localCheckpoint between iterations, a fresh pyramid
+    broadcast per step) at a size where plan_summary does NOT fall back,
+    and still produce a usable embedding (finite, centered, loss sink
+    populated)."""
+    import numpy as np
+
+    from tsne_flink_spark.operators.affinities import (
+        joint_distribution,
+        pairwise_affinities,
+    )
+    from tsne_flink_spark.operators.embedding import init_working_set
+    from tsne_flink_spark.operators.knn import partition_knn
+    from tsne_flink_spark.operators.optimize import optimize
+
+    rng = np.random.default_rng(3)
+    n = 4500  # above the 4096 auto-mode threshold
+    X = rng.normal(0, 1.0, (n, 8))
+    pts = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)], "id int, features array<double>"
+    )
+    knn = partition_knn(pts, 8, "sqeuclidean").persist()
+    P = joint_distribution(pairwise_affinities(knn, 5.0)).persist()
+    ws = init_working_set(pts.select("id"), n_components=2, random_state=0)
+    out = optimize(
+        P, ws, iterations=3, theta=0.5, bh_condition="scaled",
+        tree_build="summary",
+    )
+    rows = out.collect()
+    assert len(rows) == n
+    Y = np.array([r["y"] for r in rows])
+    assert np.isfinite(Y).all()
+    # the loop ends with center_embedding
+    assert abs(Y[:, 0].mean()) < 1e-6 and abs(Y[:, 1].mean()) < 1e-6
