@@ -636,7 +636,10 @@ def q_multimodal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size("features") == 16)
         & F.forall("features", lambda x: x.between(0.0, 1.0))
     )
-    bad_rows = feats.where(~in_range).agg(
+    # NULL-safe: a NULL anywhere makes in_range NULL, which a bare
+    # where(~in_range) would silently drop — exactly the rows this check
+    # exists to catch
+    bad_rows = feats.where(~F.coalesce(in_range, F.lit(False))).agg(
         F.count(F.lit(1)).alias("bad_feature_rows")
     )
     row_delta = feats.agg(
@@ -663,9 +666,12 @@ def q_tsne_embedding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = model.fit(points=emb).select(
         "id", F.col("y")[0].alias("y0"), F.col("y")[1].alias("y1")
     )
-    bad = (
+    # NULL-safe: NULL coordinates count as non-finite rather than making
+    # the predicate NULL (which F.sum would silently skip)
+    bad = F.coalesce(
         F.isnan("y0") | F.isnan("y1")
-        | (F.abs("y0") > F.lit(1e12)) | (F.abs("y1") > F.lit(1e12))
+        | (F.abs("y0") > F.lit(1e12)) | (F.abs("y1") > F.lit(1e12)),
+        F.lit(True),
     )
     agg = out.agg(
         (F.count(F.lit(1)) - F.lit(n_in)).cast("long").alias("row_count_delta"),

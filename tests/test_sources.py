@@ -124,6 +124,27 @@ def test_events_loader_units(spark, tmp_path, unit):
     assert (stamps[2] - stamps[0]).total_seconds() == 5400.0
 
 
+def test_events_loader_units_agree_in_non_utc_session(spark, tmp_path):
+    """All four encodings of the same instants must decode IDENTICALLY even
+    when the session timezone is not UTC: the NTZ branch interprets the
+    stored wall clock as UTC (to_utc_timestamp), matching the raw-nanos
+    branch's epoch arithmetic — a bare cast would shift by the session
+    offset and break the event-time oracles only on non-UTC deployments."""
+    from tsne_flink_spark.sources.readers import load_events
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")  # +05:30
+    try:
+        decoded = {}
+        for unit in ("ns", "us", "ms", "int64"):
+            sf_dir = _write_events_parquet(tmp_path, unit)
+            rows = load_events(spark, sf_dir).orderBy("event_id").collect()
+            decoded[unit] = [r["ts"] for r in rows]
+        assert decoded["ns"] == decoded["us"] == decoded["ms"] == decoded["int64"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def test_parquet_ts_unit_detection(tmp_path):
     from tsne_flink_spark.sources.readers import _parquet_ts_unit
 

@@ -328,6 +328,17 @@ def gradient(
             bh_condition=bh_condition,
             tree_build=tree_build,
         )
+        if tree_build == "summary":
+            # rep feeds BOTH the sum_q aggregate and the grad join; without
+            # pinning it, the whole summary pipeline (near-field shuffle +
+            # per-block Python evaluation) runs twice per iteration, and the
+            # two evaluations could rebuild local trees from different
+            # shuffle row orders (last-bit rep/sumq inconsistency).  The
+            # full-tree paths re-evaluate only a cheap broadcast-tree
+            # mapInPandas, so they keep the lazy form.
+            from tsne_flink_spark.operators.optimize import materialize
+
+            rep = materialize(rep)
 
     sum_q = rep.agg(F.sum("sumq").alias("__sum_q"))
 

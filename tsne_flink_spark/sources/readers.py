@@ -134,9 +134,21 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if unit in ("us", "ms", "s"):
         # Parquet timestamps without isAdjustedToUTC surface as
         # TIMESTAMP_NTZ; downstream operators (sessionize's epoch-seconds
-        # lag, the as-of join) expect the classic TIMESTAMP type, so pin it.
+        # lag, the as-of join) expect the classic TIMESTAMP type.  The
+        # stored wall clock must be interpreted as UTC — a bare cast (and
+        # even to_utc_timestamp on NTZ) goes through the SESSION timezone
+        # and would decode instants shifted by the session offset relative
+        # to the raw-nanos branch below (which is tz-independent epoch
+        # arithmetic).  convert_timezone re-labels the wall clock from UTC
+        # into the session zone BEFORE the cast, cancelling the shift;
+        # verified identical across all four encodings under a non-UTC
+        # session in tests/test_sources.py.
         return spark.read.parquet(path).withColumn(
-            "ts", F.col("ts").cast("timestamp")
+            "ts",
+            F.expr(
+                "cast(convert_timezone('UTC', current_timezone(), ts) "
+                "as timestamp)"
+            ),
         )
     df = spark.read.schema(_EVENTS_DDL).parquet(path)
     return df.withColumn(

@@ -46,6 +46,10 @@ class TSNE:
     # via treeReduce — no per-iteration driver collect); "driver": legacy
     tree_build: str = "distributed"
     knn_method: str = "bruteforce"  # bruteforce | partition | project
+    # 3 = reference parity (Tsne.scala:61 knnIterations default).  The bare
+    # project_knn operator defaults to 4 passes (recall 0.853 at N=100k);
+    # the facade's 3-pass point with the +-256 window is also measured:
+    # recall 0.765 at the same scale (BASELINE.md B10b sweep).
     knn_iterations: int = 3
     knn_blocks: int | None = None
     # input dimensionality; when set, the kNN distance expression is built
