@@ -424,3 +424,25 @@ def test_embedding_dedup_invariant_check(spark):
     )
     r = embedding_dedup_invariants(emb, threshold=0.98).head()
     assert (r["unjustified_kills"], r["missed_candidates"]) == (0, 0)
+
+
+def test_decode_image_malformed_inputs_fail_loudly():
+    """Truncated or corrupt Netpbm payloads must raise, never return a
+    silently wrong array (the pipeline's multimodal rows are untrusted
+    bytes at 100 TB)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tsne_flink_spark.pipeline.multimodal import decode_image, encode_ppm
+
+    good = encode_ppm(np.zeros((4, 4, 3), dtype=np.uint8))
+    for payload in (
+        b"",                          # empty
+        b"P6",                        # header only
+        b"P6\n4 4\n255\n" + b"\x00" * 5,  # truncated raster
+        b"P6\n4 4\n999999\n" + b"\x00" * 48,  # invalid maxval
+        b"P6\nx y\n255\n",            # non-numeric dims
+        good[:-1],                    # one byte short
+    ):
+        with _pytest.raises(ValueError):
+            decode_image(payload)
