@@ -362,3 +362,52 @@ def test_interval_seconds_parsing():
         _interval_seconds("3 parsecs")
     with pytest.raises(ValueError):
         _interval_seconds("")
+
+
+def test_stream_events_real_table_batch_parity(spark, tmp_path):
+    """End-to-end batch/stream parity on the REAL driver events table:
+    stream_events_from_files (unit-detected, same instants as the batch
+    loader) -> windowed counts in COMPLETE mode must equal the batch
+    result exactly."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(src):
+        _pytest.skip("testdata not present")
+    from tsne_flink_spark.sources.readers import load_events
+    from tsne_flink_spark.streaming.events import (
+        stream_events_from_files,
+        windowed_event_counts,
+    )
+
+    stream_dir = str(tmp_path / "events_stream")
+    os.makedirs(stream_dir)
+    shutil.copy(src, os.path.join(stream_dir, "events.parquet"))
+
+    stream = stream_events_from_files(spark, stream_dir)
+    assert stream.isStreaming
+    agg = windowed_event_counts(stream, "1 day")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("parity_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = windowed_event_counts(
+        load_events(spark, "/root/testdata/sf0.001"), "1 day"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from parity_counts").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0

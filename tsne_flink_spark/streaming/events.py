@@ -222,10 +222,36 @@ def stream_stream_interval_join(
 
 
 def stream_events_from_files(
-    spark, path: str, schema: str = (
+    spark, path: str, schema: str | None = None
+) -> DataFrame:
+    """readStream file source over a parquet directory of event files.
+
+    Mirrors the batch loader's timestamp-unit detection
+    (``sources.readers.load_events``): the unit is read once from the
+    footer of an existing file at stream setup.  TIMESTAMP(NANOS) files are
+    read with a raw-LONG schema and truncated to microseconds (Spark's
+    vectorized reader rejects INT64 nanos); everything else reads with a
+    classic TIMESTAMP schema, whose stored wall clock Spark decodes as
+    UTC-epoch micros — identical instants to the batch path.  Every
+    operator in this module then works unchanged on the returned streaming
+    DataFrame.
+    """
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.sources.readers import _parquet_ts_unit
+
+    if schema is not None:
+        return spark.readStream.schema(schema).parquet(path)
+    unit = _parquet_ts_unit(path)
+    if unit == "ns" or unit is None:
+        raw = spark.readStream.schema(
+            "event_id bigint, ts long, user_id bigint, "
+            "event_type string, value double, props string"
+        ).parquet(path)
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return spark.readStream.schema(
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string"
-    )
-) -> DataFrame:
-    """readStream file source over a parquet directory."""
-    return spark.readStream.schema(schema).parquet(path)
+    ).parquet(path)
