@@ -240,6 +240,11 @@ def minhash_lsh_dedup(
     )
     signed = minhash_signatures_table(with_sh, id_col, num_hashes, seed, spread=False)
     cands = _lsh_candidate_pairs(signed, id_col, bands, rows_per_band)
+    # spread the candidate pairs before the exact-Jaccard verify join — the
+    # (a, b) rows are a few bytes, so AQE coalesces them to 1-2 partitions
+    # by size and the array-intersection verify serializes (same pathology
+    # and fix as ngram_jaccard_pairs)
+    cands = _spread(cands, F.col("a"))
 
     sh_a = with_sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
     sh_b = with_sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))
