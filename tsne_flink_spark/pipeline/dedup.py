@@ -191,12 +191,14 @@ def _lsh_candidate_pairs(
     right = banded.select(
         F.col("__id").alias("b"), "__band", "__bucket"
     )
-    return (
-        left.join(right, ["__band", "__bucket"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
-    )
+    # spread before deduplicating: the (a, b) rows are tiny, so AQE would
+    # coalesce the exchange and serialize the dedup aggregation (and any
+    # downstream verification) onto 1-2 tasks; partitioning on `a`
+    # co-locates equal pairs, so dropDuplicates adds no further exchange
+    cands = left.join(right, ["__band", "__bucket"]).where(
+        F.col("a") < F.col("b")
+    ).select("a", "b")
+    return _spread(cands, F.col("a")).dropDuplicates(["a", "b"])
 
 
 def jaccard_similarity(sh_a: Column, sh_b: Column) -> Column:
@@ -239,12 +241,9 @@ def minhash_lsh_dedup(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     signed = minhash_signatures_table(with_sh, id_col, num_hashes, seed, spread=False)
+    # _lsh_candidate_pairs spreads its output on `a` (AQE would otherwise
+    # coalesce the tiny pair rows and serialize the exact-Jaccard verify)
     cands = _lsh_candidate_pairs(signed, id_col, bands, rows_per_band)
-    # spread the candidate pairs before the exact-Jaccard verify join — the
-    # (a, b) rows are a few bytes, so AQE coalesces them to 1-2 partitions
-    # by size and the array-intersection verify serializes (same pathology
-    # and fix as ngram_jaccard_pairs)
-    cands = _spread(cands, F.col("a"))
 
     sh_a = with_sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
     sh_b = with_sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))
@@ -478,15 +477,16 @@ def ngram_jaccard_pairs(
             & (F.col("__sza") >= F.lit(threshold) * F.col("__szb") - F.lit(1e-9))
         )
         .select("a", "b")
-        .dropDuplicates(["a", "b"])
     )
-    # spread the candidate pairs before the verify join: (a, b) rows are a
-    # few bytes each, so AQE coalesces them to 1-2 partitions by SIZE — and
-    # then the array_intersect verification (the query's dominant CPU, up to
-    # millions of pairs x hundreds-element arrays) serializes on 2 cores
-    # (observed: 35-40 s runs vs 4 s with the verify spread across 32).
-    # An explicit repartition is exempt from AQE coalescing.
-    cands = _spread(cands, F.col("a"))
+    # spread the candidate pairs BEFORE deduplicating them: (a, b) rows are
+    # a few bytes each, so AQE coalesces their exchange to 1-2 partitions by
+    # SIZE — and then BOTH the dropDuplicates aggregation (millions of
+    # candidate rows) and the array_intersect verification (the query's
+    # dominant CPU) serialize on 2 cores (observed: 35-40 s runs vs 4 s
+    # spread across 32).  An explicit repartition is exempt from AQE
+    # coalescing, and hash partitioning on `a` co-locates equal (a, b)
+    # pairs, so the dedup adds no further exchange.
+    cands = _spread(cands, F.col("a")).dropDuplicates(["a", "b"])
     sh_a = with_sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
     sh_b = with_sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))
     inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
