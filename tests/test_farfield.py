@@ -143,9 +143,10 @@ def test_summary_matches_bh_accuracy_class(spark, condition):
     theta = 0.5
     exact_rep, exact_sumq = _collect_rep(_repulsive_exact(emb, 2))
 
-    full = _repulsive_barnes_hut(
+    full, used = _repulsive_barnes_hut(
         emb, theta, 2, bh_condition=condition, tree_build="distributed"
     )
+    assert not used
     full_rep, full_sumq = _collect_rep(full)
 
     # force the summary path at a depth where blocking is meaningful
@@ -177,12 +178,13 @@ def test_summary_fallback_gives_full_tree_result(spark):
     Y = rng.normal(0, 10.0, (120, 2))
     Y = Y - Y.mean(axis=0)
     emb = _emb(spark, Y)
-    via_summary = _repulsive_barnes_hut(
+    via_summary, used_s = _repulsive_barnes_hut(
         emb, 0.5, 2, bh_condition="scaled", tree_build="summary"
     )
-    via_full = _repulsive_barnes_hut(
+    via_full, used_f = _repulsive_barnes_hut(
         emb, 0.5, 2, bh_condition="scaled", tree_build="distributed"
     )
+    assert not used_s and not used_f  # summary declined -> full-tree fallback
     s_rep, s_sq = _collect_rep(via_summary)
     f_rep, f_sq = _collect_rep(via_full)
     for i in f_rep:
@@ -216,13 +218,14 @@ def test_summary_large_n_spark_path(spark):
     Y = rng.normal(0, 30.0, (8192, 2))
     Y = Y - Y.mean(axis=0)
     emb = _emb(spark, Y)
-    res = _repulsive_barnes_hut(
+    res, used = _repulsive_barnes_hut(
         emb, 0.5, 2, bh_condition="scaled", tree_build="summary"
     )
+    assert used
     rep, sumq = _collect_rep(res)
     assert len(rep) == 8192
 
-    full = _repulsive_barnes_hut(
+    full, _used = _repulsive_barnes_hut(
         emb, 0.5, 2, bh_condition="scaled", tree_build="distributed"
     )
     full_rep, _ = _collect_rep(full)
@@ -246,6 +249,30 @@ def test_summary_large_n_spark_path(spark):
 
     e_summ, e_full = mean_err(rep), mean_err(full_rep)
     assert e_summ <= 1.2 * e_full, (e_summ, e_full)
+
+
+def test_auto_mode_selects_by_broadcast_budget(spark, monkeypatch):
+    """tree_build='auto' must pick summary when the estimated full-tree
+    broadcast exceeds the budget and full-tree below it (VERDICT r4 #1)."""
+    from tsne_flink_spark.operators import gradient as G
+
+    rng = np.random.default_rng(23)
+    Y = rng.normal(0, 30.0, (8192, 2))
+    Y = Y - Y.mean(axis=0)
+    emb = _emb(spark, Y)
+
+    monkeypatch.setattr(G, "_AUTO_BROADCAST_BUDGET", 1024)
+    df_s, used_s = G._repulsive_barnes_hut(
+        emb, 0.5, 2, bh_condition="scaled", tree_build="auto"
+    )
+    assert used_s, "auto should select summary above the budget"
+
+    monkeypatch.setattr(G, "_AUTO_BROADCAST_BUDGET", 1 << 40)
+    df_f, used_f = G._repulsive_barnes_hut(
+        emb, 0.5, 2, bh_condition="scaled", tree_build="auto"
+    )
+    assert not used_f, "auto should keep the full tree below the budget"
+    assert df_s.count() == df_f.count() == 8192
 
 
 def test_summary_mode_full_optimize_loop(spark):

@@ -290,6 +290,17 @@ def test_decode_image_rejects_unknown_formats():
         decode_image(b"\x89PNG\r\n\x1a\n")  # real PNG magic: loud, not wrong
 
 
+def test_decode_image_small_maxval_rescales():
+    """Netpbm samples span 0..maxval — a maxval=15 PGM must rescale to the
+    full 8-bit range (was ~17x too dark), and maxval=0 is rejected."""
+    from tsne_flink_spark.pipeline.multimodal import decode_image
+
+    img = decode_image(b"P5\n2 2\n15\n" + bytes([0, 5, 10, 15]))
+    assert img[:, :, 0].ravel().tolist() == [0, 85, 170, 255]
+    with pytest.raises(ValueError):
+        decode_image(b"P5\n2 2\n0\n" + bytes(4))
+
+
 def test_tfidf_top_terms(spark, docs):
     import math
 

@@ -89,6 +89,12 @@ def _write_events_parquet(tmp_path, unit):
             [int(t.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e9) for t in stamps],
             type=pa.int64(),
         )
+    elif unit == "us_utc":
+        # tz-aware (isAdjustedToUTC=true) — e.g. Spark-written parquet.
+        ts_arr = pa.array(
+            [t.replace(tzinfo=datetime.timezone.utc) for t in stamps],
+            type=pa.timestamp("us", tz="UTC"),
+        )
     else:
         ts_arr = pa.array(stamps, type=pa.timestamp(unit))
     table = pa.table(
@@ -136,11 +142,14 @@ def test_events_loader_units_agree_in_non_utc_session(spark, tmp_path):
     spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")  # +05:30
     try:
         decoded = {}
-        for unit in ("ns", "us", "ms", "int64"):
+        for unit in ("ns", "us", "ms", "int64", "us_utc"):
             sf_dir = _write_events_parquet(tmp_path, unit)
             rows = load_events(spark, sf_dir).orderBy("event_id").collect()
             decoded[unit] = [r["ts"] for r in rows]
-        assert decoded["ns"] == decoded["us"] == decoded["ms"] == decoded["int64"]
+        assert (
+            decoded["ns"] == decoded["us"] == decoded["ms"]
+            == decoded["int64"] == decoded["us_utc"]
+        )
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
 
@@ -148,6 +157,12 @@ def test_events_loader_units_agree_in_non_utc_session(spark, tmp_path):
 def test_parquet_ts_unit_detection(tmp_path):
     from tsne_flink_spark.sources.readers import _parquet_ts_unit
 
-    for unit, expect in [("ns", "ns"), ("us", "us"), ("ms", "ms"), ("int64", None)]:
+    for unit, expect in [
+        ("ns", ("ns", None)),
+        ("us", ("us", None)),
+        ("ms", ("ms", None)),
+        ("int64", (None, None)),
+        ("us_utc", ("us", "UTC")),
+    ]:
         sf_dir = _write_events_parquet(tmp_path, unit)
         assert _parquet_ts_unit(f"{sf_dir}/events.parquet") == expect

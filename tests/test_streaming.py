@@ -411,3 +411,18 @@ def test_stream_events_real_table_batch_parity(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_events_empty_dir_falls_back(spark, tmp_path):
+    """An empty watched directory is a normal initial state for a file-stream
+    source: setup must not raise, falling back to the classic TIMESTAMP
+    schema (ADVICE r4)."""
+    import os
+
+    from tsne_flink_spark.streaming.events import stream_events_from_files
+
+    stream_dir = str(tmp_path / "empty_stream")
+    os.makedirs(stream_dir)
+    stream = stream_events_from_files(spark, stream_dir)
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"

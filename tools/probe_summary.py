@@ -75,7 +75,7 @@ def probe(spark, n: int) -> dict:
             t0 = time.time()
             _repulsive_barnes_hut(
                 emb, THETA, 2, bh_condition=CONDITION, tree_build=mode
-            ).count()
+            )[0].count()
             ts.append(round(time.time() - t0, 2))
         timings[mode] = ts
 

@@ -48,16 +48,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Barnes-Hut summary condition: 'reference' replicates "
                         "the reference's non-scale-invariant test (quirk Q2); "
                         "'scaled' is canonical scale-invariant Barnes-Hut")
-    p.add_argument("--treeBuild", choices=["distributed", "driver", "summary"],
-                   default="distributed",
-                   help="Barnes-Hut quadtree build: 'distributed' merges "
-                        "per-partition subtrees executor-side (no per-"
-                        "iteration driver collect); 'driver' is the legacy "
-                        "collect-and-build path; 'summary' additionally "
-                        "replaces the per-iteration O(N) tree broadcast with "
-                        "a depth-capped far-field summary + near-field "
-                        "shuffle (the 100-TB scale path; falls back to "
-                        "'distributed' in degenerate regimes)")
+    p.add_argument("--treeBuild",
+                   choices=["auto", "distributed", "driver", "summary"],
+                   default="auto",
+                   help="Barnes-Hut quadtree build: 'auto' (default) uses the "
+                        "full executor-built tree below a 64 MB broadcast "
+                        "budget and the far-field summary above it; "
+                        "'distributed' merges per-partition subtrees "
+                        "executor-side (no per-iteration driver collect); "
+                        "'driver' is the legacy collect-and-build path; "
+                        "'summary' replaces the per-iteration O(N) tree "
+                        "broadcast with a depth-capped far-field summary + "
+                        "near-field shuffle (the 100-TB scale path; falls "
+                        "back to 'distributed' in degenerate regimes)")
     # the reference documents --lossFile but reads key "loss" (quirk Q5):
     # accept both spellings.
     p.add_argument("--lossFile", "--loss", dest="loss_file", default="loss.txt")

@@ -176,6 +176,41 @@ def build_pyramid(
     return levels
 
 
+def merge_pyramids(a: list[dict], b: list[dict]) -> list[dict]:
+    """Merge two per-level pyramids (same plan) by summing coincident codes.
+
+    Per-partition pyramids are built over DISJOINT depth-D cells (the cell
+    aggregation shuffles each cell to exactly one partition), but their
+    coarser levels overlap; the merge is a sorted-code groupby-sum per level.
+    Executor-side associative op for ``treeReduce`` — the driver never sees
+    row-level data, only the finished pyramid it must hold to broadcast.
+    """
+    out: list[dict] = []
+    for la, lb in zip(a, b):
+        if not len(lb["code"]):
+            out.append(la)
+            continue
+        if not len(la["code"]):
+            out.append(lb)
+            continue
+        code = np.concatenate([la["code"], lb["code"]])
+        cum = np.concatenate([la["cum"], lb["cum"]])
+        sx = np.concatenate([la["sx"], lb["sx"]])
+        sy = np.concatenate([la["sy"], lb["sy"]])
+        order = np.argsort(code, kind="stable")
+        code, cum, sx, sy = code[order], cum[order], sx[order], sy[order]
+        uniq, start = np.unique(code, return_index=True)
+        out.append(
+            {
+                "code": uniq,
+                "cum": np.add.reduceat(cum, start),
+                "sx": np.add.reduceat(sx, start),
+                "sy": np.add.reduceat(sy, start),
+            }
+        )
+    return out
+
+
 # -- per-block far-field coarsening ------------------------------------------
 
 def far_masses(

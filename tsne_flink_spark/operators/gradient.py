@@ -69,12 +69,27 @@ def _repulsive_exact(embedding: DataFrame, n_components: int) -> DataFrame:
     )
 
 
+def _bounds_with_count(embedding: DataFrame):
+    """7-value bounds/mean/count aggregate — the only per-iteration driver
+    round-trip the summary and auto paths need."""
+    return embedding.agg(
+        F.min(F.col("y")[0]).alias("x0"),
+        F.max(F.col("y")[0]).alias("x1"),
+        F.min(F.col("y")[1]).alias("y0"),
+        F.max(F.col("y")[1]).alias("y1"),
+        F.avg(F.col("y")[0]).alias("mx"),
+        F.avg(F.col("y")[1]).alias("my"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+
+
 def _repulsive_summary(
     embedding: DataFrame,
     theta: float,
     fix_bounds_mean: bool,
     bh_condition: str,
     summary_depth: int | None = None,
+    bounds=None,
 ) -> DataFrame | None:
     """Barnes-Hut repulsion WITHOUT the per-iteration O(N) tree broadcast
     (BASELINE.md B11): broadcast a depth-capped cell-aggregate pyramid
@@ -91,15 +106,7 @@ def _repulsive_summary(
     from tsne_flink_spark.operators.quadtree import build_quadtree
 
     spark = embedding.sparkSession
-    b = embedding.agg(
-        F.min(F.col("y")[0]).alias("x0"),
-        F.max(F.col("y")[0]).alias("x1"),
-        F.min(F.col("y")[1]).alias("y0"),
-        F.max(F.col("y")[1]).alias("y1"),
-        F.avg(F.col("y")[0]).alias("mx"),
-        F.avg(F.col("y")[1]).alias("my"),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
+    b = bounds if bounds is not None else _bounds_with_count(embedding)
     if b is None or b["x0"] is None:
         return None
     mx, my = (float(b["mx"]), float(b["my"])) if fix_bounds_mean else (0.0, 0.0)
@@ -135,23 +142,41 @@ def _repulsive_summary(
         & (F.abs(F.col("py") - F.lit(my)) <= F.lit(half))
     )
 
-    # depth-D cell aggregates -> driver (bounded by 4^D rows) -> pyramid
-    agg = (
-        mass.groupBy((F.col("ix") * grid + F.col("iy")).alias("cell"))
-        .agg(
-            F.count(F.lit(1)).alias("cum"),
-            F.sum("px").alias("sx"),
-            F.sum("py").alias("sy"),
+    # depth-D cell aggregates (map-side combined, <= 4^D rows shuffled) ->
+    # per-partition partial pyramids -> executor-side treeReduce merge.  The
+    # driver receives only the FINISHED pyramid (O(4^D), the object it must
+    # hold to broadcast anyway) — no per-iteration row collect and no
+    # driver-side pyramid build (was a .toPandas() of up to 4^D rows).
+    agg = mass.groupBy((F.col("ix") * grid + F.col("iy")).alias("cell")).agg(
+        F.count(F.lit(1)).alias("cum"),
+        F.sum("px").alias("sx"),
+        F.sum("py").alias("sy"),
+    )
+
+    def part_pyramid(rows):
+        cells, cums, sxs, sys = [], [], [], []
+        for r in rows:
+            cells.append(r["cell"])
+            cums.append(r["cum"])
+            sxs.append(r["sx"])
+            sys.append(r["sy"])
+        yield farfield.build_pyramid(
+            np.asarray(cells, dtype=np.int64),
+            np.asarray(cums, dtype=np.int64),
+            np.asarray(sxs, dtype=np.float64),
+            np.asarray(sys, dtype=np.float64),
+            plan,
         )
-        .toPandas()
-    )
-    levels = farfield.build_pyramid(
-        agg["cell"].to_numpy(np.int64),
-        agg["cum"].to_numpy(np.int64),
-        agg["sx"].to_numpy(np.float64),
-        agg["sy"].to_numpy(np.float64),
-        plan,
-    )
+
+    parts = agg.rdd.mapPartitions(part_pyramid)
+    if parts.getNumPartitions() == 0:
+        # all points outside the root cell (reference drop semantics): AQE
+        # collapses the empty aggregate to a zero-partition RDD treeReduce
+        # cannot reduce — the pyramid is simply empty
+        z = np.zeros(0, dtype=np.int64)
+        levels = farfield.build_pyramid(z, z, z.astype(float), z.astype(float), plan)
+    else:
+        levels = parts.treeReduce(farfield.merge_pyramids, depth=2)
     bc = spark.sparkContext.broadcast(levels)
 
     # Explicitly repartition both cogroup sides on the block key: the
@@ -231,36 +256,61 @@ def _repulsive_summary(
     )
 
 
+# Auto-mode policy constants (BASELINE.md B14): the pickled full quadtree
+# measured 213 MB at N=1M, so ~220 bytes/point with headroom; above a 64 MB
+# per-iteration broadcast budget the summary far-field path is selected.
+_TREE_BYTES_PER_POINT = 220
+_AUTO_BROADCAST_BUDGET = 64 << 20  # => auto switches to summary at N ~ 305k
+
+
 def _repulsive_barnes_hut(
     embedding: DataFrame,
     theta: float,
     n_components: int,
     fix_bounds_mean: bool = False,
     bh_condition: str = "reference",
-    tree_build: str = "distributed",
-) -> DataFrame:
-    """Barnes-Hut repulsive forces via a broadcast quadtree.
+    tree_build: str = "auto",
+) -> tuple[DataFrame, bool]:
+    """Barnes-Hut repulsive forces.  Returns ``(rep, used_summary)`` —
+    callers materialize the heavy cogroup pipeline only when the summary
+    path actually ran.
 
-    ``tree_build="distributed"`` (default) builds per-partition subtrees and
-    merges them executor-side (``build_quadtree_distributed``): the driver
-    sees only a 6-value bounds aggregate and the finished tree, removing the
-    per-iteration O(N) collect + single-threaded Python insert loop that was
-    the flagship query's scale ceiling.  ``"driver"`` keeps the legacy
+    ``tree_build="auto"`` (default) picks the path from the data: the
+    full-tree broadcast costs ~``_TREE_BYTES_PER_POINT * N`` bytes per
+    iteration (213 MB measured at N=1M, B14); when the estimate exceeds
+    ``_AUTO_BROADCAST_BUDGET`` the O(1)-broadcast far-field summary path is
+    selected, else the reference-parity full tree.  ``"distributed"`` builds
+    per-partition subtrees and merges them executor-side
+    (``build_quadtree_distributed``): the driver sees only a 6-value bounds
+    aggregate and the finished tree.  ``"driver"`` keeps the legacy
     collect-and-build path (useful for small N and equivalence tests; the
     reference broadcasts the full tree the same way,
-    TsneHelpers.scala:234-264).
+    TsneHelpers.scala:234-264).  ``"summary"`` forces the far-field summary
+    (falls back to full-tree in degenerate regimes).
     """
     if n_components != 2:
         raise ValueError("Barnes-Hut path supports n_components=2 (quadtree)")
-    if tree_build not in ("driver", "stub", "distributed", "summary"):
+    if tree_build not in ("auto", "driver", "stub", "distributed", "summary"):
         raise ValueError(
-            f"tree_build must be one of 'driver', 'stub', 'distributed', "
-            f"'summary'; got {tree_build!r}"
+            f"tree_build must be one of 'auto', 'driver', 'stub', "
+            f"'distributed', 'summary'; got {tree_build!r}"
         )
+    bounds = None
+    if tree_build in ("auto", "summary"):
+        bounds = _bounds_with_count(embedding)
+        if tree_build == "auto":
+            n = int(bounds["n"]) if bounds is not None and bounds["n"] is not None else 0
+            tree_build = (
+                "summary"
+                if n * _TREE_BYTES_PER_POINT > _AUTO_BROADCAST_BUDGET
+                else "distributed"
+            )
     if tree_build == "summary":
-        res = _repulsive_summary(embedding, theta, fix_bounds_mean, bh_condition)
+        res = _repulsive_summary(
+            embedding, theta, fix_bounds_mean, bh_condition, bounds=bounds
+        )
         if res is not None:
-            return res
+            return res, True
         tree_build = "distributed"  # degenerate regime: full-tree fallback
     if tree_build == "driver":
         rows = embedding.select("id", "y").collect()
@@ -276,7 +326,7 @@ def _repulsive_barnes_hut(
         tree = QuadTree(0.0, 0.0, 1.0)
     else:
         tree = build_quadtree_distributed(
-            embedding, fix_bounds_mean=fix_bounds_mean
+            embedding, fix_bounds_mean=fix_bounds_mean, bounds=bounds
         )
     bc = embedding.sparkSession.sparkContext.broadcast(tree)
 
@@ -295,8 +345,11 @@ def _repulsive_barnes_hut(
                 }
             )
 
-    return embedding.mapInPandas(
-        eval_forces, schema="id int, rep array<double>, sumq double"
+    return (
+        embedding.mapInPandas(
+            eval_forces, schema="id int, rep array<double>, sumq double"
+        ),
+        False,
     )
 
 
@@ -309,7 +362,7 @@ def gradient(
     compute_loss: bool = False,
     fix_bounds_mean: bool = False,
     bh_condition: str = "reference",
-    tree_build: str = "distributed",
+    tree_build: str = "auto",
 ) -> tuple[DataFrame, DataFrame | None]:
     """One gradient evaluation.
 
@@ -320,7 +373,7 @@ def gradient(
     if theta == 0.0:
         rep = _repulsive_exact(embedding, n_components)
     else:
-        rep = _repulsive_barnes_hut(
+        rep, used_summary = _repulsive_barnes_hut(
             embedding,
             theta,
             n_components,
@@ -328,13 +381,14 @@ def gradient(
             bh_condition=bh_condition,
             tree_build=tree_build,
         )
-        if tree_build == "summary":
+        if used_summary:
             # rep feeds BOTH the sum_q aggregate and the grad join; without
             # pinning it, the whole summary pipeline (near-field shuffle +
             # per-block Python evaluation) runs twice per iteration, and the
             # two evaluations could rebuild local trees from different
             # shuffle row orders (last-bit rep/sumq inconsistency).  The
-            # full-tree paths re-evaluate only a cheap broadcast-tree
+            # full-tree paths (including the summary path's own degenerate-
+            # regime fallback) re-evaluate only a cheap broadcast-tree
             # mapInPandas, so they keep the lazy form.
             from tsne_flink_spark.operators.optimize import materialize
 

@@ -63,7 +63,7 @@ def iteration_computation(
     iter_offset: int = 0,
     loss_sink: list | None = None,
     bh_condition: str = "reference",
-    tree_build: str = "distributed",
+    tree_build: str = "auto",
 ) -> DataFrame:
     """Run ``iterations`` gradient-descent steps from ``working_set``.
 
@@ -111,7 +111,7 @@ def optimize(
     n_components: int = 2,
     loss_sink: list | None = None,
     bh_condition: str = "reference",
-    tree_build: str = "distributed",
+    tree_build: str = "auto",
 ) -> DataFrame:
     """Full three-phase optimization; returns the final (id, y) embedding."""
     iter_init = min(iterations, 20)

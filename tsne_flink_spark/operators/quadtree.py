@@ -577,7 +577,7 @@ def merge_quadtrees_scalar(a: QuadTree, b: QuadTree) -> QuadTree:
 
 
 def build_quadtree_distributed(
-    embedding, fix_bounds_mean: bool = False
+    embedding, fix_bounds_mean: bool = False, bounds=None
 ) -> QuadTree:
     """Cluster-side quadtree build: per-partition subtrees + treeReduce merge.
 
@@ -594,10 +594,13 @@ def build_quadtree_distributed(
     min/max — DataFrame min/max equals numpy min/max exactly).
 
     ``embedding``: DataFrame with a ``y ARRAY<DOUBLE>`` column (2-D).
+    ``bounds``: optional precomputed bounds row (any mapping with keys
+    x0/x1/y0/y1/mx/my) so callers that already ran the bounds aggregate
+    this iteration (the auto/summary dispatch) don't pay a second job.
     """
     import pyspark.sql.functions as F
 
-    b = embedding.agg(
+    b = bounds if bounds is not None else embedding.agg(
         F.min(F.col("y")[0]).alias("x0"),
         F.max(F.col("y")[0]).alias("x1"),
         F.min(F.col("y")[1]).alias("y0"),

@@ -81,8 +81,14 @@ def decode_image(payload: bytes) -> np.ndarray:
     pos += 1  # exactly one whitespace byte separates header from raster
     channels = 3 if magic == b"P6" else 1
     count = w * h * channels
+    if maxval <= 0:
+        raise ValueError(f"invalid Netpbm maxval {maxval}")
     if maxval < 256:
         raster = np.frombuffer(payload, dtype=np.uint8, count=count, offset=pos)
+        if maxval != 255:
+            # Netpbm samples span 0..maxval; rescale to full 8-bit range
+            # (same normalization the 16-bit branch applies).
+            raster = (raster.astype(np.uint32) * 255 // maxval).astype(np.uint8)
     elif maxval < 65536:
         raster = np.frombuffer(
             payload, dtype=">u2", count=count, offset=pos

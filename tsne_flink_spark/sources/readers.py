@@ -86,13 +86,18 @@ _EVENTS_DDL = (
 )
 
 
-def _parquet_ts_unit(path: str, column: str = "ts") -> str | None:
-    """Read the physical timestamp unit of ``column`` from the parquet footer.
+def _parquet_ts_unit(path: str, column: str = "ts") -> tuple[str | None, str | None]:
+    """Read the timestamp unit and timezone of ``column`` from the parquet
+    footer.
 
-    Returns ``'ns' | 'us' | 'ms' | 's'`` for timestamp-typed columns, or
-    ``None`` when the column is stored as a plain integer (no logical
-    timestamp annotation).  Footer-only: no row groups are read, so this is
-    O(1) regardless of table size and safe to call per-query at 100 TB.
+    Returns ``(unit, tz)`` where ``unit`` is ``'ns' | 'us' | 'ms' | 's'`` for
+    timestamp-typed columns (``None`` when the column is stored as a plain
+    integer with no logical timestamp annotation) and ``tz`` is the column's
+    timezone string for instant-semantics columns (parquet
+    ``isAdjustedToUTC=true``; pyarrow surfaces it as ``type.tz``) or ``None``
+    for wall-clock (NTZ) columns.  Footer-only: no row groups are read, so
+    this is O(1) regardless of table size and safe to call per-query at
+    100 TB.
     """
     import glob
     import os
@@ -108,7 +113,7 @@ def _parquet_ts_unit(path: str, column: str = "ts") -> str | None:
             raise FileNotFoundError(f"no parquet files under {path}")
         path = parts[0]
     field_type = pq.ParquetFile(path).schema_arrow.field(column).type
-    return getattr(field_type, "unit", None)
+    return getattr(field_type, "unit", None), getattr(field_type, "tz", None)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,8 +135,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       (the only un-annotated encoding the driver has ever produced).
     """
     path = f"{sf_dir}/events.parquet"
-    unit = _parquet_ts_unit(path)
+    unit, tz = _parquet_ts_unit(path)
     if unit in ("us", "ms", "s"):
+        if tz is not None:
+            # isAdjustedToUTC=true: the stored micros are real instants and
+            # Spark decodes them as a classic TIMESTAMP directly — relabeling
+            # here would shift every instant by the session offset.
+            return spark.read.parquet(path)
         # Parquet timestamps without isAdjustedToUTC surface as
         # TIMESTAMP_NTZ; downstream operators (sessionize's epoch-seconds
         # lag, the as-of join) expect the classic TIMESTAMP type.  The

@@ -242,7 +242,13 @@ def stream_events_from_files(
 
     if schema is not None:
         return spark.readStream.schema(schema).parquet(path)
-    unit = _parquet_ts_unit(path)
+    try:
+        unit, _tz = _parquet_ts_unit(path)
+    except FileNotFoundError:
+        # Empty watched directory — a normal initial state for a file-stream
+        # source.  Fall back to the classic TIMESTAMP schema (the driver's
+        # steady-state encoding); pass an explicit ``schema`` to override.
+        unit = "us"
     if unit == "ns" or unit is None:
         raw = spark.readStream.schema(
             "event_id bigint, ts long, user_id bigint, "

@@ -42,9 +42,11 @@ class TSNE:
     # "reference" replicates quirk Q2 (summary vs SQUARED distance — exact
     # O(N^2) on compressed embeddings); "scaled" is canonical Barnes-Hut
     bh_condition: str = "reference"
-    # "distributed": executor-built quadtree (per-partition subtrees merged
-    # via treeReduce — no per-iteration driver collect); "driver": legacy
-    tree_build: str = "distributed"
+    # "auto" (default): full executor-built tree below a 64 MB broadcast
+    # budget (reference parity), far-field summary above it (O(1)-in-N
+    # broadcast — the 100-TB path, BASELINE.md B14); "distributed"/"driver"/
+    # "summary" force a path
+    tree_build: str = "auto"
     knn_method: str = "bruteforce"  # bruteforce | partition | project
     # 3 = reference parity (Tsne.scala:61 knnIterations default).  The bare
     # project_knn operator defaults to 4 passes (recall 0.853 at N=100k);
