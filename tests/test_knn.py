@@ -70,6 +70,59 @@ def test_project_knn_recall(spark):
     assert recall >= 0.6, f"recall {recall:.2f} too low"
 
 
+def test_project_knn_recall_pathological_clustering(spark):
+    """Clustered-data hardening (VERDICT r4 #5): with ~all mass inside a
+    tiny fraction of the coordinate range (a few extreme outliers stretch
+    min/max), naive min-max quantization collapses the cluster into a
+    handful of curve bins and rank-window recall dies.  The robust
+    (mean +- 8 sigma) bounds must keep recall at the normal-data level."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    # dense cluster spanning ~1e-5 of the range; 8 outliers at +-50
+    X = rng.normal(0.0, 1e-4, (n, 16))
+    outliers = rng.choice(n, 8, replace=False)
+    X[outliers] = rng.uniform(-50, 50, (8, 16))
+    df = points_from_rows(spark, [(i, X[i].tolist()) for i in range(n)])
+    k = 10
+    exact = {(r["i"], r["j"]) for r in k_nearest_neighbors(df, k).collect()}
+    approx = {
+        (r["i"], r["j"])
+        for r in project_knn(df, k, iterations=4, seed=1).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"pathological-clustering recall {recall:.2f}"
+
+
+def test_curve_bits_schedule():
+    from tsne_flink_spark.operators.knn import _curve_bits
+
+    assert _curve_bits(0) == 16
+    assert _curve_bits(100_000) == 19   # ceil(log2 1e5) + 2
+    assert _curve_bits(10**12) == 21    # capped
+    assert _curve_bits(16_384) == 16    # floor: small N keeps 16-bit keys
+
+
+def test_robust_bounds_ignore_outliers(spark):
+    import numpy as np
+
+    from tsne_flink_spark.operators.knn import _feature_bounds
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(0, 1e-3, (500, 3))
+    X[0] = [1e6, -1e6, 1e6]
+    df = points_from_rows(spark, [(i, X[i].tolist()) for i in range(500)])
+    mins, maxs, n = _feature_bounds(df, 3)
+    assert n == 500
+    # bounds hug the cluster (mean +- 8 sigma of the WHOLE data, outlier
+    # included in the moments but not allowed to own the range)
+    assert (np.abs(mins) < 1e6 / 2).all() and (np.abs(maxs) < 1e6 / 2).all()
+    # without clipping the raw min/max would be +-1e6
+    mins_raw, maxs_raw, _ = _feature_bounds(df, 3, robust=False)
+    assert (np.abs(mins_raw) == 1e6).any() or (np.abs(maxs_raw) == 1e6).any()
+
+
 def test_project_knn_shape(spark, knn_points):
     out = project_knn(knn_points, 2, iterations=2, seed=0)
     rows = out.collect()

@@ -155,20 +155,50 @@ def partition_knn(
 # project_knn — z-order approximate kNN
 # ---------------------------------------------------------------------------
 
-_MORTON_BITS = 16  # quantization bits per dimension
+_MORTON_BITS = 16  # base quantization bits per dimension
+_MAX_CURVE_BITS = 21  # cap: 5-dim keys stay 14 bytes; uint32 transpose safe
 
 
-def _feature_bounds(points: DataFrame, dim: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per-dimension (min, max) of the features column.
+def _curve_bits(n: int) -> int:
+    """N-adaptive bits-per-dim for the space-filling key: ~sqrt-of-N cells
+    per axis is far more than enough, so ceil(log2 N) + 2 (floor 16, cap 21)
+    keeps clustered 100-TB-scale data from collapsing into few bins while
+    leaving small-N keys byte-identical to the historical 16-bit layout."""
+    import math
+
+    return min(_MAX_CURVE_BITS, max(_MORTON_BITS, math.ceil(math.log2(max(n, 2))) + 2))
+
+
+_BOUNDS_SAMPLE_PER_PART = 256
+
+
+def _feature_bounds(
+    points: DataFrame, dim: int, robust: bool = True
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Per-dimension quantization bounds and the row count.
 
     One partial row per partition via mapInPandas + a driver-side reduce —
     a 2*dim-wide agg would fall out of codegen into interpreted evaluation.
+
+    With ``robust`` (default), min/max is clipped per dimension to
+    ``[p1 - 2*spread, p99 + 2*spread]`` where p1/p99 are sampled 1st/99th
+    percentiles and ``spread = p99 - p1``: for well-behaved data the widened
+    band comfortably contains min/max (normal data: ~+-12 sigma vs max ~4-5
+    sigma at any realistic N) so bounds are EXACTLY min/max, but a few
+    extreme outliers can no longer stretch the range so far that the data
+    mass quantizes into a handful of curve bins (the clustered-data recall
+    collapse) — outliers saturate into the edge bin instead, and their true
+    distances are still verified downstream.  The sample is the first
+    ``_BOUNDS_SAMPLE_PER_PART`` rows of each partition — deterministic for
+    a pinned input.
     """
 
     def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mn = np.full(dim, np.inf)
         mx = np.full(dim, -np.inf)
-        seen = False
+        sample: list[np.ndarray] = []
+        sampled = 0
+        cnt = 0
         for pdf in it:
             if not len(pdf):
                 continue
@@ -177,16 +207,40 @@ def _feature_bounds(points: DataFrame, dim: int) -> tuple[np.ndarray, np.ndarray
             )
             mn = np.minimum(mn, X.min(axis=0))
             mx = np.maximum(mx, X.max(axis=0))
-            seen = True
-        if seen:
-            yield pd.DataFrame({"mn": [mn.tolist()], "mx": [mx.tolist()]})
+            if sampled < _BOUNDS_SAMPLE_PER_PART:
+                take = X[: _BOUNDS_SAMPLE_PER_PART - sampled]
+                sample.append(take)
+                sampled += len(take)
+            cnt += len(X)
+        if cnt:
+            yield pd.DataFrame(
+                {"mn": [mn.tolist()], "mx": [mx.tolist()],
+                 "sample": [np.concatenate(sample).ravel().tolist()],
+                 "cnt": [cnt]}
+            )
 
     rows = points.select("features").mapInPandas(
-        partial, schema="mn array<double>, mx array<double>"
+        partial,
+        schema="mn array<double>, mx array<double>, "
+               "sample array<double>, cnt long",
     ).collect()
+    if not rows:
+        return np.zeros(dim), np.ones(dim), 0
     mins = np.min([r["mn"] for r in rows], axis=0)
     maxs = np.max([r["mx"] for r in rows], axis=0)
-    return mins, maxs
+    n = int(sum(r["cnt"] for r in rows))
+    if robust and n > 1:
+        pooled = np.concatenate(
+            [np.asarray(r["sample"]).reshape(-1, dim) for r in rows]
+        )
+        p1, p99 = np.quantile(pooled, [0.01, 0.99], axis=0)
+        spread = p99 - p1
+        lo = np.maximum(mins, p1 - 2.0 * spread)
+        hi = np.minimum(maxs, p99 + 2.0 * spread)
+        ok = hi > lo
+        mins = np.where(ok, lo, mins)
+        maxs = np.where(ok, hi, maxs)
+    return mins, maxs, n
 
 
 def _axes_to_hilbert_transpose(q: np.ndarray, bits: int) -> np.ndarray:
@@ -234,6 +288,7 @@ def space_filling_key(
     mins: np.ndarray,
     maxs: np.ndarray,
     curve: str = "morton",
+    bits: int = _MORTON_BITS,
 ) -> DataFrame:
     """Append a sortable BINARY space-filling-curve key column ``__z``.
 
@@ -250,6 +305,8 @@ def space_filling_key(
     """
     if curve not in ("morton", "hilbert"):
         raise ValueError(f"curve must be 'morton' or 'hilbert', got {curve!r}")
+    if not (1 <= bits <= 32):
+        raise ValueError(f"bits must be in [1, 32], got {bits}")
     mins_b = mins.astype(np.float64)
     span = np.maximum(maxs.astype(np.float64) - mins_b, 1e-300)
 
@@ -260,19 +317,20 @@ def space_filling_key(
                 yield pdf.assign(__z=pd.Series([], dtype=object))
                 continue
             n, d = X.shape
-            q = np.clip(
-                ((X - mins_b) / span * ((1 << _MORTON_BITS) - 1)).astype(np.uint32),
-                0,
-                (1 << _MORTON_BITS) - 1,
+            # clip BEFORE the uint cast: robust bounds may leave outliers
+            # outside [mins, maxs], and a negative float -> uint32 cast is UB
+            scaled = np.clip(
+                (X - mins_b) / span * ((1 << bits) - 1), 0, (1 << bits) - 1
             )
+            q = scaled.astype(np.uint32)
             if curve == "hilbert":
-                q = _axes_to_hilbert_transpose(q, _MORTON_BITS)
-            # bits[n, b, dim]: plane b (msb-first) of each dim
+                q = _axes_to_hilbert_transpose(q, bits)
+            # bit planes [n, b, dim]: plane b (msb-first) of each dim
             planes = (
-                (q[:, None, :] >> (np.arange(_MORTON_BITS - 1, -1, -1)[None, :, None]))
+                (q[:, None, :] >> (np.arange(bits - 1, -1, -1)[None, :, None]))
                 & 1
             ).astype(np.uint8)
-            flat = planes.reshape(n, _MORTON_BITS * d)  # msb plane first, dim-major
+            flat = planes.reshape(n, bits * d)  # msb plane first, dim-major
             pad = (-flat.shape[1]) % 8
             if pad:
                 flat = np.concatenate(
@@ -292,9 +350,12 @@ def space_filling_key(
     return points.mapInPandas(add_key, schema=schema)
 
 
-def morton_key(points: DataFrame, mins: np.ndarray, maxs: np.ndarray) -> DataFrame:
+def morton_key(
+    points: DataFrame, mins: np.ndarray, maxs: np.ndarray,
+    bits: int = _MORTON_BITS,
+) -> DataFrame:
     """Morton (z-order) key — reference-parity ordering (ZOrder.scala)."""
-    return space_filling_key(points, mins, maxs, curve="morton")
+    return space_filling_key(points, mins, maxs, curve="morton", bits=bits)
 
 
 def _global_rank_by(df: DataFrame, order_col: str, *tiebreak: str) -> DataFrame:
@@ -471,8 +532,10 @@ def project_knn(
         if _plan_stub:
             mins = np.zeros(dimension)
             maxs = np.ones(dimension)
+            bits = _MORTON_BITS
         else:
-            mins, maxs = _feature_bounds(points, dimension)
+            mins, maxs, n_rows = _feature_bounds(points, dimension)
+            bits = _curve_bits(n_rows)
         span = maxs - mins
         shifts = [None] + [
             rng.uniform(0.0, 1.0, size=dimension) * span
@@ -494,7 +557,7 @@ def project_knn(
                     "id",
                     F.zip_with("features", arr, lambda a, b: a + b).alias("features"),
                 )
-            keyed = morton_key(shifted, grid_mins, grid_maxs)
+            keyed = morton_key(shifted, grid_mins, grid_maxs, bits=bits)
             candidate_sets.append(
                 _zorder_candidates(keyed, window, stub_rank=_plan_stub)
             )
@@ -507,14 +570,18 @@ def project_knn(
             if _plan_stub:
                 pmins = np.zeros(proj_dims)
                 pmaxs = np.ones(proj_dims)
+                bits = _MORTON_BITS
             else:
                 # persisted: the projection GEMM otherwise re-evaluates for
                 # the bounds scan AND the rank shuffle (>= 2x per pass).
                 # Cached blocks are reclaimed by LRU / clearCache, as with
                 # the other per-call persists in this package.
                 projected = projected.persist(StorageLevel.MEMORY_AND_DISK)
-                pmins, pmaxs = _feature_bounds(projected, proj_dims)
-            keyed = space_filling_key(projected, pmins, pmaxs, curve=curve)
+                pmins, pmaxs, n_rows = _feature_bounds(projected, proj_dims)
+                bits = _curve_bits(n_rows)
+            keyed = space_filling_key(
+                projected, pmins, pmaxs, curve=curve, bits=bits
+            )
             candidate_sets.append(
                 _zorder_candidates(keyed, window, stub_rank=_plan_stub)
             )
