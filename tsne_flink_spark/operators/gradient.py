@@ -288,12 +288,19 @@ def _repulsive_barnes_hut(
     TsneHelpers.scala:234-264).  ``"summary"`` forces the far-field summary
     (falls back to full-tree in degenerate regimes).
     """
-    if n_components != 2:
-        raise ValueError("Barnes-Hut path supports n_components=2 (quadtree)")
     if tree_build not in ("auto", "driver", "stub", "distributed", "summary"):
         raise ValueError(
             f"tree_build must be one of 'auto', 'driver', 'stub', "
             f"'distributed', 'summary'; got {tree_build!r}"
+        )
+    if n_components != 2:
+        # the reference's BH path is a 2-D quadtree only (QuadTree.scala)
+        # even though its CLI accepts --nComponents; the d-dimensional
+        # NDTree closes that surface (beyond-reference, same semantics).
+        # The far-field summary grid is 2-D, so auto/summary run full-tree.
+        return _repulsive_barnes_hut_nd(
+            embedding, theta, n_components, fix_bounds_mean, bh_condition,
+            tree_build,
         )
     bounds = None
     if tree_build in ("auto", "summary"):
@@ -343,6 +350,55 @@ def _repulsive_barnes_hut(
                     "rep": list(forces),
                     "sumq": sumq,
                 }
+            )
+
+    return (
+        embedding.mapInPandas(
+            eval_forces, schema="id int, rep array<double>, sumq double"
+        ),
+        False,
+    )
+
+
+def _repulsive_barnes_hut_nd(
+    embedding: DataFrame,
+    theta: float,
+    n_components: int,
+    fix_bounds_mean: bool,
+    bh_condition: str,
+    tree_build: str,
+) -> tuple[DataFrame, bool]:
+    """Barnes-Hut repulsion for n_components != 2 via the d-dimensional
+    NDTree (octree at d=3) — driver or executor-merged build + broadcast +
+    vectorized mapInPandas evaluation, mirroring the 2-D paths."""
+    from tsne_flink_spark.operators.ndtree import (
+        NDTree,
+        build_ndtree,
+        build_ndtree_distributed,
+    )
+
+    d = n_components
+    if tree_build == "driver":
+        rows = embedding.select("id", "y").collect()
+        Y = np.array([r["y"] for r in rows], dtype=np.float64).reshape(-1, d)
+        tree = build_ndtree(Y, fix_bounds_mean=fix_bounds_mean)
+    elif tree_build == "stub":
+        tree = NDTree(np.zeros(d), 1.0)
+    else:  # auto / distributed / summary (no d-dim summary grid yet)
+        tree = build_ndtree_distributed(
+            embedding, d, fix_bounds_mean=fix_bounds_mean
+        )
+    bc = embedding.sparkSession.sparkContext.broadcast(tree)
+
+    def eval_forces(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = np.array([np.asarray(v) for v in pdf["y"]], dtype=np.float64)
+            forces, sumq = t.repulsive_forces(Q, theta, condition=bh_condition)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "rep": list(forces), "sumq": sumq}
             )
 
     return (
