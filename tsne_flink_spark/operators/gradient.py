@@ -23,6 +23,7 @@ O(N*k) rows shuffled, no O(N) per-task state.  Repulsive forces:
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -428,6 +429,10 @@ def gradient(
     """
     if theta == 0.0:
         rep = _repulsive_exact(embedding, n_components)
+        if os.environ.get("TSNE_SPARK_PIN_REP") == "1":
+            from tsne_flink_spark.operators.optimize import materialize
+
+            rep = materialize(rep)
     else:
         rep, used_summary = _repulsive_barnes_hut(
             embedding,
@@ -437,7 +442,7 @@ def gradient(
             bh_condition=bh_condition,
             tree_build=tree_build,
         )
-        if used_summary:
+        if used_summary or os.environ.get("TSNE_SPARK_PIN_REP") == "1":
             # rep feeds BOTH the sum_q aggregate and the grad join; without
             # pinning it, the whole summary pipeline (near-field shuffle +
             # per-block Python evaluation) runs twice per iteration, and the
@@ -446,6 +451,8 @@ def gradient(
             # full-tree paths (including the summary path's own degenerate-
             # regime fallback) re-evaluate only a cheap broadcast-tree
             # mapInPandas, so they keep the lazy form.
+            # TSNE_SPARK_PIN_REP=1 pins the full-tree rep too (A/B probe,
+            # tools/ab_rep_materialize.py).
             from tsne_flink_spark.operators.optimize import materialize
 
             rep = materialize(rep)
