@@ -64,6 +64,7 @@ def main():
     ap.add_argument("--theta", type=float, default=0.5)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--pin", action="store_true")
+    ap.add_argument("--tree-build", default=None)
     args = ap.parse_args()
 
     if args.pin:
@@ -92,7 +93,8 @@ def main():
         t0 = time.time()
         grad, _ = gradient(
             p, emb, theta=args.theta, bh_condition="scaled",
-            tree_build="auto" if args.theta > 0 else "distributed",
+            tree_build=args.tree_build
+            or ("auto" if args.theta > 0 else "distributed"),
         )
         grad.count()
         ts.append(round(time.time() - t0, 2))
