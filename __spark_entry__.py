@@ -449,6 +449,21 @@ def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS, Schleimer et al. SIGMOD 2003):
+    per-document set of window-min k-gram rolling hashes — the local
+    fingerprint that detects PARTIAL overlap (any shared substring of
+    length >= k+w-1 yields a common fp), complementing the whole-document
+    exact-dedup hash.  Pure Column pipeline: scan -> narrow map -> explode,
+    no shuffle, exact DuckDB oracle."""
+    from tsne_flink_spark.pipeline.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=8, w=4, id_col="doc_id").select(
+        "doc_id", F.col("fp").cast("long").alias("fp")
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways: whitespace tokens and the BPE-ish sub-word
     count (alnum runs + non-space punctuation chars) — the cheap stand-in a
@@ -808,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_order_asof": q_event_order_asof,
         "session_overlap": q_session_overlap,
         "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
         "quality_scores": q_quality_scores,
         "multimodal_features": q_multimodal_features,
         "multimodal_check": q_multimodal_check,
@@ -1261,6 +1277,29 @@ SELECT user_id,
        COUNT(*)::BIGINT AS n_events,
        round(SUM(value), 4) AS sum_value
 FROM events GROUP BY user_id ORDER BY user_id
+""",
+        "doc_fingerprint": """
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), ch -> ord(ch)::BIGINT) AS codes
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(codes) >= 8 THEN
+           list_transform(range(1, greatest(len(codes) - 7, 1) + 1),
+             i -> list_reduce(list_prepend(0::BIGINT, list_slice(codes, i, i + 7)),
+                              (a, b) -> (a * 257 + b) % 1000000007))
+         ELSE []::BIGINT[] END AS grams
+  FROM codes
+), fps AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= 4 THEN
+           list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+             j -> list_aggregate(list_slice(grams, j, j + 3), 'min')))
+         ELSE []::BIGINT[] END AS fps
+  FROM grams
+)
+SELECT doc_id, unnest(fps)::BIGINT AS fp FROM fps
 """,
         "token_counts": """
 SELECT doc_id,

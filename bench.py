@@ -58,6 +58,7 @@ def main() -> None:
         "pairwise_affinities",
         "text_stats",
         "language_id",
+        "doc_fingerprint",
         "exact_dedup",
         "minhash_dedup",
         "simhash_dedup",

@@ -406,6 +406,60 @@ def test_rolling_fingerprint(spark, docs):
         docs.select(rolling_fingerprint(F.col("text"), mod=2**61 - 1))
 
 
+def test_winnow_fingerprints(spark):
+    from tsne_flink_spark.pipeline.text import winnow_fingerprints
+
+    k, w = 8, 4
+    shared = "a distinctive shared passage of text"  # len 36 >= k+w-1
+    d = spark.createDataFrame(
+        [
+            (0, f"first document begins here. {shared}. then diverges xyz"),
+            (1, f"totally other opening words! {shared}! unrelated ending"),
+            (2, "no overlap with anything else qqqq wwww eeee rrrr tttt"),
+            (3, "short"),  # < k+w-1 chars -> no fingerprints
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = winnow_fingerprints(d, k=k, w=w, id_col="doc_id")
+    by_id = {}
+    for r in out.collect():
+        by_id.setdefault(r["doc_id"], set()).add(r["fp"])
+    # MOSS guarantee: a shared substring of length >= k+w-1 contributes at
+    # least one common fingerprint
+    assert by_id[0] & by_id[1]
+    # an unrelated doc shares nothing with either
+    assert not (by_id[2] & by_id[0]) and not (by_id[2] & by_id[1])
+    # sub-threshold and empty docs emit no rows
+    assert 3 not in by_id and 4 not in by_id
+    # (doc_id, fp) rows are distinct (array_distinct before explode)
+    assert out.count() == out.distinct().count()
+    # hash value parity with the independent reference implementation
+    txt = "abcdefghijkl"
+    codes = [ord(c) for c in txt]
+    grams = []
+    for i in range(len(codes) - k + 1):
+        h = 0
+        for c in codes[i : i + k]:
+            h = (h * 257 + c) % 1_000_000_007
+        grams.append(h)
+    want = set()
+    for j in range(len(grams) - w + 1):
+        want.add(min(grams[j : j + w]))
+    got = {
+        r["fp"]
+        for r in winnow_fingerprints(
+            spark.createDataFrame([(9, txt)], "doc_id bigint, text string"),
+            k=k,
+            w=w,
+            id_col="doc_id",
+        ).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        winnow_fingerprints(d, id_col="doc_id", mod=2**61 - 1)
+
+
 def test_dedup_invariant_checks(spark, docs):
     """The soundness/completeness invariant counters must be exactly (0, 0)
     on any corpus — these back the *_dedup_check driver oracles."""

@@ -111,6 +111,95 @@ def rolling_fingerprint(text: Column, base: int = 257, mod: int = 2**54 - 33) ->
     )
 
 
+def _let(col: Column, fn) -> Column:
+    """Bind ``col`` to a higher-order-function lambda variable so ``fn``'s
+    body can reference it many times while it is evaluated ONCE per row.
+
+    Without this, chaining array stages through ``select`` projections is a
+    trap: Catalyst's CollapseProject inlines the producing expression at
+    EVERY reference, so ``slice(grams, j, w)`` inside a transform re-derives
+    the whole grams array per window position — measured as an O(L^3)
+    interpreted blowup in ``winnow_fingerprints`` (single 500-doc partition
+    pinned for minutes; jstack shows ArrayTransform>ArrayAggregate>
+    ArrayTransform nests).  ``transform(array(col), v -> body)[1]`` is the
+    Column-level `let`: the singleton wrapper forces one evaluation and the
+    lambda variable is a cheap bound reference.
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "id",
+    base: int = 257,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every ``k``-gram of characters
+    with a polynomial rolling hash, then keep the minimum hash of each
+    window of ``w`` consecutive grams.  The selected set is a *local*
+    fingerprint: any shared substring of length >= ``k + w - 1`` between two
+    documents is guaranteed to contribute at least one common fingerprint,
+    which makes the output joinable for partial-overlap detection (vs the
+    whole-document ``fingerprint``/``rolling_fingerprint``, which only catch
+    full-content duplicates).
+
+    Returns one row per distinct ``(id_col, fp)`` — fingerprints are deduped
+    per-document *inside* the array (``array_distinct``) before the explode,
+    so the result needs NO shuffle: scan -> narrow map -> explode, fully
+    whole-stage-codegen, linear in total characters (O(k + w) column ops per
+    character).  Documents shorter than ``k + w - 1`` characters produce no
+    rows (standard winnowing has no window to select from), matching the
+    guarantee's threshold.
+
+    The hash is plain integer arithmetic (``(acc*base + codepoint) % mod``)
+    rather than ``xxhash64`` so an external engine can reproduce it exactly
+    — the DuckDB oracle mirrors it with ``list_reduce`` (see
+    ``__spark_entry__.oracle_sql['doc_fingerprint']``).  ``mod * base``
+    stays below 2^63 (acc < mod bounds each step).
+    """
+    if mod * (base + 1) >= 2**63:
+        raise ValueError("mod * (base+1) must stay below 2^63 to avoid overflow")
+    empty = F.array().cast("array<long>")
+
+    def grams_of(cs: Column) -> Column:
+        return F.when(
+            F.size(cs) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(cs) - F.lit(k - 1)),
+                lambda i: F.aggregate(
+                    F.slice(cs, i, k),
+                    F.lit(0).cast("long"),
+                    lambda acc, c: (acc * F.lit(base) + c) % F.lit(mod),
+                ),
+            ),
+        ).otherwise(empty)
+
+    def fps_of(g: Column) -> Column:
+        return F.when(
+            F.size(g) >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(g) - F.lit(w - 1)),
+                    lambda j: F.array_min(F.slice(g, j, w)),
+                )
+            ),
+        ).otherwise(empty)
+
+    codes = F.transform(
+        F.split(F.col(text_col), ""), lambda c: F.ascii(c).cast("long")
+    )
+    # _let keeps codes and grams as bound lambda variables (one evaluation
+    # per row) — see _let's docstring for the CollapseProject O(L^3) trap
+    fps = _let(codes, lambda cs: _let(grams_of(cs), fps_of))
+    return docs.select(F.col(id_col), fps.alias("__fps")).select(
+        id_col, F.explode("__fps").alias("fp")
+    )
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection over a documents table."""
     t = F.col(text_col)
