@@ -464,6 +464,23 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap document pairs via shared winnowing fingerprints
+    (>= 3 shared, stop-fingerprint df cap 100) — detects quote reuse /
+    template families that whole-document dedup misses.  Fingerprint
+    self-equi-join + pair count; exact DuckDB oracle."""
+    from tsne_flink_spark.pipeline.text import winnow_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        docs, min_shared=3, max_df=100, id_col="doc_id"
+    ).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways: whitespace tokens and the BPE-ish sub-word
     count (alnum runs + non-space punctuation chars) — the cheap stand-in a
@@ -824,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_overlap": q_session_overlap,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "winnow_overlap": q_winnow_overlap,
         "quality_scores": q_quality_scores,
         "multimodal_features": q_multimodal_features,
         "multimodal_check": q_multimodal_check,
@@ -1300,6 +1318,38 @@ WITH codes AS (
   FROM grams
 )
 SELECT doc_id, unnest(fps)::BIGINT AS fp FROM fps
+""",
+        "winnow_overlap": """
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), ch -> ord(ch)::BIGINT) AS codes
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(codes) >= 8 THEN
+           list_transform(range(1, greatest(len(codes) - 7, 1) + 1),
+             i -> list_reduce(list_prepend(0::BIGINT, list_slice(codes, i, i + 7)),
+                              (a, b) -> (a * 257 + b) % 1000000007))
+         ELSE []::BIGINT[] END AS grams
+  FROM codes
+), fpl AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= 4 THEN
+           list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+             j -> list_aggregate(list_slice(grams, j, j + 3), 'min')))
+         ELSE []::BIGINT[] END AS fps
+  FROM grams
+), fps AS (
+  SELECT doc_id, unnest(fps)::BIGINT AS fp FROM fpl
+), kept AS (
+  SELECT fps.doc_id, fps.fp FROM fps
+  JOIN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100) ok USING (fp)
+)
+SELECT x.doc_id::BIGINT AS a, y.doc_id::BIGINT AS b, count(*)::BIGINT AS n_shared
+FROM kept x JOIN kept y USING (fp)
+WHERE x.doc_id < y.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
 """,
         "token_counts": """
 SELECT doc_id,

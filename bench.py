@@ -59,6 +59,7 @@ def main() -> None:
         "text_stats",
         "language_id",
         "doc_fingerprint",
+        "winnow_overlap",
         "exact_dedup",
         "minhash_dedup",
         "simhash_dedup",

@@ -460,6 +460,34 @@ def test_winnow_fingerprints(spark):
         winnow_fingerprints(d, id_col="doc_id", mod=2**61 - 1)
 
 
+def test_winnow_overlap_pairs(spark):
+    from tsne_flink_spark.pipeline.text import winnow_overlap_pairs
+
+    passage = "an unmistakably shared long passage occurring in two documents"
+    d = spark.createDataFrame(
+        [
+            (0, f"doc zero header. {passage}. zero trailer aaaa"),
+            (1, f"doc one intro!! {passage}! one footer bbbb"),
+            (2, "entirely disjoint content with nothing in common cccc dddd"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = winnow_overlap_pairs(d, min_shared=2, max_df=None, id_col="doc_id")
+    rows = {(r["a"], r["b"]): r["n_shared"] for r in out.collect()}
+    assert (0, 1) in rows and rows[(0, 1)] >= 2
+    assert all(2 not in pair for pair in rows)
+    # stop-fingerprint cap: replicate the passage into every doc -> its
+    # fingerprints exceed max_df and the pairs they carried disappear
+    d3 = spark.createDataFrame(
+        [(i, f"filler {i} text. {passage}. tail {i}") for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    capped = winnow_overlap_pairs(d3, min_shared=2, max_df=2, id_col="doc_id")
+    uncapped = winnow_overlap_pairs(d3, min_shared=2, max_df=None, id_col="doc_id")
+    assert uncapped.count() == 6  # all 4-choose-2 pairs share the passage
+    assert capped.count() == 0
+
+
 def test_dedup_invariant_checks(spark, docs):
     """The soundness/completeness invariant counters must be exactly (0, 0)
     on any corpus — these back the *_dedup_check driver oracles."""

@@ -195,8 +195,63 @@ def winnow_fingerprints(
     # _let keeps codes and grams as bound lambda variables (one evaluation
     # per row) — see _let's docstring for the CollapseProject O(L^3) trap
     fps = _let(codes, lambda cs: _let(grams_of(cs), fps_of))
-    return docs.select(F.col(id_col), fps.alias("__fps")).select(
+    # spread raw rows before the heavy per-row expression: a single-file
+    # parquet input scans as ONE partition and a projection under a later
+    # repartition still executes in the scan stage (same trap dedup._spread
+    # documents); at 100 TB the scan splits naturally and this exchange is
+    # one narrow O(N) row shuffle
+    spread = docs.select(F.col(id_col), F.col(text_col)).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    return spread.select(F.col(id_col), fps.alias("__fps")).select(
         id_col, F.explode("__fps").alias("fp")
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    min_shared: int = 3,
+    max_df: int | None = 100,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "id",
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
+    partial-overlap detection (quote reuse, boilerplate, template families),
+    the standard use of MOSS fingerprints downstream of
+    ``winnow_fingerprints``.
+
+    Returns ``(a, b, n_shared)`` with ``a < b``.  Scale design: the
+    all-pairs term rides the fingerprint self-equi-join, so its cost is
+    sum over fingerprints of df^2 — a fingerprint shared by a huge number
+    of documents (boilerplate headers at 100 TB) would go quadratic.
+    ``max_df`` drops fingerprints whose document frequency exceeds the cap
+    BEFORE the join (the stop-fingerprint analogue of AllPairs prefix
+    filtering), bounding per-key fanout at max_df^2; pairs overlapping only
+    via ubiquitous boilerplate are intentionally not reported (set
+    ``max_df=None`` for the exact-but-quadratic form).  Both joins shuffle
+    on the fingerprint; no broadcast of anything O(N).
+    """
+    fps = winnow_fingerprints(
+        docs, k=k, w=w, text_col=text_col, id_col=id_col
+    )
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp")
+    a = fps.select(F.col(id_col).alias("a"), "fp")
+    b = fps.select(F.col(id_col).alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
 
 
