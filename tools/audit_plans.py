@@ -23,6 +23,7 @@ AUDITED = [
     "ngram_jaccard_pairs",
     "minhash_dedup",
     "ann_lsh",
+    "winnow_overlap",
     "event_order_asof",
     "session_overlap",
     "windowed_event_counts",
@@ -80,6 +81,15 @@ NOTES = {
         "Bucket equi-join of multi-probe query buckets against corpus "
         "base buckets; norms precomputed per row before the join so the "
         "per-pair work is just the codegen-unrolled dot."
+    ),
+    "winnow_overlap": (
+        "Winnow fingerprint self-equi-join: raw rows spread across cores "
+        "before the per-row fingerprint expression (single-file scans "
+        "otherwise serialize it on one task), df-capped stop-fingerprint "
+        "filter before the join bounds per-key fanout at max_df^2, no "
+        "forced broadcasts — AQE picks broadcast for the small sides "
+        "at this SF and falls back to fingerprint-keyed shuffle joins at "
+        "scale."
     ),
     "event_order_asof": (
         "Union-tag + ordered window as-of join: one exchange on the key, "
