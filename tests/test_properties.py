@@ -221,3 +221,45 @@ def test_netpbm_roundtrip_random_images():
         h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
         img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         assert (decode_image(encode_ppm(img)) == img).all()
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    """Property: the Column-expression winnowing pipeline reproduces a
+    straightforward pure-python reference on random printable-ASCII strings
+    of varied lengths (including below the k and k+w-1 thresholds), for
+    several (k, w) shapes."""
+    import random
+    import string
+
+    from tsne_flink_spark.pipeline.text import winnow_fingerprints
+
+    rng = random.Random(17)
+    alphabet = string.ascii_letters + string.digits + " .,!?"
+
+    def reference(text, k, w, base=257, mod=1_000_000_007):
+        codes = [ord(c) for c in text]
+        if len(codes) < k:
+            return set()
+        grams = []
+        for i in range(len(codes) - k + 1):
+            h = 0
+            for c in codes[i : i + k]:
+                h = (h * base + c) % mod
+            grams.append(h)
+        if len(grams) < w:
+            return set()
+        return {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+
+    for k, w in ((8, 4), (5, 9), (3, 1)):
+        texts = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+            for _ in range(60)
+        ]
+        d = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        )
+        got = {}
+        for r in winnow_fingerprints(d, k=k, w=w, id_col="doc_id").collect():
+            got.setdefault(r["doc_id"], set()).add(r["fp"])
+        for i, t in enumerate(texts):
+            assert got.get(i, set()) == reference(t, k, w), (k, w, i, t)
