@@ -26,16 +26,27 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+    # SPARK_GRAFT_MASTER=spark://host:port runs the same suite against a
+    # real (e.g. standalone) cluster — used for the multi-executor
+    # validation runs (BASELINE.md B20/B22); default stays local mode.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.master(master)
         .appName("tsne-flink-spark-bench")
         .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.defaultSizeInBytes", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
-        .getOrCreate()
     )
+    if master.startswith("spark://"):
+        repo = os.path.dirname(os.path.abspath(__file__))
+        builder = (
+            builder.config("spark.executorEnv.PYTHONPATH", repo)
+            .config("spark.executorEnv.PYSPARK_PYTHON", sys.executable)
+            .config("spark.cores.max", cpus)
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod

@@ -47,14 +47,26 @@ def main():
 
     import __spark_entry__ as entrymod
 
-    spark = (
-        SparkSession.builder.master("local[8]")
+    import os
+
+    # SPARK_GRAFT_MASTER=spark://host:port replays the gate on a real
+    # cluster (multi-executor correctness validation, BASELINE.md B22)
+    master = os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
+    builder = (
+        SparkSession.builder.master(master)
         .appName("oracle-check")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if master.startswith("spark://"):
+        builder = (
+            builder.config(
+                "spark.executorEnv.PYTHONPATH", os.path.abspath(".")
+            )
+            .config("spark.executorEnv.PYSPARK_PYTHON", sys.executable)
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
