@@ -481,6 +481,92 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER canonicalization: exact 2-gram-Jaccard pairs
+    -> distributed connected components (min-label propagation + pointer
+    jumping, operators/graph.py) -> one keep=1 representative per
+    transitive duplicate family.  Exact and deterministic; the DuckDB
+    oracle recomputes the components with a recursive CTE."""
+    from tsne_flink_spark.pipeline.curation import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    out = near_dup_clusters(docs, threshold=0.5, shingle_n=2)
+    return out.select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"), "keep"
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: training docs (doc_id % 10 != 0) are
+    flagged when they share any distinct word 5-gram with the held-out
+    split (doc_id % 10 == 0).  Holdout gram table broadcast (it is the
+    small side by construction at scale); exact DuckDB oracle."""
+    from tsne_flink_spark.pipeline.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    holdout = docs.where(F.col("doc_id") % 10 == 0)
+    out = decontaminate(train, holdout, ngram_n=5, min_hits=1)
+    return out.select(
+        "doc_id",
+        F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+        F.col("n_holdout_docs").cast("long").alias("n_holdout_docs"),
+        "contaminated",
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (domain mixing): per-language keep
+    rates en 50% / de 30% / fr 20% / es 10% / other 5%, membership decided
+    by an explicit int64 LCG over doc_id so ANY engine selects the same
+    rows — narrow map + filter, no shuffle, no RNG state."""
+    from tsne_flink_spark.pipeline.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, {"en": 50, "de": 30, "fr": 20, "es": 10}, default_rate=5
+    )
+    return out.select(
+        "doc_id", "lang", F.col("sample_bucket").cast("long").alias("sample_bucket")
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing layout: concatenate docs per source shard in id
+    order and chunk into 2048-token context windows; each doc annotated
+    with (pack_id, pack_offset, n_packs).  One window cumsum per shard;
+    exact DuckDB oracle with the identical window."""
+    from tsne_flink_spark.pipeline.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences(docs, capacity=2048)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.col("pack_offset").cast("long").alias("pack_offset"),
+        F.col("n_packs").cast("long").alias("n_packs"),
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (type-token ratio, top-token
+    share, duplicate-2-gram fraction) — a pure narrow map (single aggregate
+    fold over the sorted token array, no explode/groupBy shuffle)."""
+    from tsne_flink_spark.pipeline.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("type_token_ratio", 6).alias("type_token_ratio"),
+        F.round("top_token_frac", 6).alias("top_token_frac"),
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways: whitespace tokens and the BPE-ish sub-word
     count (alnum runs + non-space punctuation chars) — the cheap stand-in a
@@ -840,6 +926,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_order_asof": q_event_order_asof,
         "session_overlap": q_session_overlap,
         "token_counts": q_token_counts,
+        "dup_clusters": q_dup_clusters,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "repetition_stats": q_repetition_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_overlap": q_winnow_overlap,
         "quality_scores": q_quality_scores,
@@ -947,7 +1038,14 @@ SELECT CAST(0 AS BIGINT) AS bad_sim,
 """
 
 
+def _lcg_bucket_sql_expr() -> str:
+    from tsne_flink_spark.pipeline.curation import lcg_bucket_sql
+
+    return lcg_bucket_sql("doc_id")
+
+
 def oracle_sql() -> dict[str, str]:
+    _LCG_BUCKET_SQL = _lcg_bucket_sql_expr()
     return {
         "knn_bruteforce": _KNN_ORACLE,
         "knn_partition": _KNN_ORACLE,
@@ -1357,6 +1455,128 @@ SELECT doc_id,
        (len(regexp_extract_all(text, '[A-Za-z0-9]+'))
         + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')))::BIGINT AS n_bpe_tokens
 FROM documents
+""",
+        "dup_clusters": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ltok
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(ltok) - 1, 1) + 1),
+           i -> array_to_string(list_slice(ltok, i, i + 1), ' ')
+         )) AS grams
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), cands AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT c.a, c.b FROM cands c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b
+  WHERE len(list_intersect(sa.grams, sb.grams))
+        / greatest(len(list_distinct(list_concat(sa.grams, sb.grams))), 1) >= 0.5
+), sym AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+), walk AS (
+  SELECT a AS id, a AS comp FROM sym GROUP BY a
+  UNION
+  SELECT s.b AS id, w.comp FROM walk w JOIN sym s ON s.a = w.id
+), comps AS (
+  SELECT id, MIN(comp) AS comp FROM walk GROUP BY id
+)
+SELECT d.doc_id,
+       COALESCE(c.comp, d.doc_id)::BIGINT AS cluster_id,
+       (COALESCE(c.comp, d.doc_id) = d.doc_id)::INT AS keep
+FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+""",
+        "decontaminate": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ltok
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(ltok) - 4, 1) + 1),
+           i -> array_to_string(list_slice(ltok, i, i + 4), ' ')
+         )) AS grams
+  FROM toks
+), tr AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 10 <> 0
+), ev AS (
+  SELECT doc_id AS ev_id, unnest(grams) AS g FROM sh WHERE doc_id % 10 = 0
+), hits AS (
+  SELECT tr.doc_id,
+         COUNT(DISTINCT tr.g) AS n_shared_grams,
+         COUNT(DISTINCT ev.ev_id) AS n_holdout_docs
+  FROM tr JOIN ev ON tr.g = ev.g
+  GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_shared_grams, 0)::BIGINT AS n_shared_grams,
+       COALESCE(h.n_holdout_docs, 0)::BIGINT AS n_holdout_docs,
+       (COALESCE(h.n_shared_grams, 0) >= 1)::INT AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 10 <> 0
+""",
+        "stratified_sample": f"""
+SELECT doc_id, lang, {_LCG_BUCKET_SQL}::BIGINT AS sample_bucket
+FROM documents
+WHERE {_LCG_BUCKET_SQL} <
+      CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'fr' THEN 20
+                WHEN 'es' THEN 10 ELSE 5 END
+""",
+        "pack_sequences": """
+WITH toks AS (
+  SELECT doc_id, source,
+         (len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+          + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')))::BIGINT AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       ((cum - n_tokens) // 2048)::BIGINT AS pack_id,
+       ((cum - n_tokens) % 2048)::BIGINT AS pack_offset,
+       (greatest((cum - CASE WHEN n_tokens > 0 THEN 1 ELSE 0 END) // 2048,
+                 (cum - n_tokens) // 2048)
+        - (cum - n_tokens) // 2048 + 1)::BIGINT AS n_packs
+FROM cum
+""",
+        "repetition_stats": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ltok
+  FROM documents
+), freq AS (
+  SELECT doc_id, MAX(cnt) AS top FROM (
+    SELECT doc_id, g, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(ltok) AS g FROM toks)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+), grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ltok) - 1, 1) + 1),
+           i -> array_to_string(list_slice(ltok, i, i + 1), ' ')) AS g2
+  FROM toks
+)
+SELECT t.doc_id,
+       len(t.ltok)::BIGINT AS n_tokens,
+       round(len(list_distinct(t.ltok)) / greatest(len(t.ltok), 1), 6) AS type_token_ratio,
+       round(COALESCE(f.top, 0) / greatest(len(t.ltok), 1), 6) AS top_token_frac,
+       round((len(g.g2) - len(list_distinct(g.g2))) / greatest(len(g.g2), 1), 6)
+         AS dup_2gram_frac
+FROM toks t
+LEFT JOIN freq f USING (doc_id)
+JOIN grams g USING (doc_id)
 """,
         "quality_scores": """
 WITH toks AS (

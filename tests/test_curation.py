@@ -1,0 +1,218 @@
+"""Tests for the curation operators (connected components, near-dup
+clustering, decontamination, stratified sampling, sequence packing) and the
+repetition quality signals."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog", "en", "s0"),
+        (1, "The quick brown fox jumps over the lazy dog", "en", "s1"),
+        (2, "The quick brown fox leaps over the lazy dog", "en", "s2"),
+        (3, "Der schnelle braune Fuchs springt und das ist gut", "de", "s0"),
+        (4, "Completely different text about spark and data processing", "en", "s1"),
+        (5, "the  QUICK   brown fox jumps over the lazy dog", "en", "s3"),
+        (6, "Le renard brun rapide saute et c'est tres bien pour le chien", "fr", "s2"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a bigint, b bigint")
+
+
+def test_connected_components_transitive(spark):
+    from tsne_flink_spark.operators.graph import connected_components
+
+    # two components: {1,2,3,4} via a chain (1-2, 2-3, 3-4), {10,11}
+    out = connected_components(_edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11)]))
+    comp = {r["id"]: r["component"] for r in out.collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path(spark):
+    from tsne_flink_spark.operators.graph import connected_components
+
+    # a 40-node path: diameter 39, must converge well within max_rounds
+    # thanks to pointer jumping (O(log diameter) rounds)
+    out = connected_components(_edges(spark, [(i, i + 1) for i in range(39)]))
+    comp = {r["id"]: r["component"] for r in out.collect()}
+    assert set(comp) == set(range(40))
+    assert set(comp.values()) == {0}
+
+
+def test_connected_components_empty_and_selfloop(spark):
+    from tsne_flink_spark.operators.graph import connected_components
+
+    assert connected_components(_edges(spark, [])).count() == 0
+    out = connected_components(_edges(spark, [(5, 5), (7, 8)]))
+    comp = {r["id"]: r["component"] for r in out.collect()}
+    assert comp == {5: 5, 7: 7, 8: 7}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Random graph vs a pure-python union-find reference."""
+    import random
+
+    from tsne_flink_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(45)
+    ]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for a, b in edges:
+        for x in (a, b):
+            expected[x] = find(x)
+
+    out = connected_components(_edges(spark, edges))
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == expected
+
+
+def test_near_dup_clusters_transitive_family(spark, docs):
+    from tsne_flink_spark.pipeline.curation import near_dup_clusters
+
+    out = near_dup_clusters(docs, threshold=0.4, shingle_n=2)
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert set(rows) == set(range(7))  # total annotation: every doc emitted
+    # 0, 1, 5 are normalization-duplicates and 2 a near-dup: one family,
+    # canonical = lowest id
+    assert rows[0] == (0, 1)
+    for d in (1, 2, 5):
+        assert rows[d] == (0, 0)
+    # unrelated docs are their own singleton clusters
+    for d in (3, 4, 6):
+        assert rows[d] == (d, 1)
+    # exactly one keep=1 per cluster
+    kept = out.where("keep = 1").groupBy("cluster_id").count().collect()
+    assert all(r["count"] == 1 for r in kept)
+
+
+def test_decontaminate(spark, docs):
+    from tsne_flink_spark.pipeline.curation import decontaminate
+
+    train = docs.where(F.col("doc_id").isin(1, 2, 4))
+    holdout = docs.where(F.col("doc_id").isin(0, 6))
+    out = decontaminate(train, holdout, ngram_n=5, min_hits=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 4}  # all training docs annotated
+    # doc 1 is an exact dup of holdout doc 0: shares all its 5-grams
+    assert rows[1]["contaminated"] == 1
+    assert rows[1]["n_holdout_docs"] == 1
+    assert rows[1]["n_shared_grams"] == 5  # 9 tokens -> 5 distinct 5-grams
+    # doc 2 swaps the middle word; all five 5-gram windows of a 9-token doc
+    # cover position 5, so none survive -> clean despite being a near-dup
+    assert rows[2]["contaminated"] == 0
+    assert rows[2]["n_shared_grams"] == 0
+    # doc 4 is unrelated prose: clean
+    assert rows[4]["n_shared_grams"] == 0
+    assert rows[4]["n_holdout_docs"] == 0
+    assert rows[4]["contaminated"] == 0
+
+
+def test_stratified_sample_deterministic_and_nested(spark, docs):
+    from tsne_flink_spark.pipeline.curation import stratified_sample
+
+    a = {r["doc_id"] for r in stratified_sample(docs, {"en": 60}).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, {"en": 60}).collect()}
+    assert a == b  # same rows every run — no RNG state
+    small = {
+        r["doc_id"]
+        for r in stratified_sample(docs, {"en": 20}, default_rate=0).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in stratified_sample(docs, {"en": 60}, default_rate=0).collect()
+    }
+    assert small <= big  # nested samples: raising a rate only adds rows
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {"en": 150})
+
+
+def test_stratified_sample_respects_rates(spark):
+    from tsne_flink_spark.pipeline.curation import stratified_sample
+
+    n = 2000
+    docs = spark.createDataFrame(
+        [(i, "x", "en" if i % 2 else "de") for i in range(n)],
+        "doc_id bigint, text string, lang string",
+    )
+    out = stratified_sample(docs, {"en": 50, "de": 10}).groupBy("lang").count()
+    counts = {r["lang"]: r["count"] for r in out.collect()}
+    # LCG buckets are near-uniform: expect ~500 en, ~100 de (±20%)
+    assert 400 <= counts["en"] <= 600
+    assert 60 <= counts["de"] <= 140
+
+
+def test_pack_sequences_layout(spark):
+    from tsne_flink_spark.pipeline.curation import pack_sequences
+
+    # token counts are word counts here (no punctuation): 6, 8, 3, 0 tokens
+    rows = [
+        (0, "a b c d e f", "s0"),
+        (1, "g h i j k l m n", "s0"),
+        (2, "o p q", "s0"),
+        (3, "", "s0"),
+        (10, "z y x w", "s1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, capacity=10, shard_col="source").collect()
+    }
+    # s0 stream: doc0 [0,6) pack0; doc1 [6,14) spans packs 0-1; doc2 [14,17)
+    # pack1; doc3 zero tokens at 17 -> pack1, spans 1
+    assert (out[0]["pack_id"], out[0]["pack_offset"], out[0]["n_packs"]) == (0, 0, 1)
+    assert (out[1]["pack_id"], out[1]["pack_offset"], out[1]["n_packs"]) == (0, 6, 2)
+    assert (out[2]["pack_id"], out[2]["pack_offset"], out[2]["n_packs"]) == (1, 4, 1)
+    assert (out[3]["pack_id"], out[3]["pack_offset"], out[3]["n_packs"]) == (1, 7, 1)
+    # s1 is an independent stream
+    assert (out[10]["pack_id"], out[10]["pack_offset"], out[10]["n_packs"]) == (0, 0, 1)
+    # conservation: every pack except each shard's last is exactly full
+    assert out[1]["n_tokens"] == 8
+
+
+def test_repetition_stats_exact_values(spark):
+    from tsne_flink_spark.pipeline.text import repetition_stats
+
+    rows = [
+        (0, "a a a a"),          # 4 tokens, 1 type, top 4; 2-grams: 3x "a a"
+        (1, "a b c d"),          # all distinct
+        (2, "a b a b a"),        # 5 tokens, 2 types, top 3; grams: ab,ba,ab,ba
+        (3, ""),                 # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[0]["n_tokens"] == 4
+    assert out[0]["type_token_ratio"] == pytest.approx(0.25)
+    assert out[0]["top_token_frac"] == pytest.approx(1.0)
+    assert out[0]["dup_2gram_frac"] == pytest.approx(2 / 3)
+    assert out[1]["type_token_ratio"] == pytest.approx(1.0)
+    assert out[1]["top_token_frac"] == pytest.approx(0.25)
+    assert out[1]["dup_2gram_frac"] == pytest.approx(0.0)
+    assert out[2]["top_token_frac"] == pytest.approx(3 / 5)
+    assert out[2]["dup_2gram_frac"] == pytest.approx(0.5)  # 4 grams, 2 distinct
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["top_token_frac"] == pytest.approx(0.0)
+    assert out[3]["dup_2gram_frac"] == pytest.approx(0.0)

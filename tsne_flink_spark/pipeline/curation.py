@@ -1,0 +1,231 @@
+"""Training-data curation operators: the decisions a 100-TB pipeline makes
+AFTER analysis — which documents to keep, drop, sample, and how to lay them
+out for the trainer.
+
+- near_dup_clusters   — duplicate-pair edges -> connected components ->
+                        one canonical document per duplicate CLUSTER
+                        (transitive closure; pairwise kill-lists under-merge).
+- decontaminate       — flag training documents sharing word n-grams with a
+                        held-out evaluation set (the train/test-overlap
+                        scrub every benchmark-honest pipeline runs).
+- stratified_sample   — deterministic per-stratum downsampling (domain /
+                        language mixing) via an explicit integer LCG so the
+                        SAME rows are selected by any engine, any run.
+- pack_sequences      — concatenate-and-chunk layout: assign each document
+                        a (pack, offset) in fixed-capacity token windows,
+                        per source shard — the standard pre-training
+                        sequence-packing bookkeeping.
+
+All four are exact and deterministic (DuckDB-oracle-backed); none uses a
+Python UDF.  Candidate generation for clustering reuses the lossless
+prefix-filtered pair miner from ``pipeline.dedup``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tsne_flink_spark.operators.graph import connected_components
+from tsne_flink_spark.pipeline.dedup import ngram_jaccard_pairs, shingles
+from tsne_flink_spark.pipeline.text import bpe_ish_token_count
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(id, cluster_id, keep) for every document: ``cluster_id`` is the
+    minimum doc id of the document's near-duplicate connected component
+    (its own id when it has no near-dup), ``keep`` marks the one canonical
+    representative per cluster.
+
+    Pairwise dedup policies (drop b when a~b, a<b) under-merge: with a~b
+    and b~c but a!~c, they keep {a, c} even though all three are one
+    duplicate family.  Clustering the exact-Jaccard pair graph with
+    connected components (operators/graph.py) gives the transitive
+    closure; the canonical survivor set is then one row per component.
+    """
+    from tsne_flink_spark.operators.optimize import materialize
+
+    # checkpoint the mined pairs: connected_components reads its edge set
+    # twice (node seed + symmetrize) before its own checkpoint — without
+    # this the whole prefix-filtered miner would execute twice
+    pairs = materialize(
+        ngram_jaccard_pairs(
+            docs, text_col=text_col, id_col=id_col,
+            threshold=threshold, shingle_n=shingle_n,
+        ).select("a", "b")
+    )
+    comps = connected_components(pairs, "a", "b").withColumnRenamed("id", id_col)
+    return (
+        docs.select(id_col)
+        .join(comps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn(
+            "keep", (F.col("cluster_id") == F.col(id_col)).cast("int")
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-training-document eval-set overlap report: (id, n_shared_grams,
+    n_holdout_docs, contaminated).
+
+    A document is contaminated when it shares at least ``min_hits`` distinct
+    word ``ngram_n``-grams with ANY held-out document — the n-gram-overlap
+    decontamination rule used by public LLM data pipelines (e.g. GPT-3
+    appendix C uses 13-grams; default 5 here because the synthetic docs are
+    short).  Every training row is emitted, clean ones with zero counts, so
+    the output is a total annotation, not a filter.
+
+    Scale: the holdout gram table is tiny relative to training (benchmarks
+    are MBs, training sets are TBs) — it is explicitly ``broadcast()`` so
+    the overlap join is map-side against the full training scan; the only
+    shuffle is the per-document count aggregation, O(matches).
+    """
+    tr_grams = train.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), ngram_n)).alias("__g")
+    )
+    ev_grams = (
+        holdout.select(
+            F.col(id_col).alias("__ev_id"),
+            F.explode(shingles(F.col(text_col), ngram_n)).alias("__g"),
+        )
+        .distinct()
+    )
+    hits = (
+        tr_grams.join(F.broadcast(ev_grams), "__g")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("__g").alias("n_shared_grams"),
+            F.countDistinct("__ev_id").alias("n_holdout_docs"),
+        )
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            F.coalesce("n_holdout_docs", F.lit(0)).alias("n_holdout_docs"),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("n_shared_grams") >= F.lit(min_hits)).cast("int"),
+        )
+    )
+
+
+# Two rounds of the classic glibc LCG, kept inside int64 by a 2^31 modulus:
+# (2^31 - 1) * 1103515245 + 12345 < 2.4e18 < 2^63, so the arithmetic is
+# exact in ANY engine's 64-bit integers — the point.  Engine-native hashes
+# (xxhash64, DuckDB hash()) differ across engines and versions; a sampling
+# decision that must be reproducible everywhere needs explicit arithmetic.
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
+
+
+def _lcg_bucket(key: Column, buckets: int = 100) -> Column:
+    h = (key * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M)
+    h = (h * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M)
+    return h % F.lit(buckets)
+
+
+def lcg_bucket_sql(key_expr: str, buckets: int = 100) -> str:
+    """The DuckDB/ANSI spelling of ``_lcg_bucket`` — exported so oracles and
+    downstream SQL users select the exact same rows."""
+    h1 = f"(({key_expr}) * {_LCG_A} + {_LCG_C}) % {_LCG_M}"
+    h2 = f"(({h1}) * {_LCG_A} + {_LCG_C}) % {_LCG_M}"
+    return f"(({h2}) % {buckets})"
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: int = 5,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a document iff its LCG bucket
+    (0-99, derived from ``id_col`` alone) falls below its stratum's
+    percentage rate — the domain/language-mixing primitive.
+
+    Because membership depends only on the row's own id, the operator is a
+    narrow map + filter (no shuffle, no state), resampling with a changed
+    rate table keeps maximal row overlap (nested samples: rate 10 is a
+    subset of rate 20), and any engine that can do int64 arithmetic selects
+    the identical rows.  Rates are percentages in [0, 100].
+    """
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        if not 0 <= r <= 100:
+            raise ValueError(f"rate for {stratum!r} must be in [0, 100], got {r}")
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(r)).otherwise(rate)
+    return (
+        docs.withColumn("sample_bucket", _lcg_bucket(F.col(id_col)))
+        .where(F.col("sample_bucket") < rate)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 2048,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: within each shard, documents
+    are laid end-to-end in id order and cut into fixed ``capacity``-token
+    context windows; each document is annotated with its first pack, offset
+    in that pack, and how many packs it spans.
+
+    This is the layout bookkeeping of the standard pre-training "pack then
+    split at window boundaries" scheme (documents cross pack boundaries;
+    nothing is padded or dropped).  Expressed as one window cumulative sum
+    per shard — the window partitions by ``shard_col``, so parallelism is
+    the shard count: at 100 TB, shards are file-sized units (here the
+    20-source testdata stands in), and a pipeline with giant shards salts
+    them into sub-shards first, exactly like any windowed sessionization.
+    Token counts use the BPE-ish estimator from ``pipeline.text``.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        id_col,
+        shard_col,
+        bpe_ish_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    cum = toks.withColumn("__cum", F.sum("n_tokens").over(w))
+    start = F.col("__cum") - F.col("n_tokens")
+    # a zero-token doc sits AT `start`: its last pack is its first pack
+    last_tok = F.col("__cum") - F.when(F.col("n_tokens") > 0, 1).otherwise(0)
+    return cum.select(
+        id_col,
+        shard_col,
+        "n_tokens",
+        F.floor(start / capacity).alias("pack_id"),
+        (start % capacity).alias("pack_offset"),
+        (
+            F.greatest(F.floor(last_tok / capacity), F.floor(start / capacity))
+            - F.floor(start / capacity)
+            + 1
+        ).alias("n_packs"),
+    )

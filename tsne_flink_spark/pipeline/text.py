@@ -255,6 +255,68 @@ def winnow_overlap_pairs(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    adapted to line-less documents: per document,
+
+    - ``type_token_ratio``  — distinct tokens / tokens (low = repetitive),
+    - ``top_token_frac``    — share of the single most frequent token,
+    - ``dup_2gram_frac``    — fraction of word 2-gram OCCURRENCES that are
+                              repeats of an earlier 2-gram.
+
+    Entirely a narrow map: token counts and the top-token share come from a
+    single ``aggregate`` fold over the sorted token array (max run length ==
+    max frequency), so there is no explode/groupBy shuffle — the property
+    that makes this a free quality column at 100 TB.  2-grams mirror
+    ``dedup.shingles`` boundary semantics (a <2-token doc yields one short
+    gram) WITHOUT the distinct, since occurrence counts are the signal.
+    """
+    t = F.lower(F.col(text_col))
+
+    def stats(toks: Column) -> Column:
+        n = F.size(toks)
+        top = F.aggregate(
+            F.array_sort(toks),
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, tok: F.struct(
+                tok.alias("prev"),
+                F.when(tok == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(tok == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        )
+        dup2 = _let(
+            grams,
+            lambda g: (F.size(g) - F.size(F.array_distinct(g)))
+            / F.greatest(F.size(g), F.lit(1)).cast("double"),
+        )
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            (F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))).alias(
+                "type_token_ratio"
+            ),
+            (top / F.greatest(n, F.lit(1))).alias("top_token_frac"),
+            dup2.alias("dup_2gram_frac"),
+        )
+
+    return docs.select(
+        id_col, _let(tokenize(t), stats).alias("__s")
+    ).select(id_col, "__s.*")
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection over a documents table."""
     t = F.col(text_col)
