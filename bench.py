@@ -69,12 +69,22 @@ def main() -> None:
         "pairwise_affinities",
         "text_stats",
         "language_id",
+        "repetition_stats",
+        "stratified_sample",
+        "pack_sequences",
+        "decontaminate",
         "doc_fingerprint",
         "winnow_overlap",
         "exact_dedup",
         "minhash_dedup",
         "simhash_dedup",
         "ngram_jaccard_pairs",
+        # directly after ngram_jaccard_pairs ON PURPOSE: dup_clusters reuses
+        # the same miner, and its first execution pays a large one-time
+        # whole-stage-codegen compile (B18b) — adjacency shares the warm
+        # generated-code cache (measured 72 s cold-first vs 10 s after a
+        # warm miner run at sf0.1)
+        "dup_clusters",
         "tfidf_top_terms",
         "embedding_dedup",
         "ann_bruteforce",

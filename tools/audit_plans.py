@@ -24,6 +24,10 @@ AUDITED = [
     "minhash_dedup",
     "ann_lsh",
     "winnow_overlap",
+    "decontaminate",
+    "stratified_sample",
+    "pack_sequences",
+    "repetition_stats",
     "event_order_asof",
     "session_overlap",
     "windowed_event_counts",
@@ -90,6 +94,31 @@ NOTES = {
         "forced broadcasts — AQE picks broadcast for the small sides "
         "at this SF and falls back to fingerprint-keyed shuffle joins at "
         "scale."
+    ),
+    "decontaminate": (
+        "Holdout gram table FORCE-broadcast (eval sets are MBs while "
+        "training corpora are TBs — AQE cannot know that from stats), so "
+        "the overlap join is map-side against the training scan; the only "
+        "shuffles are the per-doc count-distinct agg and the final "
+        "annotate join back to the slim training ids."
+    ),
+    "stratified_sample": (
+        "Pure narrow map + filter: LCG bucket from explicit int64 "
+        "arithmetic in one codegen span, zero exchanges, zero joins — the "
+        "sampling decision is row-local, so the operator costs one scan "
+        "at any corpus size and the scan reads only the needed columns."
+    ),
+    "pack_sequences": (
+        "One window cumsum per source shard: a single exchange on "
+        "shard_col + one sort; everything else (token count, pack "
+        "arithmetic) is codegen column math. Shard count bounds "
+        "parallelism by design; giant shards get pre-salted upstream."
+    ),
+    "repetition_stats": (
+        "Zero-exchange narrow map: token stats and the top-token share "
+        "come from one aggregate fold over the sorted token array inside "
+        "a single projection — no explode/groupBy, so the quality signals "
+        "are a free column at any scale."
     ),
     "event_order_asof": (
         "Union-tag + ordered window as-of join: one exchange on the key, "
