@@ -550,6 +550,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass: every document annotated with the first
+    stage that eliminated it (holdout split -> exact dedup -> near-dup
+    cluster canonicalization -> decontamination -> quality filter ->
+    stratified sampling).  Fully deterministic; the DuckDB oracle recomputes
+    the entire staged pipeline in one recursive-CTE query."""
+    from tsne_flink_spark.pipeline.curation import curation_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation_pipeline(docs)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (type-token ratio, top-token
     share, duplicate-2-gram fraction) — a pure narrow map (single aggregate
@@ -931,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition_stats,
+        "curation_pipeline": q_curation_pipeline,
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_overlap": q_winnow_overlap,
         "quality_scores": q_quality_scores,
@@ -1550,6 +1563,112 @@ SELECT doc_id, source, n_tokens,
                  (cum - n_tokens) // 2048)
         - (cum - n_tokens) // 2048 + 1)::BIGINT AS n_packs
 FROM cum
+""",
+        "curation_pipeline": f"""
+WITH RECURSIVE train AS (
+  SELECT doc_id, text, lang FROM documents WHERE doc_id % 10 <> 0
+), fp AS (
+  SELECT doc_id, text, lang,
+         row_number() OVER (
+           PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           ORDER BY doc_id) AS rn
+  FROM train
+), exact_kill AS (
+  SELECT doc_id FROM fp WHERE rn > 1
+), surv1 AS (
+  SELECT doc_id, text, lang FROM fp WHERE rn = 1
+), toks1 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ltok
+  FROM surv1
+), sh1 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(ltok) - 1, 1) + 1),
+           i -> array_to_string(list_slice(ltok, i, i + 1), ' ')
+         )) AS grams
+  FROM toks1
+), ex1 AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh1
+), cands AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM ex1 x JOIN ex1 y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT c.a, c.b FROM cands c
+  JOIN sh1 sa ON sa.doc_id = c.a
+  JOIN sh1 sb ON sb.doc_id = c.b
+  WHERE len(list_intersect(sa.grams, sb.grams))
+        / greatest(len(list_distinct(list_concat(sa.grams, sb.grams))), 1) >= 0.5
+), sym AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+), walk AS (
+  SELECT a AS id, a AS comp FROM sym GROUP BY a
+  UNION
+  SELECT s.b AS id, w.comp FROM walk w JOIN sym s ON s.a = w.id
+), comps AS (
+  SELECT id, MIN(comp) AS comp FROM walk GROUP BY id
+), near_kill AS (
+  SELECT id AS doc_id FROM comps WHERE comp <> id
+), surv2 AS (
+  SELECT * FROM surv1 WHERE doc_id NOT IN (SELECT doc_id FROM near_kill)
+), grams5 AS (
+  SELECT d.doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t.ltok) - 4, 1) + 1),
+           i -> array_to_string(list_slice(t.ltok, i, i + 4), ' ')
+         )) AS grams
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ltok
+        FROM documents) t JOIN documents d USING (doc_id)
+), cont_kill AS (
+  SELECT DISTINCT s.doc_id
+  FROM (SELECT g5.doc_id, unnest(g5.grams) AS g
+        FROM grams5 g5 JOIN surv2 USING (doc_id)) s
+  JOIN (SELECT DISTINCT unnest(grams) AS g
+        FROM grams5 WHERE doc_id % 10 = 0) e ON s.g = e.g
+), surv3 AS (
+  SELECT * FROM surv2 WHERE doc_id NOT IN (SELECT doc_id FROM cont_kill)
+), feats AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+           / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''),
+             t -> t IN ('the','a','and','of','to','in','is','it','that','for')))::DOUBLE
+           / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      t -> t <> '')), 1) AS stop_ratio
+  FROM surv3
+), q AS (
+  SELECT doc_id, lang,
+         (least(n_tokens / 100.0, 1.0)
+          + (1.0 - least(punct_ratio * 4.0, 1.0))
+          + least(stop_ratio * 5.0, 1.0)) / 3.0 AS quality
+  FROM feats
+), lowq_kill AS (
+  SELECT doc_id FROM q WHERE quality < 0.55
+), kept AS (
+  SELECT doc_id FROM q
+  WHERE quality >= 0.55
+    AND {_LCG_BUCKET_SQL} <
+        CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'fr' THEN 20
+                  WHEN 'es' THEN 10 ELSE 5 END
+)
+SELECT d.doc_id,
+  CASE WHEN d.doc_id % 10 = 0 THEN 'holdout'
+       WHEN ek.doc_id IS NOT NULL THEN 'exact_dup'
+       WHEN nk.doc_id IS NOT NULL THEN 'near_dup'
+       WHEN ck.doc_id IS NOT NULL THEN 'contaminated'
+       WHEN lk.doc_id IS NOT NULL THEN 'low_quality'
+       WHEN kp.doc_id IS NOT NULL THEN 'kept'
+       ELSE 'not_sampled' END AS stage
+FROM documents d
+LEFT JOIN exact_kill ek ON ek.doc_id = d.doc_id
+LEFT JOIN near_kill nk ON nk.doc_id = d.doc_id
+LEFT JOIN cont_kill ck ON ck.doc_id = d.doc_id
+LEFT JOIN lowq_kill lk ON lk.doc_id = d.doc_id
+LEFT JOIN kept kp ON kp.doc_id = d.doc_id
 """,
         "repetition_stats": """
 WITH toks AS (

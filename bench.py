@@ -85,6 +85,7 @@ def main() -> None:
         # generated-code cache (measured 72 s cold-first vs 10 s after a
         # warm miner run at sf0.1)
         "dup_clusters",
+        "curation_pipeline",
         "tfidf_top_terms",
         "embedding_dedup",
         "ann_bruteforce",

@@ -193,6 +193,30 @@ def test_pack_sequences_layout(spark):
     assert out[1]["n_tokens"] == 8
 
 
+def test_curation_pipeline_stages(spark, docs):
+    from tsne_flink_spark.pipeline.curation import (
+        _LCG_A,
+        _LCG_C,
+        _LCG_M,
+        curation_pipeline,
+    )
+
+    out = curation_pipeline(docs, jaccard_threshold=0.5, shingle_n=2)
+    stages = {r["doc_id"]: r["stage"] for r in out.collect()}
+    assert set(stages) == set(range(7))  # total annotation
+    assert stages[0] == "holdout"       # id % 10 == 0
+    assert stages[5] == "exact_dup"     # ws/case dup of 1 (0 is held out)
+    assert stages[2] == "near_dup"      # jaccard 0.6 with canonical 1
+    assert stages[1] == "contaminated"  # identical text to holdout doc 0
+    # 3 (de) and 6 (fr) score low on the en-stopword quality heuristic
+    assert stages[3] == "low_quality"
+    assert stages[6] == "low_quality"
+    # doc 4 survives every filter; kept iff its LCG bucket < en rate (50)
+    h = (4 * _LCG_A + _LCG_C) % _LCG_M
+    h = (h * _LCG_A + _LCG_C) % _LCG_M
+    assert stages[4] == ("kept" if h % 100 < 50 else "not_sampled")
+
+
 def test_repetition_stats_exact_values(spark):
     from tsne_flink_spark.pipeline.text import repetition_stats
 

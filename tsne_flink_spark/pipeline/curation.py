@@ -180,6 +180,105 @@ def stratified_sample(
     )
 
 
+def curation_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    holdout_mod: int = 10,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 2,
+    decon_ngram_n: int = 5,
+    quality_min: float = 0.55,
+    rates: dict[str, int] | None = None,
+    default_rate: int = 5,
+) -> DataFrame:
+    """The full curation pass, end-to-end: every document annotated with the
+    FIRST stage that eliminated it —
+
+    ``holdout``      — reserved as the evaluation split (id % holdout_mod == 0),
+    ``exact_dup``    — normalized-text fingerprint duplicate of a lower id,
+    ``near_dup``     — non-canonical member of a near-dup connected component,
+    ``contaminated`` — shares a word n-gram with the holdout split,
+    ``low_quality``  — heuristic quality score below ``quality_min``,
+    ``not_sampled``  — clean but outside its stratum's sampling rate,
+    ``kept``         — in the final training set.
+
+    Stages apply sequentially, each only to the survivors of the previous
+    one (the order every production pipeline uses: cheap exact kills before
+    expensive pair mining, contamination and quality before sampling so
+    rates apply to the clean pool).  Deterministic end to end — exact dedup,
+    exact-Jaccard clustering, exact gram overlap, closed-form quality and
+    LCG sampling — so the whole pipeline is one DuckDB-checkable query.
+
+    Output is a total annotation (one row per input document, columns
+    ``(id_col, stage)``): the "why was my document dropped" audit table, not
+    just the surviving subset.
+    """
+    from pyspark.sql import Window
+
+    from tsne_flink_spark.pipeline.text import fingerprint, quality_score
+
+    if rates is None:
+        rates = {"en": 50, "de": 30, "fr": 20, "es": 10}
+    base_cols = [id_col, text_col, stratum_col]
+
+    holdout = docs.where(F.col(id_col) % holdout_mod == 0)
+    train = docs.where(F.col(id_col) % holdout_mod != 0)
+
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    fp = train.select(*base_cols).withColumn(
+        "__fp", fingerprint(F.col(text_col))
+    ).withColumn("__rn", F.row_number().over(w))
+    exact_kill = fp.where(F.col("__rn") > 1).select(id_col)
+    surv1 = fp.where(F.col("__rn") == 1).select(*base_cols)
+
+    clusters = near_dup_clusters(
+        surv1, text_col=text_col, id_col=id_col,
+        threshold=jaccard_threshold, shingle_n=shingle_n,
+    )
+    near_kill = clusters.where(F.col("keep") == 0).select(id_col)
+    surv2 = surv1.join(near_kill, id_col, "left_anti")
+
+    decon = decontaminate(
+        surv2, holdout, text_col=text_col, id_col=id_col,
+        ngram_n=decon_ngram_n, min_hits=1,
+    )
+    cont_kill = decon.where(F.col("contaminated") == 1).select(id_col)
+    surv3 = surv2.join(cont_kill, id_col, "left_anti")
+
+    scored = surv3.withColumn("__q", quality_score(F.col(text_col)))
+    lowq_kill = scored.where(F.col("__q") < quality_min).select(id_col)
+    surv4 = scored.where(F.col("__q") >= quality_min).select(*base_cols)
+
+    kept = stratified_sample(
+        surv4, rates, stratum_col=stratum_col, id_col=id_col,
+        default_rate=default_rate,
+    ).select(id_col)
+
+    def mark(df: DataFrame, name: str) -> DataFrame:
+        return df.select(F.col(id_col), F.lit(1).alias(name))
+
+    ann = (
+        docs.select(id_col)
+        .join(mark(exact_kill, "__ex"), id_col, "left")
+        .join(mark(near_kill, "__nd"), id_col, "left")
+        .join(mark(cont_kill, "__ct"), id_col, "left")
+        .join(mark(lowq_kill, "__lq"), id_col, "left")
+        .join(mark(kept, "__kp"), id_col, "left")
+    )
+    stage = (
+        F.when(F.col(id_col) % holdout_mod == 0, F.lit("holdout"))
+        .when(F.col("__ex").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("__nd").isNotNull(), F.lit("near_dup"))
+        .when(F.col("__ct").isNotNull(), F.lit("contaminated"))
+        .when(F.col("__lq").isNotNull(), F.lit("low_quality"))
+        .when(F.col("__kp").isNotNull(), F.lit("kept"))
+        .otherwise(F.lit("not_sampled"))
+    )
+    return ann.select(id_col, stage.alias("stage"))
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int = 2048,
