@@ -550,6 +550,89 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column pipeline: synthesize deterministic WAV/PCM payloads,
+    decode with the real dependency-free RIFF parser, extract DSP features
+    (RMS / zero-crossing rate / 8-band spectral profile) over Arrow
+    batches.  Hash-specific synth input -> rows-only; audio_check carries
+    the verified invariants."""
+    from tsne_flink_spark.pipeline.audio import (
+        attach_audio_payload,
+        extract_audio_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = extract_audio_features(attach_audio_payload(docs))
+    return out.select(
+        "doc_id",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
+        F.transform("band_energy", lambda x: F.round(x, 6)).alias("band_energy"),
+    )
+
+
+def q_audio_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the audio pipeline (oracle: constant zero
+    row): one feature row per document, positive duration, RMS and ZCR in
+    [0, 1], and an 8-band energy profile that is non-negative, finite, and
+    sums to 1 (±1e-9) for every non-silent clip."""
+    from tsne_flink_spark.pipeline.audio import (
+        attach_audio_payload,
+        extract_audio_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = extract_audio_features(attach_audio_payload(docs))
+    n_docs = docs.count()
+    band_sum = F.aggregate(
+        "band_energy", F.lit(0.0), lambda acc, x: acc + x
+    )
+    in_range = (
+        (F.col("duration_s") > 0.0)
+        & F.col("rms").between(0.0, 1.0)
+        & F.col("zero_crossing_rate").between(0.0, 1.0)
+        & (F.size("band_energy") == 8)
+        & F.forall("band_energy", lambda x: x.between(0.0, 1.0))
+        & (F.abs(band_sum - 1.0) < 1e-9)
+    )
+    bad_rows = feats.where(~F.coalesce(in_range, F.lit(False))).agg(
+        F.count(F.lit(1)).alias("bad_feature_rows")
+    )
+    row_delta = feats.agg(
+        (F.count(F.lit(1)) - F.lit(n_docs)).cast("long").alias("row_count_delta")
+    )
+    return bad_rows.crossJoin(row_delta)
+
+
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile with EXACT percentiles (median/p90 doc
+    length, median token count) — the shard-size audit a pipeline runs
+    before choosing packing capacities and partition sizes.  Spark's
+    `percentile` is the exact interpolated aggregate, bit-matching DuckDB's
+    `quantile_cont` (approx_percentile is the sketch alternative at scale,
+    traded off here for oracle-exactness)."""
+    from tsne_flink_spark.pipeline.text import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.length("text").alias("__L"),
+        bpe_ish_token_count(F.col("text")).alias("__T"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__T").cast("long").alias("total_tokens"),
+            F.round(F.percentile("__L", 0.5), 4).alias("p50_chars"),
+            F.round(F.percentile("__L", 0.9), 4).alias("p90_chars"),
+            F.round(F.percentile("__T", 0.5), 4).alias("p50_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pass: every document annotated with the first
     stage that eliminated it (holdout split -> exact dedup -> near-dup
@@ -944,6 +1027,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition_stats,
         "curation_pipeline": q_curation_pipeline,
+        "source_stats": q_source_stats,
+        "audio_features": q_audio_features,
+        "audio_check": q_audio_check,
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_overlap": q_winnow_overlap,
         "quality_scores": q_quality_scores,
@@ -1116,6 +1202,10 @@ SELECT CAST(0 AS BIGINT) AS bad_dist,
        CAST(0 AS BIGINT) AS dup_pairs
 """,
         "multimodal_check": """
+SELECT CAST(0 AS BIGINT) AS bad_feature_rows,
+       CAST(0 AS BIGINT) AS row_count_delta
+""",
+        "audio_check": """
 SELECT CAST(0 AS BIGINT) AS bad_feature_rows,
        CAST(0 AS BIGINT) AS row_count_delta
 """,
@@ -1669,6 +1759,21 @@ LEFT JOIN near_kill nk ON nk.doc_id = d.doc_id
 LEFT JOIN cont_kill ck ON ck.doc_id = d.doc_id
 LEFT JOIN lowq_kill lk ON lk.doc_id = d.doc_id
 LEFT JOIN kept kp ON kp.doc_id = d.doc_id
+""",
+        "source_stats": """
+WITH d AS (
+  SELECT source, length(text) AS L,
+         (len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+          + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))) AS T
+  FROM documents
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(T)::BIGINT AS total_tokens,
+       round(quantile_cont(L, 0.5), 4) AS p50_chars,
+       round(quantile_cont(L, 0.9), 4) AS p90_chars,
+       round(quantile_cont(T, 0.5), 4) AS p50_tokens
+FROM d GROUP BY source
 """,
         "repetition_stats": """
 WITH toks AS (

@@ -93,7 +93,9 @@ def main() -> None:
         "ann_ivf",
         "sliding_user_activity",
         "quality_scores",
+        "source_stats",
         "multimodal_features",
+        "audio_features",
         "tsne_embedding",
     ]
 
