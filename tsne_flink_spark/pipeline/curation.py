@@ -217,6 +217,7 @@ def curation_pipeline(
     """
     from pyspark.sql import Window
 
+    from tsne_flink_spark.operators.optimize import materialize
     from tsne_flink_spark.pipeline.text import fingerprint, quality_score
 
     if rates is None:
@@ -226,35 +227,50 @@ def curation_pipeline(
     holdout = docs.where(F.col(id_col) % holdout_mod == 0)
     train = docs.where(F.col(id_col) % holdout_mod != 0)
 
+    # Every kill set below is checkpointed: each one is a slim id list that
+    # BOTH the survivor chain and the final stage-assembly joins consume,
+    # and (worse) each later stage's lineage contains every earlier stage —
+    # unmaterialized, the assembly would re-execute the pair miner and the
+    # gram joins once per downstream reference (measured ~2x on the whole
+    # pipeline at sf0.1).  The survivor frames stay lazy: they are cheap
+    # anti-joins of the scan against checkpointed ids.
     w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
     fp = train.select(*base_cols).withColumn(
         "__fp", fingerprint(F.col(text_col))
     ).withColumn("__rn", F.row_number().over(w))
-    exact_kill = fp.where(F.col("__rn") > 1).select(id_col)
-    surv1 = fp.where(F.col("__rn") == 1).select(*base_cols)
+    exact_kill = materialize(fp.where(F.col("__rn") > 1).select(id_col))
+    surv1 = train.select(*base_cols).join(exact_kill, id_col, "left_anti")
 
     clusters = near_dup_clusters(
         surv1, text_col=text_col, id_col=id_col,
         threshold=jaccard_threshold, shingle_n=shingle_n,
     )
-    near_kill = clusters.where(F.col("keep") == 0).select(id_col)
+    near_kill = materialize(
+        clusters.where(F.col("keep") == 0).select(id_col)
+    )
     surv2 = surv1.join(near_kill, id_col, "left_anti")
 
     decon = decontaminate(
         surv2, holdout, text_col=text_col, id_col=id_col,
         ngram_n=decon_ngram_n, min_hits=1,
     )
-    cont_kill = decon.where(F.col("contaminated") == 1).select(id_col)
+    cont_kill = materialize(
+        decon.where(F.col("contaminated") == 1).select(id_col)
+    )
     surv3 = surv2.join(cont_kill, id_col, "left_anti")
 
     scored = surv3.withColumn("__q", quality_score(F.col(text_col)))
-    lowq_kill = scored.where(F.col("__q") < quality_min).select(id_col)
+    lowq_kill = materialize(
+        scored.where(F.col("__q") < quality_min).select(id_col)
+    )
     surv4 = scored.where(F.col("__q") >= quality_min).select(*base_cols)
 
-    kept = stratified_sample(
-        surv4, rates, stratum_col=stratum_col, id_col=id_col,
-        default_rate=default_rate,
-    ).select(id_col)
+    kept = materialize(
+        stratified_sample(
+            surv4, rates, stratum_col=stratum_col, id_col=id_col,
+            default_rate=default_rate,
+        ).select(id_col)
+    )
 
     def mark(df: DataFrame, name: str) -> DataFrame:
         return df.select(F.col(id_col), F.lit(1).alias(name))
