@@ -109,6 +109,22 @@ def test_near_dup_clusters_transitive_family(spark, docs):
     assert all(r["count"] == 1 for r in kept)
 
 
+def test_near_dup_clusters_from_minhash_pairs(spark, docs):
+    """The scale path: LSH-bounded verified pairs feeding the same
+    clustering; exact dups are guaranteed caught (identical signatures)."""
+    from tsne_flink_spark.pipeline.curation import near_dup_clusters
+    from tsne_flink_spark.pipeline.dedup import minhash_dup_pairs
+
+    pairs = minhash_dup_pairs(docs, threshold=0.5)
+    out = near_dup_clusters(docs, pairs=pairs)
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert set(rows) == set(range(7))
+    assert rows[0] == (0, 1)
+    assert rows[1] == (0, 0)  # exact dup of 0
+    assert rows[5] == (0, 0)  # normalization dup of 0
+    assert rows[4] == (4, 1)  # unrelated doc is its own cluster
+
+
 def test_decontaminate(spark, docs):
     from tsne_flink_spark.pipeline.curation import decontaminate
 

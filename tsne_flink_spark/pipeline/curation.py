@@ -37,6 +37,7 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     shingle_n: int = 2,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cluster_id, keep) for every document: ``cluster_id`` is the
     minimum doc id of the document's near-duplicate connected component
@@ -45,21 +46,26 @@ def near_dup_clusters(
 
     Pairwise dedup policies (drop b when a~b, a<b) under-merge: with a~b
     and b~c but a!~c, they keep {a, c} even though all three are one
-    duplicate family.  Clustering the exact-Jaccard pair graph with
-    connected components (operators/graph.py) gives the transitive
-    closure; the canonical survivor set is then one row per component.
+    duplicate family.  Clustering the pair graph with connected components
+    (operators/graph.py) gives the transitive closure; the canonical
+    survivor set is then one row per component.
+
+    Edges default to the EXACT lossless miner (``ngram_jaccard_pairs``,
+    DuckDB-verifiable); pass ``pairs`` (an (a, b) DataFrame, e.g. from
+    ``dedup.minhash_dup_pairs``) to cluster LSH-bounded candidates instead
+    — the usual trade at 100-TB scale.
     """
     from tsne_flink_spark.operators.optimize import materialize
 
     # checkpoint the mined pairs: connected_components reads its edge set
     # twice (node seed + symmetrize) before its own checkpoint — without
-    # this the whole prefix-filtered miner would execute twice
-    pairs = materialize(
-        ngram_jaccard_pairs(
+    # this the whole miner would execute twice
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
             docs, text_col=text_col, id_col=id_col,
             threshold=threshold, shingle_n=shingle_n,
-        ).select("a", "b")
-    )
+        )
+    pairs = materialize(pairs.select("a", "b"))
     comps = connected_components(pairs, "a", "b").withColumnRenamed("id", id_col)
     return (
         docs.select(id_col)

@@ -207,7 +207,7 @@ def jaccard_similarity(sh_a: Column, sh_b: Column) -> Column:
     return inter / F.greatest(union, F.lit(1))
 
 
-def minhash_lsh_dedup(
+def minhash_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -217,12 +217,15 @@ def minhash_lsh_dedup(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-dedup: MinHash+LSH candidates, exact-Jaccard verification, keep
-    the lowest id of each duplicate pair's losers removed.
+    """Verified near-duplicate (a, b) pairs (a < b): MinHash+LSH candidate
+    generation + exact-shingle-Jaccard verification.
 
-    Connected components are approximated by one representative hop
-    (b removed when a<b are dups) — the standard single-pass policy.
-    ``bands`` defaults to the S-curve-matched count for ``threshold``.
+    The edge source for clustering at 100-TB scale: the exact prefix-filter
+    miner (``ngram_jaccard_pairs``) guarantees losslessness but touches
+    every shared shingle, while this path's candidate volume is bounded by
+    the banded LSH S-curve — feed its output to
+    ``operators.graph.connected_components`` (or
+    ``curation.near_dup_clusters(pairs=...)``) for transitive families.
 
     Caches an intermediate shingle table for the call's lifetime (reclaimed
     by LRU or ``spark.catalog.clearCache()`` — see the package docstring).
@@ -247,13 +250,37 @@ def minhash_lsh_dedup(
 
     sh_a = with_sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
     sh_b = with_sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))
-    dups = (
+    return (
         cands.join(sh_a, "a")
         .join(sh_b, "b")
         .where(jaccard_similarity(F.col("__sha"), F.col("__shb")) >= threshold)
-        .select(F.col("b").alias("__kill"))
-        .distinct()
+        .select("a", "b")
     )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int | None = None,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dedup: MinHash+LSH candidates, exact-Jaccard verification, keep
+    the lowest id of each duplicate pair's losers removed.
+
+    Connected components are approximated by one representative hop
+    (b removed when a<b are dups) — the standard single-pass policy;
+    ``curation.near_dup_clusters(docs, pairs=minhash_dup_pairs(...))`` is
+    the transitive-closure alternative.  ``bands`` defaults to the
+    S-curve-matched count for ``threshold``.
+    """
+    pairs = minhash_dup_pairs(
+        docs, text_col, id_col, threshold, num_hashes, bands, shingle_n, seed
+    )
+    dups = pairs.select(F.col("b").alias("__kill")).distinct()
     return docs.join(
         dups, docs[id_col] == dups["__kill"], "left_anti"
     )
