@@ -550,6 +550,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (k=20 per language):
+    LCG-hash rank within each stratum — the fixed-budget complement to
+    rate-based sampling.  Exact DuckDB oracle with the identical window."""
+    from tsne_flink_spark.pipeline.curation import stratified_take
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_take(docs, 20).select("doc_id", "lang")
+
+
 def q_sketch_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified invariant for sketch-based distinct counting (the 100-TB
     cardinality path: HyperLogLog++ via `approx_count_distinct`, default
@@ -1053,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "audio_check": q_audio_check,
         "sketch_distinct_check": q_sketch_distinct_check,
+        "stratified_take": q_stratified_take,
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_overlap": q_winnow_overlap,
         "quality_scores": q_quality_scores,
@@ -1160,10 +1171,10 @@ SELECT CAST(0 AS BIGINT) AS bad_sim,
 """
 
 
-def _lcg_bucket_sql_expr() -> str:
+def _lcg_bucket_sql_expr(buckets: int = 100) -> str:
     from tsne_flink_spark.pipeline.curation import lcg_bucket_sql
 
-    return lcg_bucket_sql("doc_id")
+    return lcg_bucket_sql("doc_id", buckets)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1234,6 +1245,16 @@ SELECT CAST(0 AS BIGINT) AS bad_feature_rows,
 """,
         "sketch_distinct_check": """
 SELECT CAST(0 AS BIGINT) AS bad_groups
+""",
+        "stratified_take": f"""
+WITH b AS (
+  SELECT doc_id, lang, {_lcg_bucket_sql_expr(1 << 30)} AS ok FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY ok, doc_id) AS rn
+  FROM b
+)
+SELECT doc_id, lang FROM r WHERE rn <= 20
 """,
         "tsne_embedding_check": """
 SELECT CAST(0 AS BIGINT) AS row_count_delta,

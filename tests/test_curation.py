@@ -233,6 +233,60 @@ def test_curation_pipeline_stages(spark, docs):
     assert stages[4] == ("kept" if h % 100 < 50 else "not_sampled")
 
 
+def test_stratified_take_exact_k(spark):
+    from tsne_flink_spark.pipeline.curation import stratified_take
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en" if i % 3 else "de") for i in range(300)],
+        "doc_id bigint, text string, lang string",
+    )
+    out = stratified_take(docs, 25)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts == {"en": 25, "de": 25}
+    # deterministic: identical rows across runs
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in stratified_take(docs, 25).collect()}
+    assert a == b
+    # k above the stratum size returns the whole stratum
+    assert stratified_take(docs, 1000).count() == 300
+
+
+def test_curation_ops_stream_batch_parity(spark, tmp_path, docs):
+    """The stateless curation/text ops (LCG sampling, quality scoring,
+    language ID) are pure narrow maps, so the SAME code runs unchanged on a
+    Structured Streaming source — append-mode output must equal batch."""
+    import os
+
+    from tsne_flink_spark.pipeline.curation import stratified_sample
+    from tsne_flink_spark.pipeline.text import language_id, quality_score
+
+    stream_dir = str(tmp_path / "docs_stream")
+    os.makedirs(stream_dir)
+    docs.write.mode("overwrite").parquet(stream_dir)
+
+    def xform(df):
+        return stratified_sample(df, {"en": 60}, default_rate=40).select(
+            "doc_id",
+            "sample_bucket",
+            F.round(quality_score(F.col("text")), 6).alias("q"),
+            language_id(F.col("text")).alias("lang_pred"),
+        )
+
+    stream = spark.readStream.schema(docs.schema).parquet(stream_dir)
+    q = (
+        xform(stream)
+        .writeStream.format("memory")
+        .queryName("curation_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from curation_parity").collect()}
+    want = {tuple(r) for r in xform(docs).collect()}
+    assert got == want and len(want) > 0
+
+
 def test_repetition_stats_exact_values(spark):
     from tsne_flink_spark.pipeline.text import repetition_stats
 

@@ -186,6 +186,29 @@ def stratified_sample(
     )
 
 
+def stratified_take(
+    docs: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rows ranked within each
+    stratum by their LCG hash order (id tie-break), first ``k`` kept — the
+    fixed-budget complement to rate-based ``stratified_sample`` (eval-set
+    carving, per-domain caps).  Equivalent to a uniform without-replacement
+    sample, reproducible in any engine.  One window rank per stratum; same
+    parallelism note as ``pack_sequences``."""
+    from pyspark.sql import Window
+
+    order = _lcg_bucket(F.col(id_col), 1 << 30)
+    w = Window.partitionBy(stratum_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def curation_pipeline(
     docs: DataFrame,
     text_col: str = "text",
