@@ -90,6 +90,47 @@ def test_connected_components_vs_union_find(spark):
     assert got == expected
 
 
+def test_connected_components_huge_hash_ids(spark):
+    """Node ids near 2^62 (xxhash64-derived keys): id arithmetic must not
+    overflow anywhere — a sum-of-labels convergence potential would raise
+    under ANSI mode with just three such nodes."""
+    from tsne_flink_spark.operators.graph import connected_components
+
+    big = 1 << 62
+    out = connected_components(
+        _edges(spark, [(big + 5, big + 9), (big + 9, big + 1)])
+    )
+    comp = {r["id"]: r["component"] for r in out.collect()}
+    assert comp == {big + 5: big + 1, big + 9: big + 1, big + 1: big + 1}
+
+
+def test_stratified_sample_huge_ids_no_overflow(spark):
+    """Doc ids above ~8.4e9 overflow a naive key*A LCG step (ANSI error);
+    the pre-fold keeps the arithmetic exact and engine-portable."""
+    from tsne_flink_spark.pipeline.curation import (
+        _LCG_A,
+        _LCG_C,
+        _LCG_M,
+        stratified_sample,
+    )
+
+    big = 1 << 40
+    docs = spark.createDataFrame(
+        [(big + i, "x", "en") for i in range(50)],
+        "doc_id bigint, text string, lang string",
+    )
+    rows = {
+        r["doc_id"]: r["sample_bucket"]
+        for r in stratified_sample(docs, {"en": 100}).collect()
+    }
+    assert len(rows) == 50  # rate 100 keeps everything
+    for i in range(50):
+        k = (big + i) % _LCG_M
+        h = (k * _LCG_A + _LCG_C) % _LCG_M
+        h = (h * _LCG_A + _LCG_C) % _LCG_M
+        assert rows[big + i] == h % 100
+
+
 def test_near_dup_clusters_transitive_family(spark, docs):
     from tsne_flink_spark.pipeline.curation import near_dup_clusters
 

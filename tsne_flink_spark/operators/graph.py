@@ -18,9 +18,11 @@ Components in MapReduce and Beyond", SoCC 2014) with a simpler invariant.
 Scale: per round, the shuffle is O(|E|) rows keyed by node id (AQE handles
 skewed high-degree nodes the same way it handles the LSH band joins — see
 BASELINE.md B17); no step ever holds a partition-spanning structure, and
-the driver sees only a 1-row convergence aggregate per round.  Labels only
-ever decrease, so ``sum(label)`` is a strictly-decreasing potential — the
-convergence test is one cheap global agg, not a change-count join.
+the driver sees only a 1-row convergence aggregate per round.  Each round
+carries the previous label through its checkpoint, so the convergence test
+is an exact changed-row count over already-materialized data — no join
+re-execution, and no arithmetic on the ids themselves (a ``sum(label)``
+potential would overflow int64 for hash-derived node ids near 2^62).
 """
 
 from __future__ import annotations
@@ -59,17 +61,23 @@ def connected_components(
         sym.select(F.col("__s").alias("id")).distinct()
         .select("id", F.col("id").alias("component"))
     )
-    potential = labels.agg(F.sum("component")).first()[0]
-    if potential is None:  # empty edge set
-        return labels
 
     for _ in range(max_rounds):
-        # neighbor messages: every edge endpoint offers its current label
+        # neighbor messages: every edge endpoint offers its current label;
+        # the node's own row is tagged so ONE aggregate yields both the
+        # relaxed label (min over all rows) and the previous label (the
+        # unique own row) — no extra join for convergence detection
         msgs = sym.join(
             labels.select(F.col("id").alias("__s"), "component"), "__s"
-        ).select(F.col("__d").alias("id"), "component")
+        ).select(F.col("__d").alias("id"), "component", F.lit(False).alias("__own"))
         relaxed = (
-            labels.union(msgs).groupBy("id").agg(F.min("component").alias("component"))
+            labels.select("id", "component", F.lit(True).alias("__own"))
+            .union(msgs)
+            .groupBy("id")
+            .agg(
+                F.min("component").alias("component"),
+                F.max(F.when(F.col("__own"), F.col("component"))).alias("__old"),
+            )
         )
         # pointer jumping (path halving): follow the label's own label.
         # Labels are always node ids, so the lookup side is `relaxed` keyed
@@ -77,15 +85,21 @@ def connected_components(
         hop = relaxed.select(
             F.col("id").alias("component"), F.col("component").alias("__c2")
         )
-        labels = materialize(
+        combined = materialize(
             relaxed.join(hop, "component", "left").select(
-                "id", F.coalesce("__c2", "component").alias("component")
+                "id",
+                F.coalesce("__c2", "component").alias("component"),
+                (F.col("component") != F.col("__old")).alias("__chg"),
             )
         )
-        new_potential = labels.agg(F.sum("component")).first()[0]
-        if new_potential == potential:
+        labels = combined.select("id", "component")
+        # relax-fixpoint certifies the answer: no message improved any
+        # label => labels are constant across every edge, and the component
+        # minimum's own label pins that constant to the minimum.  (The jump
+        # is pure acceleration; at relax-fixpoint it is a no-op.)  The count
+        # reads the just-checkpointed rows — nothing re-executes.
+        if combined.where("__chg").count() == 0:
             return labels
-        potential = new_potential
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         "(log2(diameter) rounds expected; is the edge set adversarial?)"

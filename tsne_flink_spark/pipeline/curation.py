@@ -136,24 +136,33 @@ def decontaminate(
     )
 
 
-# Two rounds of the classic glibc LCG, kept inside int64 by a 2^31 modulus:
-# (2^31 - 1) * 1103515245 + 12345 < 2.4e18 < 2^63, so the arithmetic is
+# Two rounds of the classic glibc LCG over a pre-folded key, kept inside
+# int64 by a 2^31 modulus: the key is first reduced mod 2^31 (otherwise
+# ``key * A`` overflows int64 — and RAISES under Spark's default ANSI mode —
+# for keys above ~8.4e9, a realistic doc-id range at corpus scale), then
+# (2^31 - 1) * 1103515245 + 12345 < 2.4e18 < 2^63 keeps every later step
 # exact in ANY engine's 64-bit integers — the point.  Engine-native hashes
 # (xxhash64, DuckDB hash()) differ across engines and versions; a sampling
 # decision that must be reproducible everywhere needs explicit arithmetic.
+# The fold aliases keys 2^31 apart onto one bucket stream — harmless for
+# sampling (bucket uniformity is what matters, not key injectivity).
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
 
 
 def _lcg_bucket(key: Column, buckets: int = 100) -> Column:
-    h = (key * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M)
+    h = F.pmod(key, F.lit(_LCG_M))
+    h = (h * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M)
     h = (h * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M)
     return h % F.lit(buckets)
 
 
 def lcg_bucket_sql(key_expr: str, buckets: int = 100) -> str:
     """The DuckDB/ANSI spelling of ``_lcg_bucket`` — exported so oracles and
-    downstream SQL users select the exact same rows."""
-    h1 = f"(({key_expr}) * {_LCG_A} + {_LCG_C}) % {_LCG_M}"
+    downstream SQL users select the exact same rows.  Assumes a
+    non-negative key (doc ids); the Spark side uses pmod, which agrees with
+    ``%`` on non-negatives."""
+    h0 = f"(({key_expr}) % {_LCG_M})"
+    h1 = f"(({h0}) * {_LCG_A} + {_LCG_C}) % {_LCG_M}"
     h2 = f"(({h1}) * {_LCG_A} + {_LCG_C}) % {_LCG_M}"
     return f"(({h2}) % {buckets})"
 
