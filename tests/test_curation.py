@@ -250,6 +250,39 @@ def test_pack_sequences_layout(spark):
     assert out[1]["n_tokens"] == 8
 
 
+def test_pack_sequences_property_vs_python(spark):
+    """Random corpora vs a pure-python packer: layout must be gapless and
+    conserving — every doc starts exactly where the previous one in its
+    shard ended, pack/offset arithmetic agrees with integer division."""
+    import random
+
+    rng = random.Random(23)
+    cap = 64
+    rows = []
+    for i in range(400):
+        shard = f"s{rng.randrange(5)}"
+        n_tok = rng.choice([0, 1, rng.randrange(2, 150)])
+        rows.append((i, "w " * n_tok if n_tok else "", shard))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+    from tsne_flink_spark.pipeline.curation import pack_sequences
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["pack_id"], r["pack_offset"], r["n_packs"])
+        for r in pack_sequences(docs, capacity=cap).collect()
+    }
+
+    cum = {}
+    for i, text, shard in rows:  # already in doc_id order
+        n_tok = len(text.split())
+        start = cum.get(shard, 0)
+        end = start + n_tok
+        first = start // cap
+        last = (end - 1) // cap if n_tok else first
+        assert got[i] == (n_tok, first, start % cap, max(last, first) - first + 1)
+        cum[shard] = end
+
+
 def test_curation_pipeline_stages(spark, docs):
     from tsne_flink_spark.pipeline.curation import (
         _LCG_A,
