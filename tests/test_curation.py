@@ -250,6 +250,21 @@ def test_pack_sequences_layout(spark):
     assert out[1]["n_tokens"] == 8
 
 
+def test_curation_pipeline_minhash_miner(spark, docs):
+    """The corpus-scale miner swap: same staged semantics, LSH-bounded
+    edges.  On this fixture the exact dups are guaranteed caught, so the
+    stage labels for the unambiguous docs must match the exact path."""
+    from tsne_flink_spark.pipeline.curation import curation_pipeline
+
+    out = curation_pipeline(docs, pair_miner="minhash")
+    stages = {r["doc_id"]: r["stage"] for r in out.collect()}
+    assert stages[0] == "holdout"
+    assert stages[5] == "exact_dup"
+    assert stages[1] == "contaminated"  # identical to holdout doc 0
+    with pytest.raises(ValueError):
+        curation_pipeline(docs, pair_miner="simhash")
+
+
 def test_pack_sequences_property_vs_python(spark):
     """Random corpora vs a pure-python packer: layout must be gapless and
     conserving — every doc starts exactly where the previous one in its

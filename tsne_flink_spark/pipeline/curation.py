@@ -230,6 +230,7 @@ def curation_pipeline(
     quality_min: float = 0.55,
     rates: dict[str, int] | None = None,
     default_rate: int = 5,
+    pair_miner: str = "exact",
 ) -> DataFrame:
     """The full curation pass, end-to-end: every document annotated with the
     FIRST stage that eliminated it —
@@ -248,6 +249,11 @@ def curation_pipeline(
     rates apply to the clean pool).  Deterministic end to end — exact dedup,
     exact-Jaccard clustering, exact gram overlap, closed-form quality and
     LCG sampling — so the whole pipeline is one DuckDB-checkable query.
+
+    ``pair_miner="minhash"`` swaps the near-dup edge source for the
+    LSH-bounded verified pairs (``dedup.minhash_dup_pairs``, same
+    ``jaccard_threshold``) — the corpus-scale trade (B24): still
+    deterministic, no longer SQL-reproducible.
 
     Output is a total annotation (one row per input document, columns
     ``(id_col, stage)``): the "why was my document dropped" audit table, not
@@ -279,9 +285,20 @@ def curation_pipeline(
     exact_kill = materialize(fp.where(F.col("__rn") > 1).select(id_col))
     surv1 = train.select(*base_cols).join(exact_kill, id_col, "left_anti")
 
+    if pair_miner == "minhash":
+        from tsne_flink_spark.pipeline.dedup import minhash_dup_pairs
+
+        mined = minhash_dup_pairs(
+            surv1, text_col=text_col, id_col=id_col,
+            threshold=jaccard_threshold, shingle_n=max(shingle_n, 2),
+        )
+    elif pair_miner == "exact":
+        mined = None
+    else:
+        raise ValueError(f"pair_miner must be 'exact' or 'minhash', got {pair_miner!r}")
     clusters = near_dup_clusters(
         surv1, text_col=text_col, id_col=id_col,
-        threshold=jaccard_threshold, shingle_n=shingle_n,
+        threshold=jaccard_threshold, shingle_n=shingle_n, pairs=mined,
     )
     near_kill = materialize(
         clusters.where(F.col("keep") == 0).select(id_col)
