@@ -573,10 +573,12 @@ def q_sketch_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("__a"),
         F.countDistinct("user_id").alias("__e"),
     )
+    # __a <= 0 is only a violation when the group actually HAS distinct
+    # users (an all-NULL-user group legitimately estimates 0)
     bad = (
         (F.abs(F.col("__a") - F.col("__e")) / F.greatest(F.col("__e"), F.lit(1)))
         > 0.15
-    ) | (F.col("__a") <= 0)
+    ) | ((F.col("__a") <= 0) & (F.col("__e") > 0))
     return g.agg(
         F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("bad_groups")
     )
@@ -608,7 +610,8 @@ def q_audio_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified invariants for the audio pipeline (oracle: constant zero
     row): one feature row per document, positive duration, RMS and ZCR in
     [0, 1], and an 8-band energy profile that is non-negative, finite, and
-    sums to 1 (±1e-9) for every non-silent clip."""
+    sums to 1 (±1e-9) — or to exactly 0, the kernel's silent/degenerate
+    marker (all-zero spectrum never partially normalizes)."""
     from tsne_flink_spark.pipeline.audio import (
         attach_audio_payload,
         extract_audio_features,
@@ -626,7 +629,7 @@ def q_audio_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("zero_crossing_rate").between(0.0, 1.0)
         & (F.size("band_energy") == 8)
         & F.forall("band_energy", lambda x: x.between(0.0, 1.0))
-        & (F.abs(band_sum - 1.0) < 1e-9)
+        & ((F.abs(band_sum - 1.0) < 1e-9) | (band_sum == 0.0))
     )
     bad_rows = feats.where(~F.coalesce(in_range, F.lit(False))).agg(
         F.count(F.lit(1)).alias("bad_feature_rows")

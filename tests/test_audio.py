@@ -90,6 +90,39 @@ def test_audio_feature_kernel_known_signal():
     assert bands.max() > 0.99  # a pure tone concentrates in one band
 
 
+def test_audio_feature_kernel_degenerate_clips():
+    """Tiny and silent clips must neither crash nor break the band
+    invariant: sum(bands) is 1 for any clip with spectral energy, exactly
+    0 for silent/degenerate ones."""
+    from tsne_flink_spark.pipeline.audio import audio_feature_arrays
+
+    one = np.array([[1234]], dtype=np.int16)
+    f1 = audio_feature_arrays(one, 8000)
+    assert sum(f1["band_energy"]) in (pytest.approx(1.0), 0.0)
+
+    two = np.array([[10000], [-10000]], dtype=np.int16)
+    f2 = audio_feature_arrays(two, 8000)
+    assert f2["rms"] > 0
+    assert sum(f2["band_energy"]) == pytest.approx(1.0)  # was all-zero
+
+    silent = np.zeros((2000, 1), dtype=np.int16)
+    fs = audio_feature_arrays(silent, 8000)
+    assert fs["rms"] == 0.0
+    assert sum(fs["band_energy"]) == 0.0  # the explicit silent marker
+
+    empty = np.zeros((0, 1), dtype=np.int16)
+    fe = audio_feature_arrays(empty, 8000)
+    assert fe["duration_s"] == 0.0 and sum(fe["band_energy"]) == 0.0
+
+
+def test_synth_seed_changes_payloads():
+    from tsne_flink_spark.pipeline.audio import _synth_samples
+    from tsne_flink_spark.pipeline.multimodal import _synth_pixels
+
+    assert not np.array_equal(_synth_samples("x", seed=1), _synth_samples("x", seed=2))
+    assert not np.array_equal(_synth_pixels("x", seed=1), _synth_pixels("x", seed=2))
+
+
 def test_audio_pipeline_spark(spark):
     from tsne_flink_spark.pipeline.audio import (
         attach_audio_payload,

@@ -97,11 +97,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return s, int(rate)
 
 
-def _synth_samples(text: str, rate: int = 8000, seconds: float = 0.25) -> np.ndarray:
-    """Deterministic pseudo-audio seeded by the text hash: three tones at
-    content-derived frequencies + low-level noise, so band energies, ZCR,
-    and RMS are all non-trivial."""
-    digest = hashlib.sha256(text.encode("utf-8")).digest()
+def _synth_samples(
+    text: str, rate: int = 8000, seconds: float = 0.25, seed: int = 42
+) -> np.ndarray:
+    """Deterministic pseudo-audio seeded by (seed, text hash): three tones
+    at content-derived frequencies + low-level noise, so band energies,
+    ZCR, and RMS are all non-trivial."""
+    digest = hashlib.sha256(f"{seed}\x00{text}".encode("utf-8")).digest()
     seed = int.from_bytes(digest[:8], "big")
     rng = np.random.default_rng(seed)
     n = int(rate * seconds)
@@ -122,7 +124,7 @@ def attach_audio_payload(
 
     @F.pandas_udf("binary")
     def synth_wav(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: encode_wav(_synth_samples(t or "")))
+        return texts.map(lambda t: encode_wav(_synth_samples(t or "", seed=seed)))
 
     return docs.withColumn(payload_col, synth_wav(F.col("text")))
 
@@ -136,13 +138,19 @@ def audio_feature_arrays(samples: np.ndarray, rate: int) -> dict:
     duration = n / rate
     rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
     zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
-    if n:
-        spec = np.abs(np.fft.rfft(mono)) ** 2
-        edges = np.unique(
-            np.geomspace(1, len(spec) - 1, N_BANDS + 1).astype(int)
+    # log-spaced band ASSIGNMENT per rFFT bin (not geomspace edge slicing,
+    # which degenerates for clips shorter than ~2*N_BANDS samples: empty
+    # reduceat starts gave all-zero bands, and a 1-sample clip crashed
+    # geomspace outright).  bincount handles every m >= 0 uniformly.
+    spec = np.abs(np.fft.rfft(mono)) ** 2 if n else np.zeros(0)
+    m = len(spec)
+    if m > 1:
+        k = np.arange(1, m)  # drop the DC bin
+        denom = np.log(m - 1) if m > 2 else 1.0
+        idx = np.minimum(
+            (np.log(k) / denom * N_BANDS).astype(int), N_BANDS - 1
         )
-        bands = np.add.reduceat(spec, edges[:-1])
-        bands = np.pad(bands, (0, N_BANDS - len(bands)))[:N_BANDS]
+        bands = np.bincount(idx, weights=spec[1:], minlength=N_BANDS)[:N_BANDS]
         total = bands.sum()
         bands = bands / total if total > 0 else bands
     else:

@@ -102,11 +102,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     return img
 
 
-def _synth_pixels(text: str, width: int = 8, height: int = 8) -> np.ndarray:
-    """Deterministic pseudo-pixels seeded by the text's content hash."""
-    digest = hashlib.sha256(text.encode("utf-8")).digest()
-    seed = int.from_bytes(digest[:8], "big")
-    rng = np.random.default_rng(seed)
+def _synth_pixels(
+    text: str, width: int = 8, height: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Deterministic pseudo-pixels seeded by (seed, text content hash)."""
+    digest = hashlib.sha256(f"{seed}\x00{text}".encode("utf-8")).digest()
+    rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
@@ -125,7 +126,7 @@ def attach_binary_payload(
 
     @F.pandas_udf("binary")
     def synth_ppm(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: encode_ppm(_synth_pixels(t or "")))
+        return texts.map(lambda t: encode_ppm(_synth_pixels(t or "", seed=seed)))
 
     return docs.withColumn(payload_col, synth_ppm(F.col("text")))
 
