@@ -166,6 +166,19 @@ def test_near_dup_clusters_from_minhash_pairs(spark, docs):
     assert rows[4] == (4, 1)  # unrelated doc is its own cluster
 
 
+def test_near_dup_clusters_from_simhash_pairs(spark, docs):
+    """Any (a, b) miner feeds the same clustering: simhash pairs (Hamming
+    <= 3 banded) must collapse the exact-dup family."""
+    from tsne_flink_spark.pipeline.curation import near_dup_clusters
+    from tsne_flink_spark.pipeline.dedup import simhash_dup_pairs
+
+    out = near_dup_clusters(docs, pairs=simhash_dup_pairs(docs))
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert rows[0] == (0, 1)
+    assert rows[1] == (0, 0)  # identical text -> identical simhash
+    assert rows[5] == (0, 0)
+
+
 def test_decontaminate(spark, docs):
     from tsne_flink_spark.pipeline.curation import decontaminate
 

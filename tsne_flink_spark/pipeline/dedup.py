@@ -387,14 +387,17 @@ def _popcount64(x: Column) -> Column:
     return F.bit_count(x)
 
 
-def simhash_dedup(
+def simhash_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 0,
 ) -> DataFrame:
-    """Near-dedup by simhash: banded candidate join + Hamming verification."""
+    """Verified near-duplicate (a, b) pairs (a < b) with simhash Hamming
+    distance <= ``max_hamming``: banded candidate join (4 x 16-bit bands —
+    Hamming <= 3 guarantees a shared band by pigeonhole) + exact popcount
+    verification.  An edge source for ``curation.near_dup_clusters``."""
     sh = simhash_table(docs, text_col, id_col, seed).withColumnRenamed(
         "simhash", "__sim"
     )
@@ -409,15 +412,27 @@ def simhash_dedup(
     right = banded.select(
         F.col(id_col).alias("b"), F.col("__sim").alias("__sb"), "__band", "__key"
     )
-    dups = (
+    return (
         left.join(right, ["__band", "__key"])
         .where(F.col("a") < F.col("b"))
         .where(
             _popcount64(F.col("__sa").bitwiseXOR(F.col("__sb"))) <= max_hamming
         )
-        .select(F.col("b").alias("__kill"))
-        .distinct()
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
     )
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Near-dedup by simhash: banded candidate join + Hamming verification."""
+    pairs = simhash_dup_pairs(docs, text_col, id_col, max_hamming, seed)
+    dups = pairs.select(F.col("b").alias("__kill")).distinct()
     return docs.join(dups, docs[id_col] == dups["__kill"], "left_anti")
 
 
