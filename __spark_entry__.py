@@ -560,6 +560,26 @@ def q_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_take(docs, 20).select("doc_id", "lang")
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing e2e: synthesize binary payloads, emit
+    (doc_id, frame_idx, frame_len) rows via the Arrow-batched sampler.
+    The synthetic 8x8 PPM payload is exactly 203 bytes and rotation
+    preserves length, so the layout is an EXACT SQL oracle (documents x
+    the 3 sampled frame indices) even though the bytes are hash-specific."""
+    from tsne_flink_spark.pipeline.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_frames(attach_binary_payload(docs), every_nth=10, n_frames=3)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame_payload").cast("long").alias("frame_len"),
+    )
+
+
 def q_sketch_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified invariant for sketch-based distinct counting (the 100-TB
     cardinality path: HyperLogLog++ via `approx_count_distinct`, default
@@ -1067,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_check": q_audio_check,
         "sketch_distinct_check": q_sketch_distinct_check,
         "stratified_take": q_stratified_take,
+        "video_frames": q_video_frames,
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_overlap": q_winnow_overlap,
         "quality_scores": q_quality_scores,
@@ -1248,6 +1269,11 @@ SELECT CAST(0 AS BIGINT) AS bad_feature_rows,
 """,
         "sketch_distinct_check": """
 SELECT CAST(0 AS BIGINT) AS bad_groups
+""",
+        "video_frames": """
+SELECT d.doc_id, f.frame_idx, CAST(203 AS BIGINT) AS frame_len
+FROM documents d
+CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (10), (20)) AS f(frame_idx)
 """,
         "stratified_take": f"""
 WITH b AS (
