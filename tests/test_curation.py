@@ -389,6 +389,63 @@ def test_curation_ops_stream_batch_parity(spark, tmp_path, docs):
     assert got == want and len(want) > 0
 
 
+def test_repetition_stats_property_vs_python(spark):
+    """Random token streams vs a pure-python reference — exercises the
+    sorted-array max-run fold (max run length == max frequency) across
+    duplicate-heavy, unique, and single-token regimes."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(31)
+    vocab = ["a", "b", "cc", "ddd", "e1", "ff", "g"]
+    rows = []
+    for i in range(120):
+        n = rng.randrange(0, 25)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    from tsne_flink_spark.pipeline.text import repetition_stats
+
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    for i, text in rows:
+        toks = text.split()
+        n = len(toks)
+        counts = Counter(toks)
+        grams = (
+            [" ".join(toks[j : j + 2]) for j in range(max(n - 1, 1))]
+            if n
+            else [""]
+        )
+        r = got[i]
+        assert r["n_tokens"] == n
+        assert r["type_token_ratio"] == pytest.approx(len(counts) / max(n, 1))
+        top = max(counts.values()) if counts else 0
+        assert r["top_token_frac"] == pytest.approx(top / max(n, 1))
+        dup = (len(grams) - len(set(grams))) / max(len(grams), 1)
+        assert r["dup_2gram_frac"] == pytest.approx(dup)
+
+
+def test_curation_pipeline_degenerate_inputs(spark):
+    """Empty table and all-identical corpus must not crash any stage."""
+    from tsne_flink_spark.pipeline.curation import curation_pipeline
+
+    schema = "doc_id bigint, text string, lang string"
+    empty = spark.createDataFrame([], schema)
+    assert curation_pipeline(empty).count() == 0
+
+    same = spark.createDataFrame(
+        [(i, "the same text for every doc here", "en") for i in range(12)],
+        schema,
+    )
+    out = {r["doc_id"]: r["stage"] for r in curation_pipeline(same).collect()}
+    assert len(out) == 12
+    # 0 and 10 are holdout; 1 survives exact dedup but is contaminated
+    # (identical to the holdout docs); everything else is an exact dup
+    assert out[0] == "holdout" and out[10] == "holdout"
+    assert out[1] == "contaminated"
+    assert all(out[i] == "exact_dup" for i in out if i not in (0, 1, 10))
+
+
 def test_repetition_stats_exact_values(spark):
     from tsne_flink_spark.pipeline.text import repetition_stats
 
