@@ -389,6 +389,41 @@ def test_curation_ops_stream_batch_parity(spark, tmp_path, docs):
     assert got == want and len(want) > 0
 
 
+def test_curate_cli_smoke(spark, tmp_path, docs):
+    from tsne_flink_spark.pipeline.curate_cli import main, parse_rates
+
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out_ann = str(tmp_path / "annotated")
+    rc = main(
+        ["--input", src, "--output", out_ann, "--rate", "en=100",
+         "--default-rate", "100", "--quality-min", "0.0"],
+        spark=spark,
+    )
+    assert rc == 0
+    ann = spark.read.parquet(out_ann)
+    assert ann.count() == 7 and set(ann.columns) == {"doc_id", "stage"}
+
+    out_flt = str(tmp_path / "filtered")
+    rc = main(
+        ["--input", src, "--output", out_flt, "--mode", "filter",
+         "--rate", "en=100", "--default-rate", "100", "--quality-min", "0.0"],
+        spark=spark,
+    )
+    assert rc == 0
+    kept = spark.read.parquet(out_flt)
+    assert set(kept.columns) == set(docs.columns)
+    # with all filters wide open, kept == every clean non-holdout survivor
+    want = {
+        r["doc_id"] for r in ann.where("stage = 'kept'").collect()
+    }
+    assert {r["doc_id"] for r in kept.collect()} == want and want
+
+    assert parse_rates(["en=50", "de=30"]) == {"en": 50, "de": 30}
+    with pytest.raises(SystemExit):
+        parse_rates(["bogus"])
+
+
 def test_repetition_stats_property_vs_python(spark):
     """Random token streams vs a pure-python reference — exercises the
     sorted-array max-run fold (max run length == max frequency) across

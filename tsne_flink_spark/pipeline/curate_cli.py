@@ -1,0 +1,107 @@
+"""Standalone CLI for the curation pipeline:
+
+    python -m tsne_flink_spark.pipeline.curate_cli \\
+        --input /data/documents.parquet --output /data/curated \\
+        --rate en=50 --rate de=30 --quality-min 0.55 --mode filter
+
+``--mode annotate`` writes the full (doc_id, stage) audit table;
+``--mode filter`` writes the kept documents themselves (all columns).
+Master defaults to ``local[*]`` and honors ``SPARK_GRAFT_MASTER`` the same
+way bench.py does, so the identical invocation runs on a standalone
+cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tsne_flink_spark.pipeline.curate_cli")
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--output", required=True, help="output parquet directory")
+    p.add_argument("--mode", choices=["annotate", "filter"], default="annotate")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--stratum-col", default="lang")
+    p.add_argument("--holdout-mod", type=int, default=10)
+    p.add_argument("--jaccard-threshold", type=float, default=0.5)
+    p.add_argument("--shingle-n", type=int, default=2)
+    p.add_argument("--decon-ngram-n", type=int, default=5)
+    p.add_argument("--quality-min", type=float, default=0.55)
+    p.add_argument(
+        "--rate",
+        action="append",
+        default=[],
+        metavar="STRATUM=PCT",
+        help="per-stratum keep percentage (repeatable)",
+    )
+    p.add_argument("--default-rate", type=int, default=5)
+    p.add_argument(
+        "--pair-miner", choices=["exact", "minhash"], default="exact"
+    )
+    return p
+
+
+def parse_rates(specs: list[str]) -> dict[str, int]:
+    rates: dict[str, int] = {}
+    for spec in specs:
+        stratum, _, pct = spec.partition("=")
+        if not stratum or not pct:
+            raise SystemExit(f"bad --rate {spec!r} (want STRATUM=PCT)")
+        rates[stratum] = int(pct)
+    return rates
+
+
+def run(args: argparse.Namespace, spark=None) -> int:
+    from tsne_flink_spark.pipeline.curation import curation_pipeline
+
+    owns_session = spark is None
+    if owns_session:
+        from pyspark.sql import SparkSession
+
+        master = os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+        spark = (
+            SparkSession.builder.master(master)
+            .appName("curate")
+            .config("spark.sql.adaptive.enabled", "true")
+            .getOrCreate()
+        )
+    try:
+        docs = spark.read.parquet(args.input)
+        staged = curation_pipeline(
+            docs,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            stratum_col=args.stratum_col,
+            holdout_mod=args.holdout_mod,
+            jaccard_threshold=args.jaccard_threshold,
+            shingle_n=args.shingle_n,
+            decon_ngram_n=args.decon_ngram_n,
+            quality_min=args.quality_min,
+            rates=parse_rates(args.rate) or None,
+            default_rate=args.default_rate,
+            pair_miner=args.pair_miner,
+        )
+        if args.mode == "filter":
+            kept = staged.where(staged["stage"] == "kept").select(args.id_col)
+            out = docs.join(kept, args.id_col)
+        else:
+            out = staged
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"wrote {n} rows to {args.output} ({args.mode})")
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    return run(build_parser().parse_args(argv), spark=spark)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
