@@ -786,6 +786,19 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
 
 
+def q_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID (Cavnar-Trenkle style trigram profiles
+    derived from the shared lexicon constant) — the sub-word complement to
+    the stopword vote; exact DuckDB oracle generated from the same
+    profiles."""
+    from tsne_flink_spark.pipeline.text import language_id_ngram
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", language_id_ngram(F.col("text")).alias("lang_pred")
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: keep lowest doc_id per normalized-text fingerprint."""
     from tsne_flink_spark.pipeline.dedup import exact_dedup
@@ -1056,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "stopword_ratio": q_stopword_ratio,
         "language_id": q_language_id,
+        "language_id_ngram": q_language_id_ngram,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_check": q_minhash_dedup_check,
@@ -1195,6 +1209,45 @@ SELECT CAST(0 AS BIGINT) AS bad_sim,
 """
 
 
+def _language_id_ngram_oracle() -> str:
+    """Generate the trigram-profile oracle from the SAME shared constant the
+    Spark operator scores with."""
+    from tsne_flink_spark.pipeline.text import lang_trigram_profiles
+
+    profiles = lang_trigram_profiles()
+
+    def lst(lang: str) -> str:
+        items = ", ".join(
+            "'" + t.replace("'", "''") + "'" for t in profiles[lang]
+        )
+        return f"[{items}]"
+
+    score_cols = ",\n    ".join(
+        f"len(list_filter(ts, t -> list_contains({lst(lang)}, t))) AS s_{lang}"
+        for lang in profiles
+    )
+    g = "greatest(s_en, s_de, s_fr, s_es)"
+    return f"""
+WITH tri AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(p) - 2, 1) + 1),
+                        i -> substring(p, i, 3)) AS ts
+  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)
+), s AS (
+  SELECT doc_id,
+    {score_cols}
+  FROM tri
+)
+SELECT doc_id,
+  CASE WHEN {g} = 0 THEN 'und'
+       WHEN s_en = {g} THEN 'en'
+       WHEN s_de = {g} THEN 'de'
+       WHEN s_fr = {g} THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM s
+"""
+
+
 def _lcg_bucket_sql_expr(buckets: int = 100) -> str:
     from tsne_flink_spark.pipeline.curation import lcg_bucket_sql
 
@@ -1270,6 +1323,7 @@ SELECT CAST(0 AS BIGINT) AS bad_feature_rows,
         "sketch_distinct_check": """
 SELECT CAST(0 AS BIGINT) AS bad_groups
 """,
+        "language_id_ngram": _language_id_ngram_oracle(),
         "video_frames": """
 SELECT d.doc_id, f.frame_idx, CAST(203 AS BIGINT) AS frame_len
 FROM documents d

@@ -69,6 +69,7 @@ def main() -> None:
         "pairwise_affinities",
         "text_stats",
         "language_id",
+        "language_id_ngram",
         "repetition_stats",
         "stratified_sample",
         "pack_sequences",

@@ -389,6 +389,32 @@ def test_curation_ops_stream_batch_parity(spark, tmp_path, docs):
     assert got == want and len(want) > 0
 
 
+def test_language_id_ngram_discriminates(spark):
+    """Real sentences in each lexicon language: the trigram profiles must
+    pick the right language even when few whole stopwords appear."""
+    from tsne_flink_spark.pipeline.text import language_id_ngram
+
+    rows = [
+        (0, "the quality of the results is important for that reason", "en"),
+        (1, "der Hund ist nicht mit der Katze zu vergleichen und das stimmt", "de"),
+        (2, "le chat est sur la table et les livres sont pour une amie", "fr"),
+        (3, "el perro es de una familia y los gatos son por la casa", "es"),
+        (4, "zzz qqq xxx", "und"),
+        (5, "", "und"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["p"]
+        for r in docs.select(
+            "doc_id", language_id_ngram(F.col("text")).alias("p")
+        ).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_curate_cli_smoke(spark, tmp_path, docs):
     from tsne_flink_spark.pipeline.curate_cli import main, parse_rates
 

@@ -80,6 +80,58 @@ def language_id(text: Column) -> Column:
     return result
 
 
+def lang_trigram_profiles() -> dict[str, list[str]]:
+    """Per-language character-trigram profiles (Cavnar-Trenkle style),
+    derived deterministically from the built-in stopword lexicons with
+    word-boundary padding — one shared constant, so the Spark operator and
+    any SQL oracle score the exact same trigram sets."""
+    profs: dict[str, list[str]] = {}
+    for lang, words in _STOPWORDS.items():
+        tris = set()
+        for w in words:
+            padded = f" {w} "
+            tris.update(padded[i : i + 3] for i in range(len(padded) - 2))
+        profs[lang] = sorted(tris)
+    return profs
+
+
+def char_trigrams(text: Column) -> Column:
+    """All character trigrams of the space-padded lowercase text (with
+    occurrence counts — no distinct), as an array column."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(1))),
+        lambda i: F.substring(padded, i, F.lit(3)),
+    )
+
+
+def language_id_ngram(text: Column) -> Column:
+    """Character-n-gram language ID: score each language by how many of
+    the document's trigram OCCURRENCES land in that language's profile;
+    argmax with the same deterministic tie order as ``language_id``
+    ('und' when nothing matches).  Robust to unknown words in a way the
+    stopword vote is not — sub-word character statistics carry the
+    signal.  Pure Column expressions over one trigram array, bound via
+    ``_let`` so the array is evaluated once per row despite the many
+    profile references."""
+    profiles = lang_trigram_profiles()
+
+    def scored(tris: Column) -> Column:
+        scores = {
+            lang: F.size(F.filter(tris, lambda t: t.isin(profile)))
+            for lang, profile in profiles.items()
+        }
+        best = F.greatest(*scores.values())
+        result = F.lit("und")
+        for lang in reversed(list(_STOPWORDS)):
+            result = F.when(
+                (scores[lang] == best) & (best > 0), F.lit(lang)
+            ).otherwise(result)
+        return result
+
+    return _let(char_trigrams(text), scored)
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace/case-normalized text — the exact-dedup key."""
