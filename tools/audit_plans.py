@@ -31,6 +31,12 @@ AUDITED = [
     "event_order_asof",
     "session_overlap",
     "windowed_event_counts",
+    "language_id_ngram",
+    "source_stats",
+    "doc_fingerprint",
+    "audio_features",
+    "video_frames",
+    "curation_pipeline",
 ]
 
 
@@ -132,6 +138,53 @@ NOTES = {
     "windowed_event_counts": (
         "Tumbling window agg: partial agg before the exchange (map-side "
         "combine), one shuffle on (window, event_type)."
+    ),
+    "language_id_ngram": (
+        "Character-trigram profile scoring as pure Column math: the "
+        "per-language profile tables fold into literal score expressions "
+        "at plan time (no join, no UDF), so the classifier is a "
+        "zero-exchange narrow map over one pruned scan — free at any "
+        "corpus size."
+    ),
+    "source_stats": (
+        "Exact interpolated percentiles per source: one hash exchange on "
+        "source, `percentile` computed inside the aggregate (no sort of "
+        "the full data, no window) — the per-group state is the value "
+        "list, bounded by the per-source row count, the scale limit "
+        "shared with any exact-percentile engine (approx_percentile is "
+        "the documented 100-TB fallback)."
+    ),
+    "doc_fingerprint": (
+        "Rolling-hash shingle fingerprints: explode to (doc, gram-hash) "
+        "pairs in the same codegen span as the scan, one exchange for "
+        "the distinct — no UDF, no join; output is the compact "
+        "fingerprint set used by the overlap miners."
+    ),
+    "audio_features": (
+        "Arrow-batched mapInPandas over the binary payload column: the "
+        "synth harness spreads the slim text rows across cores before "
+        "payload generation (single-file scans otherwise serialize the "
+        "whole codec chain on one task); decode + numpy DSP add NO "
+        "further exchange — real binary columns get their parallelism "
+        "from file/row-group splits, never from shuffling payload bytes."
+    ),
+    "video_frames": (
+        "Frame sampling as a generator mapInPandas: each payload emits "
+        "its sampled frames inside the Arrow batch (no explode row blowup "
+        "before selection); the only exchange is the synth harness's "
+        "slim-row spread — frame bytes stay binary-opaque and unshuffled "
+        "until the (stubbed) demux boundary."
+    ),
+    "curation_pipeline": (
+        "Staged kill-set pipeline: the five eliminating stages "
+        "(holdout/exact-dup/near-dup/decontam/quality) each reduce to a "
+        "slim checkpointed doc_id list (localCheckpoint — visible below "
+        "as ExistingRDD scans), so the final stage-assembly is "
+        "left-anti/annotate joins of the full corpus against five tiny "
+        "id sets; without the checkpoint boundary the pair miner would "
+        "re-execute once per downstream reference (measured 18.1 -> "
+        "11.9 s, BASELINE.md). At 100 TB the id lists stay "
+        "corpus-fraction-sized and broadcastable."
     ),
 }
 

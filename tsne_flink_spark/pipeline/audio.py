@@ -126,7 +126,13 @@ def attach_audio_payload(
     def synth_wav(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: encode_wav(_synth_samples(t or "", seed=seed)))
 
-    return docs.withColumn(payload_col, synth_wav(F.col("text")))
+    # spread the slim text rows before synthesizing payloads: a single-file
+    # scan otherwise runs synth AND every downstream decode kernel on one
+    # task (the dedup._spread trap).  Real binary columns skip this — their
+    # parallelism comes from file/row-group splits, and repartitioning
+    # payload bytes would shuffle the corpus.
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return spread.withColumn(payload_col, synth_wav(F.col("text")))
 
 
 def audio_feature_arrays(samples: np.ndarray, rate: int) -> dict:

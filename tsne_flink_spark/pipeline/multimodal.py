@@ -128,7 +128,13 @@ def attach_binary_payload(
     def synth_ppm(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: encode_ppm(_synth_pixels(t or "", seed=seed)))
 
-    return docs.withColumn(payload_col, synth_ppm(F.col("text")))
+    # spread the slim text rows before synthesizing payloads: a single-file
+    # scan otherwise runs synth AND every downstream decode kernel on one
+    # task (the dedup._spread trap).  Real binary columns skip this — their
+    # parallelism comes from file/row-group splits, and repartitioning
+    # payload bytes would shuffle the corpus.
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return spread.withColumn(payload_col, synth_ppm(F.col("text")))
 
 
 def extract_image_features(
