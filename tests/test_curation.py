@@ -450,6 +450,72 @@ def test_curate_cli_smoke(spark, tmp_path, docs):
         parse_rates(["bogus"])
 
 
+def test_curate_cli_partitioned_write(spark, tmp_path, docs):
+    """--partition-by lang writes a hive layout with the partition-col
+    shuffle bounding file counts: each lang directory holds ONE parquet
+    file (not one per write task), and the round-trip preserves the kept
+    set exactly."""
+    import os
+
+    from tsne_flink_spark.pipeline.curate_cli import main
+
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "by_lang")
+    rc = main(
+        ["--input", src, "--output", out, "--mode", "filter",
+         "--partition-by", "lang", "--rate", "en=100",
+         "--default-rate", "100", "--quality-min", "0.0",
+         "--compression", "snappy"],
+        spark=spark,
+    )
+    assert rc == 0
+    langs = sorted(
+        d for d in os.listdir(out) if d.startswith("lang=")
+    )
+    assert langs  # at least one partition directory
+    for d in langs:
+        files = [
+            f for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+    kept = spark.read.parquet(out)
+    assert set(kept.columns) == set(docs.columns)
+    back = {(r["doc_id"], r["lang"]) for r in kept.collect()}
+    flat = str(tmp_path / "flat")
+    rc = main(
+        ["--input", src, "--output", flat, "--mode", "filter",
+         "--rate", "en=100", "--default-rate", "100",
+         "--quality-min", "0.0"],
+        spark=spark,
+    )
+    assert rc == 0
+    want = {
+        (r["doc_id"], r["lang"])
+        for r in spark.read.parquet(flat).collect()
+    }
+    assert back == want and back
+
+    # --output-files salts the partition shuffle: requesting 2 files per
+    # directory must produce at most 2 (small strata can land in 1)
+    out2 = str(tmp_path / "by_lang_2f")
+    rc = main(
+        ["--input", src, "--output", out2, "--mode", "filter",
+         "--partition-by", "lang", "--output-files", "2",
+         "--rate", "en=100", "--default-rate", "100",
+         "--quality-min", "0.0"],
+        spark=spark,
+    )
+    assert rc == 0
+    for d in (d for d in os.listdir(out2) if d.startswith("lang=")):
+        files = [
+            f for f in os.listdir(os.path.join(out2, d))
+            if f.endswith(".parquet")
+        ]
+        assert 1 <= len(files) <= 2, (d, files)
+
+
 def test_repetition_stats_property_vs_python(spark):
     """Random token streams vs a pure-python reference — exercises the
     sorted-array max-run fold (max run length == max frequency) across

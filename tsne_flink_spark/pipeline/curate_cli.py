@@ -5,7 +5,11 @@
         --rate en=50 --rate de=30 --quality-min 0.55 --mode filter
 
 ``--mode annotate`` writes the full (doc_id, stage) audit table;
-``--mode filter`` writes the kept documents themselves (all columns).
+``--mode filter`` writes the kept documents themselves (all columns),
+optionally hive-partitioned (``--partition-by lang``) with the
+partition-column shuffle that keeps file counts bounded at corpus scale
+(``--output-files N`` salts it to ~N files per directory), and zstd
+compression by default.
 Master defaults to ``local[*]`` and honors ``SPARK_GRAFT_MASTER`` the same
 way bench.py does, so the identical invocation runs on a standalone
 cluster.
@@ -41,6 +45,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--default-rate", type=int, default=5)
     p.add_argument(
         "--pair-miner", choices=["exact", "minhash"], default="exact"
+    )
+    p.add_argument(
+        "--partition-by",
+        action="append",
+        default=[],
+        metavar="COL",
+        help="hive-partition the output by this column (repeatable; "
+        "filter mode only — the audit table keeps every doc)",
+    )
+    p.add_argument(
+        "--output-files",
+        type=int,
+        default=0,
+        metavar="N",
+        help="shuffle the output into N files (per partition directory "
+        "when --partition-by is set); 0 keeps the plan's parallelism",
+    )
+    p.add_argument(
+        "--compression",
+        default="zstd",
+        help="parquet codec for the output (zstd/snappy/gzip/none)",
     )
     return p
 
@@ -90,7 +115,30 @@ def run(args: argparse.Namespace, spark=None) -> int:
             out = docs.join(kept, args.id_col)
         else:
             out = staged
-        out.write.mode("overwrite").parquet(args.output)
+        part_cols = args.partition_by if args.mode == "filter" else []
+        if part_cols:
+            # shuffle on the partition columns BEFORE a partitionBy write:
+            # without it every write task emits one file into every
+            # partition directory (tasks x partitions small files — the
+            # classic sink failure at corpus scale).  With --output-files,
+            # salt the shuffle so each directory gets ~N files instead of
+            # one potentially giant one.
+            from pyspark.sql import functions as F
+
+            if args.output_files > 0:
+                salt = (F.crc32(F.col(args.id_col).cast("string"))
+                        % args.output_files)
+                out = out.repartition(*[F.col(c) for c in part_cols], salt)
+            else:
+                out = out.repartition(*[F.col(c) for c in part_cols])
+        elif args.output_files > 0:
+            out = out.repartition(args.output_files)
+        writer = out.write.mode("overwrite").option(
+            "compression", args.compression
+        )
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(f"wrote {n} rows to {args.output} ({args.mode})")
         return 0
