@@ -688,6 +688,41 @@ def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_stats_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariant for the sketch percentile path (the actual
+    100-TB form of source_stats: `approx_percentile`, whose per-group
+    state is O(accuracy), not O(rows)): for every source with >= 20 docs,
+    the approx p50/p90 of doc length must land inside the exact
+    [p40, p60] / [p80, p100] quantile windows — a >= 4x slack over the
+    worst-case rank error (1/accuracy + 1/n at accuracy=10000, n>=20), so
+    zero violations is deterministic for fixed data.  Oracle: constant
+    zero row (the driver's hash gate IS the invariant check)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("source", F.length("text").alias("__L"))
+    g = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.approx_percentile("__L", 0.5, 10000).alias("__a50"),
+            F.approx_percentile("__L", 0.9, 10000).alias("__a90"),
+            F.percentile("__L", 0.4).alias("__lo50"),
+            F.percentile("__L", 0.6).alias("__hi50"),
+            F.percentile("__L", 0.8).alias("__lo90"),
+            F.max("__L").alias("__hi90"),
+        )
+        .where(F.col("__n") >= 20)
+    )
+    bad = (
+        (F.col("__a50") < F.col("__lo50"))
+        | (F.col("__a50") > F.col("__hi50"))
+        | (F.col("__a90") < F.col("__lo90"))
+        | (F.col("__a90") > F.col("__hi90"))
+    )
+    return g.agg(
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("bad_sources")
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pass: every document annotated with the first
     stage that eliminated it (holdout split -> exact dedup -> near-dup
@@ -1097,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "curation_pipeline": q_curation_pipeline,
         "source_stats": q_source_stats,
+        "source_stats_approx_check": q_source_stats_approx_check,
         "audio_features": q_audio_features,
         "audio_check": q_audio_check,
         "sketch_distinct_check": q_sketch_distinct_check,
@@ -1904,6 +1940,9 @@ SELECT source,
        round(quantile_cont(L, 0.9), 4) AS p90_chars,
        round(quantile_cont(T, 0.5), 4) AS p50_tokens
 FROM d GROUP BY source
+""",
+        "source_stats_approx_check": """
+SELECT CAST(0 AS BIGINT) AS bad_sources
 """,
         "repetition_stats": """
 WITH toks AS (
