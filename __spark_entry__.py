@@ -1059,6 +1059,79 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over entity-augmented documents (pure
+    Column regexes; Java/RE2-portable patterns; exact DuckDB oracle)."""
+    from tsne_flink_spark.pipeline.scrub import augment_entities, pii_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return pii_stats(augment_entities(docs))
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain aggregation over entity-augmented
+    documents (explode + one hash agg keyed on domain)."""
+    from tsne_flink_spark.pipeline.scrub import augment_entities, url_domain_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return url_domain_stats(augment_entities(docs))
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate line removal: lines in >= 5 distinct docs
+    dropped; per-doc retained-text fingerprint (exact DuckDB oracle)."""
+    from tsne_flink_spark.pipeline.scrub import (
+        augment_lines,
+        remove_boilerplate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_boilerplate_lines(augment_lines(docs), min_docs=5)
+
+
+def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams (sequence+transform pair construction, one
+    bounded hash agg; exact DuckDB oracle with a total-order tiebreak)."""
+    from tsne_flink_spark.pipeline.scrub import bigram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_stats(docs, k=20)
+
+
+def _doubled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table unioned with an exact copy shifted by a fixed
+    id offset: the synthetic corpus has no natural near-duplicate pairs
+    (max pairwise cosine ~0.5), so the copies guarantee the semantic-dedup
+    kill path does real, certifiable work — every copy pair has cosine 1."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shifted = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    return emb.union(shifted)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: spherical k-means clustering + within-cluster exact-cosine
+    threshold graph + connected components, one keeper per group
+    (pipeline/semantic.py).  Iterative fit — rows-only; certified by
+    semantic_dedup_check."""
+    from tsne_flink_spark.pipeline.semantic import semantic_dedup
+
+    return semantic_dedup(
+        _doubled_embeddings(spark, sf_dir), threshold=0.98
+    ).orderBy("vec_id")
+
+
+def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for semantic_dedup (exact cosines recomputed
+    JVM-side from the raw vectors); oracle is the constant (0,0,0) row."""
+    from tsne_flink_spark.pipeline.semantic import semantic_dedup_invariants
+
+    return semantic_dedup_invariants(
+        _doubled_embeddings(spark, sf_dir), threshold=0.98
+    )
+
+
 def q_tsne_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full t-SNE pipeline (kNN -> affinities -> joint P -> GD loop
     with Barnes-Hut) on the embeddings table, small iteration budget.
@@ -1146,6 +1219,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsne_embedding_check": q_tsne_embedding_check,
         "tfidf_top_terms": q_tfidf_top_terms,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "pii_scrub": q_pii_scrub,
+        "url_domains": q_url_domains,
+        "boilerplate_lines": q_boilerplate_lines,
+        "bigram_stats": q_bigram_stats,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_check": q_semantic_dedup_check,
         "tsne_embedding": q_tsne_embedding,
     }
 
@@ -1231,6 +1310,33 @@ FROM edges e JOIN s{iters} s ON s.i = e.i"""
     )
     return "".join(parts)
 
+
+# Entity-injection CTE body mirrored from pipeline/scrub.augment_entities
+# (same moduli, same literals); regexes are the Java/RE2-portable patterns
+# from pipeline/scrub.py, with backslashes doubled for the SQL string.
+_AUG_ENTITIES_SQL = """
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 3 <> 2 THEN ' Contact user' || doc_id::VARCHAR
+       || '@mail' || (doc_id % 7)::VARCHAR || '.example.com now.'
+     ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN ' Call +1-555-'
+       || lpad(((doc_id*37) % 10000)::VARCHAR, 4, '0') || ' or 212-555-'
+       || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today.'
+     ELSE '' END
+  || CASE WHEN doc_id % 5 < 2 THEN ' Host 10.' || (doc_id % 256)::VARCHAR
+       || '.' || ((doc_id*7) % 256)::VARCHAR || '.'
+       || ((doc_id*13) % 256)::VARCHAR || ' logged.'
+     ELSE '' END
+  || ' See https://www' || (doc_id % 13)::VARCHAR || '.example.org/p/'
+  || doc_id::VARCHAR || ' plus http://cdn' || (doc_id % 5)::VARCHAR
+  || '.example.net/x?q=1 end.'
+  AS text
+FROM documents
+"""
+_EMAIL_RE_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE_SQL = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+_IPV4_RE_SQL = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
 _DEDUP_CHECK_ORACLE = """
 SELECT CAST(0 AS BIGINT) AS unjustified_kills,
@@ -2009,5 +2115,66 @@ WITH dots AS (
   FROM dots
 )
 SELECT q, c, round(sim, 6) AS sim FROM ranked WHERE rn <= 3
+""",
+        "pii_scrub": f"""
+WITH aug AS ({_AUG_ENTITIES_SQL}),
+red AS (SELECT doc_id, text,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{_EMAIL_RE_SQL}', '<EMAIL>', 'g'),
+    '{_PHONE_RE_SQL}', '<PHONE>', 'g'),
+    '{_IPV4_RE_SQL}', '<IP>', 'g') AS r
+FROM aug)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_EMAIL_RE_SQL}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '{_PHONE_RE_SQL}'))::BIGINT AS n_phones,
+  len(regexp_extract_all(text, '{_IPV4_RE_SQL}'))::BIGINT AS n_ips,
+  length(r)::BIGINT AS redacted_len,
+  md5(r) AS redacted_fp
+FROM red
+""",
+        "url_domains": f"""
+WITH aug AS ({_AUG_ENTITIES_SQL}),
+u AS (SELECT doc_id,
+             unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9./?=_-]+')) AS url
+      FROM aug)
+SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+       count(*)::BIGINT AS n_urls, count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM u GROUP BY domain
+""",
+        "boilerplate_lines": """
+WITH aug AS (SELECT doc_id, concat_ws(chr(10),
+      CASE WHEN doc_id % 3 = 0 THEN 'NAV home about contact' END,
+      text,
+      'SUBSCRIBE to newsletter variant ' || (doc_id % 2)::VARCHAR,
+      'COPYRIGHT example corp all rights reserved') AS text FROM documents),
+lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS pos
+          FROM aug),
+freq AS (SELECT line FROM lines GROUP BY line
+         HAVING count(DISTINCT doc_id) >= 5)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       (count(*) FILTER (WHERE line IN (SELECT line FROM freq)))::BIGINT
+         AS n_removed,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE line NOT IN (SELECT line FROM freq)), ''))
+         AS kept_fp
+FROM lines GROUP BY doc_id
+""",
+        "bigram_stats": """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(2, len(ts)+1),
+                               i -> ts[i-1] || ' ' || ts[i])) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*)::BIGINT AS n
+FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+""",
+        "semantic_dedup_check": """
+SELECT CAST(0 AS BIGINT) AS bad_killed,
+       CAST(0 AS BIGINT) AS bad_pairs,
+       CAST(0 AS BIGINT) AS bad_groups
 """,
     }

@@ -68,6 +68,10 @@ def main() -> None:
         "knn_project",
         "pairwise_affinities",
         "text_stats",
+        "pii_scrub",
+        "url_domains",
+        "boilerplate_lines",
+        "bigram_stats",
         "language_id",
         "language_id_ngram",
         "repetition_stats",
@@ -89,6 +93,7 @@ def main() -> None:
         "curation_pipeline",
         "tfidf_top_terms",
         "embedding_dedup",
+        "semantic_dedup",
         "ann_bruteforce",
         "ann_lsh",
         "ann_ivf",

@@ -1,0 +1,111 @@
+"""Unit tests for pipeline/scrub.py and pipeline/semantic.py on crafted
+inputs with hand-computable expected values (the sf-scale DuckDB parity is
+covered by the oracle gate; these pin the semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsne_flink_spark.pipeline.scrub import (
+    bigram_stats,
+    pii_stats,
+    remove_boilerplate_lines,
+    url_domain_stats,
+)
+from tsne_flink_spark.pipeline.semantic import (
+    semantic_dedup,
+    semantic_dedup_invariants,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_counts_and_redaction(spark):
+    docs = _docs(spark, [
+        (1, "write to a.b-c@sub.example.org or ops@example.io today"),
+        (2, "call +1-555-0199 or 212-555-0000; host 10.1.2.3 and 255.255.255.0"),
+        (3, "nothing sensitive here"),
+    ])
+    out = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (2, 0, 0)
+    assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ips"]) == (0, 2, 2)
+    assert (out[3]["n_emails"], out[3]["n_phones"], out[3]["n_ips"]) == (0, 0, 0)
+    # redaction replaces every hit: no raw entity survives in doc 2's length
+    red2 = "call <PHONE> or <PHONE>; host <IP> and <IP>"
+    assert out[2]["redacted_len"] == len(red2)
+
+
+def test_url_domain_stats_groups_by_domain(spark):
+    docs = _docs(spark, [
+        (1, "see https://a.example.com/x and https://a.example.com/y end"),
+        (2, "also http://b.example.net/z and https://a.example.com/q end"),
+    ])
+    out = {r["domain"]: r for r in url_domain_stats(docs).collect()}
+    assert out["a.example.com"]["n_urls"] == 3
+    assert out["a.example.com"]["n_docs"] == 2
+    assert out["b.example.net"]["n_urls"] == 1
+
+
+def test_boilerplate_lines_removed_by_document_frequency(spark):
+    docs = _docs(spark, [
+        (1, "FOOTER\nunique one"),
+        (2, "FOOTER\nunique two"),
+        (3, "FOOTER\nunique three"),
+        (4, "no footer here"),
+    ])
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (2, 1)
+    assert (out[4]["n_lines"], out[4]["n_removed"]) == (1, 0)
+    # reassembly fingerprints: identical retained text -> need distinct
+    # uniques, so all four fingerprints differ
+    assert len({r["kept_fp"] for r in out.values()}) == 4
+
+
+def test_bigram_stats_counts_and_tiebreak(spark):
+    docs = _docs(spark, [
+        (1, "a b a b"),      # "a b" x2, "b a" x1
+        (2, "a b"),           # "a b" x1
+        (3, "solo"),          # no bigrams
+        (4, ""),              # no bigrams
+    ])
+    rows = bigram_stats(docs, k=10).collect()
+    assert [(r["bigram"], r["n"]) for r in rows] == [("a b", 3), ("b a", 1)]
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_kills_exact_copies(spark):
+    # two duplicate families (identical vectors -> cosine 1 -> same argmax
+    # centroid) plus isolated vectors
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 1.0]),
+        (6, [0.7, 0.7, 0.1]),
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            _emb(spark, rows), threshold=0.999, n_clusters=4
+        ).collect()
+    }
+    assert out[1]["keep"] == 1 and out[2]["keep"] == 0
+    assert out[2]["group_id"] == 1
+    assert out[3]["keep"] == 1 and out[4]["keep"] == 0
+    assert out[5]["keep"] == 1 and out[6]["keep"] == 1
+
+
+def test_semantic_dedup_invariants_zero(spark):
+    rows = [(i, [float(i % 5 == j) for j in range(5)]) for i in range(20)]
+    row = semantic_dedup_invariants(
+        _emb(spark, rows), threshold=0.999, n_clusters=4
+    ).head()
+    assert (row["bad_killed"], row["bad_pairs"], row["bad_groups"]) == (0, 0, 0)
