@@ -149,13 +149,37 @@ def semantic_dedup(
     ``keep`` marks the one canonical representative per group.  Exact
     cosines decide edges — the clustering only bounds WHICH pairs are
     compared, so every kill is certified by a real >= threshold pair.
+
+    Bit-equal vectors are collapsed to their min-id representative BEFORE
+    clustering (one groupBy on a vector fingerprint) and re-expanded after
+    — semantics are unchanged (identical vectors share an argmax centroid
+    and a cosine-1 edge, so the family is one group either way; the family
+    min IS the rep, so group ids agree), but the within-cluster pair join
+    drops from O(family^2) to O(1) per duplicate family.  On the 100k-
+    vector copy-heavy probe (tools/probe_semantic.py) this is the
+    difference between ~15M and ~40k compared pairs.  Spark's
+    double->string cast is shortest-round-trip (injective), so the
+    fingerprint only merges genuinely bit-equal vectors.
     """
     from tsne_flink_spark.operators.optimize import materialize
 
-    centroids = fit_spherical_centroids(
-        emb, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+    fp = F.md5(
+        F.col(vec_col).cast("array<double>").cast("string")
+    ).alias("__fp")
+    with_fp = emb.select(F.col(id_col), F.col(vec_col), fp)
+    families = materialize(
+        with_fp.groupBy("__fp").agg(
+            F.min(id_col).alias("__rep"),
+            F.first(vec_col).alias(vec_col),
+        )
     )
-    assigned = materialize(assign_clusters(emb, centroids, id_col, vec_col))
+    reps = families.select(F.col("__rep").alias(id_col), vec_col)
+    membership = with_fp.select(id_col, "__fp")
+
+    centroids = fit_spherical_centroids(
+        reps, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+    )
+    assigned = materialize(assign_clusters(reps, centroids, id_col, vec_col))
     a = assigned.select(
         F.col("cluster"),
         F.col(id_col).alias("a"),
@@ -178,14 +202,23 @@ def semantic_dedup(
     comps = connected_components(edges, "a", "b").withColumnRenamed(
         "id", id_col
     )
-    return (
+    rep_result = (
         assigned.select(id_col, "cluster")
         .join(comps, id_col, "left")
         .select(
-            id_col,
+            F.col(id_col).alias("__rep"),
             "cluster",
             F.coalesce("component", F.col(id_col)).alias("group_id"),
         )
+    )
+    # re-expand the exact-dup families: every member inherits its rep's
+    # cluster and group; only the rep (the family min, hence the group min
+    # when it leads the component) can be the keeper
+    rep_fp = families.select("__fp", "__rep")
+    return (
+        membership.join(rep_fp, "__fp")
+        .join(rep_result, "__rep")
+        .select(id_col, "cluster", "group_id")
         .withColumn("keep", (F.col("group_id") == F.col(id_col)).cast("int"))
     )
 
