@@ -1132,6 +1132,15 @@ def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of lineitem (nulls / exact distinct /
+    min / max / mean) — one scan + one EXPAND aggregate, unpivoted to a row
+    per column (pipeline/profile.py).  Exact DuckDB oracle."""
+    from tsne_flink_spark.pipeline.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "lineitem"))
+
+
 def q_tsne_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full t-SNE pipeline (kNN -> affinities -> joint P -> GD loop
     with Barnes-Hut) on the embeddings table, small iteration budget.
@@ -1225,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_stats": q_bigram_stats,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_check": q_semantic_dedup_check,
+        "profile_lineitem": q_profile_lineitem,
         "tsne_embedding": q_tsne_embedding,
     }
 
@@ -1337,6 +1347,38 @@ FROM documents
 _EMAIL_RE_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PHONE_RE_SQL = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
 _IPV4_RE_SQL = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+def _profile_oracle_sql() -> str:
+    """UNION ALL of per-column profile aggregates over lineitem, mirroring
+    pipeline/profile.profile_table's column classification (numerics ->
+    _num fields as DOUBLE; strings and timestamps -> _str wall-clock
+    strings; exact count(distinct) excludes NULLs in both engines)."""
+    numeric = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    ]
+    stringy = ["l_returnflag", "l_linestatus", "l_shipdate"]
+    parts = []
+    for c in numeric:
+        parts.append(f"""
+SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({c})::DOUBLE AS min_num, max({c})::DOUBLE AS max_num,
+       round(avg({c}::DOUBLE), 6) AS mean_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM lineitem""")
+    for c in stringy:
+        parts.append(f"""
+SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       CAST(NULL AS DOUBLE) AS mean_num,
+       min({c}::VARCHAR) AS min_str, max({c}::VARCHAR) AS max_str
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
 
 _DEDUP_CHECK_ORACLE = """
 SELECT CAST(0 AS BIGINT) AS unjustified_kills,
@@ -2177,4 +2219,5 @@ SELECT CAST(0 AS BIGINT) AS bad_killed,
        CAST(0 AS BIGINT) AS bad_pairs,
        CAST(0 AS BIGINT) AS bad_groups
 """,
+        "profile_lineitem": _profile_oracle_sql(),
     }

@@ -99,6 +99,7 @@ def main() -> None:
         "ann_ivf",
         "sliding_user_activity",
         "quality_scores",
+        "profile_lineitem",
         "source_stats",
         "multimodal_features",
         "audio_features",
