@@ -1365,7 +1365,8 @@ SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
        sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
        count(DISTINCT {c})::BIGINT AS n_distinct,
        min({c})::DOUBLE AS min_num, max({c})::DOUBLE AS max_num,
-       round(avg({c}::DOUBLE), 6) AS mean_num,
+       round(sum(({c}::DOUBLE)::DECIMAL(30,10))::DOUBLE / count({c}), 6)
+         AS mean_num,
        CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
 FROM lineitem""")
     for c in stringy:

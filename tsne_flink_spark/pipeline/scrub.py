@@ -225,16 +225,26 @@ def bigram_stats(docs: DataFrame, text_col: str = "text",
     filtered), adjacent pairs built with a sequence+transform expression —
     no UDF.  groupBy(bigram) with map-side partial counts, then a global
     top-k (a k-row total order, safe to sort).
+
+    The token array is bound once with ``text._let``: referenced directly
+    inside the transform lambda, CollapseProject would re-inline the
+    split+filter at EVERY element access — an O(tokens^2)-per-row blowup
+    (the documented winnow_fingerprints trap).
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                                  F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from tsne_flink_spark.pipeline.text import _let
+
+    raw = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    bigrams = _let(
+        raw,
+        lambda toks: F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                      F.element_at(toks, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
