@@ -37,6 +37,11 @@ AUDITED = [
     "audio_features",
     "video_frames",
     "curation_pipeline",
+    "pii_scrub",
+    "url_domains",
+    "boilerplate_lines",
+    "bigram_stats",
+    "profile_lineitem",
 ]
 
 
