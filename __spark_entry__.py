@@ -1132,6 +1132,16 @@ def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture rebalancing: token shares vs a uniform target,
+    reweighting factors, and downsample-only sample rates
+    (pipeline/curation.mixture_weights).  Exact DuckDB oracle with a
+    mirrored division order."""
+    from tsne_flink_spark.pipeline.curation import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"))
+
+
 def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data-quality profile of lineitem (nulls / exact distinct /
     min / max / mean) — one scan + one EXPAND aggregate, unpivoted to a row
@@ -1235,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_check": q_semantic_dedup_check,
         "profile_lineitem": q_profile_lineitem,
+        "mixture_weights": q_mixture_weights,
         "tsne_embedding": q_tsne_embedding,
     }
 
@@ -2221,4 +2232,24 @@ SELECT CAST(0 AS BIGINT) AS bad_killed,
        CAST(0 AS BIGINT) AS bad_groups
 """,
         "profile_lineitem": _profile_oracle_sql(),
+        "mixture_weights": """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t <> '')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT *, sum(n_tokens) OVER () AS total, count(*) OVER () AS k FROM per
+), wt AS (
+  SELECT *, 1.0 / k AS tgt,
+         (1.0 / k) / (n_tokens / total) AS weight
+  FROM tot
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / total, 6) AS actual_share,
+       round(tgt, 6) AS target_share,
+       round(weight, 6) AS weight,
+       round(weight / max(weight) OVER (), 6) AS sample_rate
+FROM wt
+""",
     }

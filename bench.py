@@ -76,6 +76,7 @@ def main() -> None:
         "language_id_ngram",
         "repetition_stats",
         "stratified_sample",
+        "mixture_weights",
         "pack_sequences",
         "decontaminate",
         "doc_fingerprint",

@@ -596,3 +596,33 @@ def test_repetition_stats_exact_values(spark):
     assert out[3]["n_tokens"] == 0
     assert out[3]["top_token_frac"] == pytest.approx(0.0)
     assert out[3]["dup_2gram_frac"] == pytest.approx(0.0)
+
+
+def test_mixture_weights_uniform_and_targeted(spark):
+    from tsne_flink_spark.pipeline.curation import mixture_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "web"),      # 4 tokens
+            (2, "a b c d", "web"),      # 4 tokens
+            (3, "x y", "code"),          # 2 tokens
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in mixture_weights(docs).collect()}
+    web, code = out["web"], out["code"]
+    assert (web["n_docs"], web["n_tokens"]) == (2, 8)
+    assert (code["n_docs"], code["n_tokens"]) == (1, 2)
+    assert web["actual_share"] == 0.8 and code["actual_share"] == 0.2
+    assert web["target_share"] == 0.5 == code["target_share"]
+    # uniform target: the underrepresented source gets the bigger weight,
+    # normalized so the max sample_rate is exactly 1
+    assert code["weight"] == 2.5 and web["weight"] == 0.625
+    assert code["sample_rate"] == 1.0 and web["sample_rate"] == 0.25
+
+    tgt = {r["source"]: r for r in mixture_weights(
+        docs, targets={"web": 0.9, "code": 0.1}
+    ).collect()}
+    assert tgt["web"]["target_share"] == 0.9
+    assert tgt["web"]["weight"] == 1.125 and tgt["code"]["weight"] == 0.5
+    assert tgt["web"]["sample_rate"] == 1.0

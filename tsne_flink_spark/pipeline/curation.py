@@ -350,6 +350,72 @@ def curation_pipeline(
     return ann.select(id_col, stage.alias("stage"))
 
 
+def mixture_weights(
+    docs: DataFrame,
+    targets: dict[str, float] | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source mixture rebalancing weights — the static reweighting step
+    a pre-training pipeline runs to hit a target domain mixture (the
+    fixed-weight special case of DoReMi, Xie et al., arXiv:2305.10429:
+    published mixtures are token-share tables exactly like this).
+
+    For each source: document/token counts, the ACTUAL token share, the
+    TARGET share (``targets`` by name, else uniform over the observed
+    sources), ``weight = target / actual``, and ``sample_rate`` =
+    weight normalized so the largest is 1 — i.e. downsample-only rates
+    directly usable as ``stratified_sample`` percentages.
+
+    One per-source aggregation plus unpartitioned window totals over the
+    tiny aggregate (source cardinality rows — at 100 TB still just one
+    row per corpus source, so the window's single-partition exchange
+    moves a handful of rows).  Division order is written identically in
+    the DuckDB oracle, so the rounded shares match bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    )
+    per = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    # staged projections: window functions cannot nest, so totals, then the
+    # weight, then the max-weight normalizer are separate select steps (the
+    # oracle mirrors this CTE-by-CTE, keeping FP operation order identical)
+    tot = per.withColumn("__total", F.sum("n_tokens").over(w)).withColumn(
+        "__k", F.count(F.lit(1)).over(w)
+    )
+    if targets:
+        tgt = None
+        for s, share in sorted(targets.items()):
+            if tgt is None:
+                tgt = F.when(F.col(source_col) == s, F.lit(float(share)))
+            else:
+                tgt = tgt.when(F.col(source_col) == s, F.lit(float(share)))
+        tgt = tgt.otherwise(F.lit(0.0))
+    else:
+        tgt = F.lit(1.0) / F.col("__k")
+    wt = tot.withColumn("__tgt", tgt).withColumn(
+        "__weight",
+        F.col("__tgt") / (F.col("n_tokens") / F.col("__total")),
+    )
+    return wt.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__total"), 6).alias("actual_share"),
+        F.round(F.col("__tgt"), 6).alias("target_share"),
+        F.round(F.col("__weight"), 6).alias("weight"),
+        F.round(
+            F.col("__weight") / F.max("__weight").over(w), 6
+        ).alias("sample_rate"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int = 2048,
