@@ -109,3 +109,66 @@ def test_semantic_dedup_invariants_zero(spark):
         _emb(spark, rows), threshold=0.999, n_clusters=4
     ).head()
     assert (row["bad_killed"], row["bad_pairs"], row["bad_groups"]) == (0, 0, 0)
+
+
+def test_scrub_ops_streaming(spark, tmp_path):
+    """The scrub suite runs on Structured Streaming sources: pii_stats is a
+    stateless narrow map (append mode); url_domain_stats is a streaming agg
+    (complete mode); boilerplate removal joins a STATIC frequent-line set
+    computed by a batch pass (stream-static join + per-doc agg)."""
+    from tsne_flink_spark.pipeline.scrub import (
+        boilerplate_line_set,
+        pii_stats,
+        remove_boilerplate_lines,
+        url_domain_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "FOOTER\nmail me at a@b.example.com via https://x.example.com/p"),
+            (2, "FOOTER\ncall 212-555-0000 see https://x.example.com/q"),
+            (3, "FOOTER\nhost 10.0.0.1 and https://y.example.net/r"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs_parquet")
+    docs.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+
+    def run(df, name, mode):
+        assert df.isStreaming
+        q = (
+            df.writeStream.format("memory").queryName(name)
+            .outputMode(mode).trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {r["doc_id"]: r for r in spark.sql(f"select * from {name}").collect()}
+
+    pii = run(pii_stats(stream), "pii_stream", "append")
+    assert pii[1]["n_emails"] == 1 and pii[2]["n_phones"] == 1
+    assert pii[3]["n_ips"] == 1
+
+    # exact distinct aggregates are rejected on streams; the documented
+    # streaming/scale form uses the HLL sketch (exact at these tiny counts)
+    doms = run(
+        url_domain_stats(stream, exact=False)
+        .withColumnRenamed("domain", "doc_id"),
+        "dom_stream", "complete",
+    )
+    assert doms["x.example.com"]["n_urls"] == 2
+    assert doms["y.example.net"]["n_docs"] == 1
+
+    static_frequent = boilerplate_line_set(docs, min_docs=3)
+    scrubbed = run(
+        remove_boilerplate_lines(stream, frequent=static_frequent),
+        "boiler_stream", "complete",
+    )
+    assert all(scrubbed[i]["n_removed"] == 1 for i in (1, 2, 3))
+    # streaming output matches the batch run with the same frequent set
+    batch = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(docs, frequent=static_frequent).collect()
+    }
+    assert {i: scrubbed[i]["kept_fp"] for i in batch} == {
+        i: batch[i]["kept_fp"] for i in batch
+    }

@@ -131,13 +131,18 @@ def pii_stats(docs: DataFrame, id_col: str = "doc_id",
 
 
 def url_domain_stats(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text", exact: bool = True) -> DataFrame:
     """Corpus-level URL domain statistics.
 
     Extracts every URL, reduces to its domain, and aggregates
     (domain, n_urls, n_docs).  One explode + one hash aggregation keyed on
     domain — partial map-side combine keeps the shuffle proportional to
     distinct domains, not URLs.
+
+    ``exact=False`` swaps the per-domain document count to
+    ``approx_count_distinct`` (HLL) — required on STREAMING inputs, where
+    Spark rejects exact distinct aggregates, and the right trade at
+    100 TB anyway (bounded sketch state vs a distinct-set per domain).
     """
     urls = docs.select(
         F.col(id_col),
@@ -152,14 +157,39 @@ def url_domain_stats(docs: DataFrame, id_col: str = "doc_id",
         .groupBy("domain")
         .agg(
             F.count(F.lit(1)).alias("n_urls"),
-            F.countDistinct(id_col).alias("n_docs"),
+            (
+                F.countDistinct(id_col)
+                if exact
+                else F.approx_count_distinct(id_col)
+            ).alias("n_docs"),
         )
+    )
+
+
+def boilerplate_line_set(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_docs: int = 5) -> DataFrame:
+    """(line) rows for every line occurring in >= ``min_docs`` DISTINCT
+    documents.  Separate from the removal step so a STREAMING scrub can
+    join against a set computed by a periodic batch pass (stream-static
+    joins are supported; the corpus-wide frequency count itself is
+    inherently two-pass and cannot run inside one streaming query)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("line")
     )
 
 
 def remove_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text",
-                             min_docs: int = 5) -> DataFrame:
+                             min_docs: int = 5,
+                             frequent: DataFrame | None = None) -> DataFrame:
     """CCNet-style boilerplate removal: drop lines that occur in >=
     ``min_docs`` DISTINCT documents (nav bars, footers, cookie banners).
 
@@ -169,21 +199,27 @@ def remove_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
     full text through the gate.
 
     Plan: posexplode lines -> groupBy(line) countDistinct(doc) to find the
-    frequent set (shuffle keyed on the line, cardinality = distinct lines)
-    -> left-join the frequent set back (small by construction; AQE
-    broadcasts it) -> per-doc ordered reassembly via array_sort over
-    (pos, line) structs, all JVM-side.
+    frequent set (shuffle keyed on the line, cardinality = distinct lines;
+    the all-docs footer key is safe — the distinct rewrite partials by
+    (line, doc) first, then map-side-combines counts per line) ->
+    left-join the frequent set back (small by construction; AQE broadcasts
+    it) -> per-doc ordered reassembly via array_sort over (pos, line)
+    structs, all JVM-side.
+
+    Pass ``frequent`` (a (line) DataFrame from ``boilerplate_line_set``,
+    e.g. yesterday's batch) to skip the counting pass — with a static
+    ``frequent``, ``docs`` may be a STREAMING DataFrame (stream-static
+    join + per-doc agg; see tests/test_scrub.py).
     """
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
-    frequent = (
-        lines.groupBy("line")
-        .agg(F.countDistinct(id_col).alias("df"))
-        .where(F.col("df") >= min_docs)
-        .select("line", F.lit(1).alias("__boiler"))
-    )
+    if frequent is None:
+        frequent = boilerplate_line_set(
+            docs, id_col=id_col, text_col=text_col, min_docs=min_docs
+        )
+    frequent = frequent.select("line", F.lit(1).alias("__boiler"))
     tagged = lines.join(frequent, "line", "left")
     return (
         tagged.groupBy(id_col)
