@@ -626,3 +626,33 @@ def test_mixture_weights_uniform_and_targeted(spark):
     assert tgt["web"]["target_share"] == 0.9
     assert tgt["web"]["weight"] == 1.125 and tgt["code"]["weight"] == 0.5
     assert tgt["web"]["sample_rate"] == 1.0
+
+
+def test_curate_cli_scrub_flags(spark, tmp_path):
+    """--strip-boilerplate removes corpus-frequent lines before the
+    pipeline; --redact-pii scrubs the written text (filter mode)."""
+    from tsne_flink_spark.pipeline.curate_cli import main
+
+    rows = [
+        (i, "FOOTER all rights reserved\n"
+            f"the quick brown fox number {i} jumps over the lazy dog "
+            "and writes to admin@corp.example.com for help", "en")
+        for i in range(1, 9)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    src = str(tmp_path / "docs_scrub.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "scrubbed")
+    rc = main(
+        ["--input", src, "--output", out, "--mode", "filter",
+         "--rate", "en=100", "--default-rate", "100", "--quality-min", "0.0",
+         "--strip-boilerplate", "3", "--redact-pii"],
+        spark=spark,
+    )
+    assert rc == 0
+    kept = spark.read.parquet(out).collect()
+    assert kept  # distinct per-doc bodies survive dedup once footer is gone
+    for r in kept:
+        assert "FOOTER" not in r["text"]
+        assert "admin@corp.example.com" not in r["text"]
+        assert "<EMAIL>" in r["text"]

@@ -4,6 +4,9 @@
         --input /data/documents.parquet --output /data/curated \\
         --rate en=50 --rate de=30 --quality-min 0.55 --mode filter
 
+``--strip-boilerplate N`` removes lines occurring in >= N documents
+before the pipeline runs; ``--redact-pii`` scrubs emails/phones/IPv4s
+from the written documents (filter mode).
 ``--mode annotate`` writes the full (doc_id, stage) audit table;
 ``--mode filter`` writes the kept documents themselves (all columns),
 optionally hive-partitioned (``--partition-by lang``) with the
@@ -45,6 +48,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--default-rate", type=int, default=5)
     p.add_argument(
         "--pair-miner", choices=["exact", "minhash"], default="exact"
+    )
+    p.add_argument(
+        "--strip-boilerplate",
+        type=int,
+        default=0,
+        metavar="MIN_DOCS",
+        help="remove lines occurring in >= MIN_DOCS documents BEFORE the "
+        "pipeline runs (CCNet-style; 0 = off) — dedup/quality then see "
+        "the cleaned text",
+    )
+    p.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="replace emails/phones/IPv4s with typed placeholders in the "
+        "written documents (filter mode only; the audit table has no text)",
     )
     p.add_argument(
         "--partition-by",
@@ -96,6 +114,21 @@ def run(args: argparse.Namespace, spark=None) -> int:
         )
     try:
         docs = spark.read.parquet(args.input)
+        if args.strip_boilerplate > 0:
+            from tsne_flink_spark.operators.optimize import materialize
+            from tsne_flink_spark.pipeline.scrub import strip_boilerplate
+
+            # materialize the cleaned corpus: the staged pipeline reads its
+            # input once per kill-set stage, and each read would otherwise
+            # re-run the line-frequency count + reassembly joins
+            docs = materialize(
+                strip_boilerplate(
+                    docs,
+                    id_col=args.id_col,
+                    text_col=args.text_col,
+                    min_docs=args.strip_boilerplate,
+                )
+            )
         staged = curation_pipeline(
             docs,
             text_col=args.text_col,
@@ -113,6 +146,10 @@ def run(args: argparse.Namespace, spark=None) -> int:
         if args.mode == "filter":
             kept = staged.where(staged["stage"] == "kept").select(args.id_col)
             out = docs.join(kept, args.id_col)
+            if args.redact_pii:
+                from tsne_flink_spark.pipeline.scrub import redact_pii
+
+                out = redact_pii(out, text_col=args.text_col)
         else:
             out = staged
         part_cols = args.partition_by if args.mode == "filter" else []

@@ -99,6 +99,70 @@ def augment_lines(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def redact_expr(text: Column) -> Column:
+    """The PII-redaction Column: emails, then phones, then IPv4s replaced
+    with typed placeholders (email first — its local part may contain
+    digits and hyphens the narrower patterns must not see first)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``docs`` with ``text_col`` replaced by its PII-redacted form — the
+    in-place variant of ``pii_stats`` for write-out paths (curate_cli
+    ``--redact-pii``).  Stateless narrow map; streams as-is."""
+    return docs.withColumn(text_col, redact_expr(F.col(text_col)))
+
+
+def strip_boilerplate(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", min_docs: int = 5,
+                      frequent: DataFrame | None = None) -> DataFrame:
+    """``docs`` with boilerplate lines REMOVED from ``text_col`` (original
+    line order preserved) — the text-rewriting variant of
+    ``remove_boilerplate_lines`` for write-out paths (curate_cli
+    ``--strip-boilerplate``).  Same plan: frequent-set count (or a static
+    ``frequent`` set), tagged join back, ordered reassembly; other columns
+    pass through the final join on ``id_col``.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    if frequent is None:
+        frequent = boilerplate_line_set(
+            docs, id_col=id_col, text_col=text_col, min_docs=min_docs
+        )
+    tagged = lines.join(
+        frequent.select("line", F.lit(1).alias("__boiler")), "line", "left"
+    )
+    rebuilt = tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__boiler").isNull(),
+                            F.struct("pos", "line"),
+                        )
+                    )
+                ),
+                lambda st: st["line"],
+            ),
+            "\n",
+        ).alias("__clean")
+    )
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce("__clean", F.col(text_col)))
+        .drop("__clean")
+    )
+
+
 def pii_stats(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """Per-document PII detection + redaction.
@@ -110,13 +174,7 @@ def pii_stats(docs: DataFrame, id_col: str = "doc_id",
     hyphens that the narrower patterns must not see first).
     """
     t = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-        ),
-        IPV4_RE,
-        "<IP>",
-    )
+    redacted = redact_expr(t)
     return docs.select(
         F.col(id_col),
         F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
