@@ -263,3 +263,86 @@ def test_winnow_fingerprints_match_reference(spark):
             got.setdefault(r["doc_id"], set()).add(r["fp"])
         for i, t in enumerate(texts):
             assert got.get(i, set()) == reference(t, k, w), (k, w, i, t)
+
+
+def test_pii_counts_match_python_re(spark):
+    """Property: the Column-regex PII counts equal Python `re` counts with
+    the SAME pattern strings on random entity-salted ASCII text (the
+    patterns are deliberately restricted to the Java/RE2/`re`-agreed
+    syntax subset, so one more engine agreeing is evidence, not luck)."""
+    import random
+    import re
+    import string
+
+    from tsne_flink_spark.pipeline.scrub import (
+        EMAIL_RE, IPV4_RE, PHONE_RE, pii_stats,
+    )
+
+    rng = random.Random(23)
+    words = ["alpha", "beta", "x9", "the", "spark", "..", "a-b", "@", "+1"]
+    entities = [
+        lambda: f"user{rng.randrange(999)}@h{rng.randrange(9)}.example.org",
+        lambda: f"+{rng.randrange(1, 99)}-{rng.randrange(100, 999)}-{rng.randrange(1000, 9999)}",
+        lambda: ".".join(str(rng.randrange(256)) for _ in range(4)),
+        lambda: "".join(rng.choice(string.ascii_letters) for _ in range(5)),
+    ]
+    texts = []
+    for _ in range(80):
+        n = rng.randrange(0, 12)
+        toks = [
+            rng.choice(entities)() if rng.random() < 0.4 else rng.choice(words)
+            for _ in range(n)
+        ]
+        texts.append(" ".join(toks))
+    d = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in pii_stats(d).collect()}
+    for i, t in enumerate(texts):
+        want = (
+            len(re.findall(EMAIL_RE, t)),
+            len(re.findall(PHONE_RE, t)),
+            len(re.findall(IPV4_RE, t)),
+        )
+        have = (got[i]["n_emails"], got[i]["n_phones"], got[i]["n_ips"])
+        assert have == want, (i, t, have, want)
+
+
+def test_boilerplate_reassembly_matches_reference(spark):
+    """Property: line-dedup reassembly fingerprints equal a pure-python
+    reference (split, document-frequency count, filter, join) on random
+    multi-line docs with a shared line pool."""
+    import hashlib
+    import random
+
+    from tsne_flink_spark.pipeline.scrub import remove_boilerplate_lines
+
+    rng = random.Random(31)
+    pool = [f"shared line {i}" for i in range(6)]
+    docs = []
+    for d in range(40):
+        lines = []
+        for _ in range(rng.randrange(1, 8)):
+            if rng.random() < 0.5:
+                lines.append(rng.choice(pool))
+            else:
+                lines.append(f"unique {d} {rng.randrange(10**6)}")
+        docs.append((d, "\n".join(lines)))
+    min_docs = 4
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(df, min_docs=min_docs).collect()
+    }
+    freq = {}
+    for d, t in docs:
+        for line in set(t.split("\n")):
+            freq[line] = freq.get(line, 0) + 1
+    for d, t in docs:
+        lines = t.split("\n")
+        kept = [ln for ln in lines if freq[ln] < min_docs]
+        want_fp = hashlib.md5("\n".join(kept).encode()).hexdigest()
+        r = got[d]
+        assert r["n_lines"] == len(lines)
+        assert r["n_removed"] == len(lines) - len(kept)
+        assert r["kept_fp"] == want_fp, (d, t)
