@@ -1142,6 +1142,22 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(_t(spark, sf_dir, "documents"))
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-index dedup: documents with doc_id % 3 == 0
+    play the historical corpus (fingerprint_index), the rest are the new
+    batch, every batch doc annotated ref_dup / batch_dup / kept
+    (pipeline/dedup.py).  Exact DuckDB oracle."""
+    from tsne_flink_spark.pipeline.dedup import (
+        fingerprint_index,
+        incremental_dedup_annotate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    batch = docs.where(F.col("doc_id") % 3 != 0)
+    return incremental_dedup_annotate(batch, fingerprint_index(ref))
+
+
 def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data-quality profile of lineitem (nulls / exact distinct /
     min / max / mean) — one scan + one EXPAND aggregate, unpivoted to a row
@@ -1246,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_check": q_semantic_dedup_check,
         "profile_lineitem": q_profile_lineitem,
         "mixture_weights": q_mixture_weights,
+        "incremental_dedup": q_incremental_dedup,
         "tsne_embedding": q_tsne_embedding,
     }
 
@@ -2232,6 +2249,25 @@ SELECT CAST(0 AS BIGINT) AS bad_killed,
        CAST(0 AS BIGINT) AS bad_groups
 """,
         "profile_lineitem": _profile_oracle_sql(),
+        "incremental_dedup": """
+WITH ref AS (
+  SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents WHERE doc_id % 3 = 0
+), batch AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents WHERE doc_id % 3 <> 0
+), r AS (
+  SELECT b.doc_id, (b.fp IN (SELECT fp FROM ref)) AS seen,
+         row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+  FROM batch b
+)
+SELECT doc_id,
+       CASE WHEN seen THEN 'ref_dup'
+            WHEN rn > 1 THEN 'batch_dup'
+            ELSE 'kept' END AS status
+FROM r
+""",
         "mixture_weights": """
 WITH per AS (
   SELECT source, count(*)::BIGINT AS n_docs,

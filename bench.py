@@ -82,6 +82,7 @@ def main() -> None:
         "doc_fingerprint",
         "winnow_overlap",
         "exact_dedup",
+        "incremental_dedup",
         "minhash_dedup",
         "simhash_dedup",
         "ngram_jaccard_pairs",

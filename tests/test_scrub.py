@@ -172,3 +172,53 @@ def test_scrub_ops_streaming(spark, tmp_path):
     assert {i: scrubbed[i]["kept_fp"] for i in batch} == {
         i: batch[i]["kept_fp"] for i in batch
     }
+
+
+def test_incremental_dedup_batch_and_streaming(spark, tmp_path):
+    """Batch-vs-index dedup: annotation statuses on crafted docs, and the
+    streaming keep path (stream-static index join + stateful in-batch
+    dropDuplicates) surviving the same fingerprints as the batch path."""
+    from tsne_flink_spark.pipeline.dedup import (
+        fingerprint_index,
+        incremental_dedup_annotate,
+        incremental_dedup_keep,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "seen before")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "Seen   BEFORE"),    # normalizes to the ref text -> ref_dup
+            (2, "brand new one"),
+            (3, "brand  NEW one"),   # batch dup of 2
+            (4, "another fresh"),
+        ],
+        "doc_id long, text string",
+    )
+    index = fingerprint_index(ref)
+    ann = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup_annotate(batch, index).collect()
+    }
+    assert ann == {1: "ref_dup", 2: "kept", 3: "batch_dup", 4: "kept"}
+
+    kept = incremental_dedup_keep(batch, index)
+    assert {r["doc_id"] for r in kept.collect()} == {2, 4}
+
+    path = str(tmp_path / "batch_parquet")
+    batch.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    out = incremental_dedup_keep(stream, index)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("inc_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from inc_dedup").collect()
+    # stream survivor per family is arrival-order, so compare fingerprint
+    # SETS (normalized text), not row ids
+    norm = lambda t: " ".join(t.lower().split())  # noqa: E731
+    assert {norm(r["text"]) for r in got} == {"brand new one", "another fresh"}
+    assert len(got) == 2

@@ -69,6 +69,78 @@ def exact_dedup(
     )
 
 
+def fingerprint_index(reference: DataFrame, text_col: str = "text") -> DataFrame:
+    """(fp) — the distinct normalized-text fingerprints of a historical
+    corpus: the persisted "have we seen this before" index an incremental
+    ingestion pipeline keeps between batches.  At 100 TB the index is a
+    plain parquet table of md5 strings, re-read per batch; computing it is
+    one scan + one distinct (shuffle keyed on the fingerprint)."""
+    return (
+        reference.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    )
+
+
+def incremental_dedup_annotate(
+    docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against a historical fingerprint index without
+    touching the historical corpus itself — the incremental form every
+    ingestion pipeline actually runs (re-deduplicating the full corpus
+    per batch is O(corpus) instead of O(batch)).
+
+    Returns a total annotation (id, status): ``ref_dup`` (normalized text
+    already in the index), ``batch_dup`` (duplicate of a lower-id doc
+    within the batch), ``kept``.  One left join against the index (AQE
+    broadcasts it while it fits; at scale it degrades gracefully to a
+    shuffled join keyed on the fingerprint) + one in-batch window rank.
+    """
+    fp = fingerprint(F.col(text_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        docs.select(F.col(id_col), fp.alias("__fp"))
+        .join(index.select(F.col("fp").alias("__fp"),
+                           F.lit(1).alias("__seen")), "__fp", "left")
+        .withColumn("__rn", F.row_number().over(w))
+        .select(
+            id_col,
+            F.when(F.col("__seen").isNotNull(), F.lit("ref_dup"))
+            .when(F.col("__rn") > 1, F.lit("batch_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
+def incremental_dedup_keep(
+    docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The surviving rows of a new batch after incremental dedup — and the
+    STREAMING form: ``docs`` may be a streaming DataFrame (the index join
+    is stream-static; the in-batch dedup is a stateful ``dropDuplicates``
+    on the fingerprint).  On a stream the survivor per duplicate family is
+    the first-arriving row (arrival order), not the min id — an inherent
+    streaming semantic; the batch path uses min-id via the annotate
+    variant so the two agree on WHICH fingerprints survive, not
+    necessarily which row carries them.
+    """
+    with_fp = docs.withColumn("__fp", fingerprint(F.col(text_col)))
+    fresh = with_fp.join(
+        index.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
+    )
+    if docs.isStreaming:
+        return fresh.dropDuplicates(["__fp"]).drop("__fp")
+    keep = incremental_dedup_annotate(
+        docs, index, text_col=text_col, id_col=id_col
+    ).where(F.col("status") == "kept").select(id_col)
+    return docs.join(keep, id_col)
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles of the normalized text, as a distinct array.
 
