@@ -1160,8 +1160,8 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data-quality profile of lineitem (nulls / exact distinct /
-    min / max / mean) — one scan + one EXPAND aggregate, unpivoted to a row
-    per column (pipeline/profile.py).  Exact DuckDB oracle."""
+    min / max / mean) — one melt scan + a single distinct-key aggregation
+    (pipeline/profile.py).  Exact DuckDB oracle."""
     from tsne_flink_spark.pipeline.profile import profile_table
 
     return profile_table(_t(spark, sf_dir, "lineitem"))
