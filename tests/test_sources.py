@@ -166,3 +166,31 @@ def test_parquet_ts_unit_detection(tmp_path):
     ]:
         sf_dir = _write_events_parquet(tmp_path, unit)
         assert _parquet_ts_unit(f"{sf_dir}/events.parquet") == expect
+
+
+def test_documents_jsonl_roundtrip(spark, tmp_path):
+    """JSONL corpus sink -> source round-trip preserves rows; malformed
+    lines land in _corrupt_record instead of failing the read."""
+    from tsne_flink_spark.sources.readers import read_documents_jsonl
+    from tsne_flink_spark.sources.writers import write_documents_jsonl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, path, compression="none", n_files=2)
+    back = read_documents_jsonl(spark, path)
+    # Spark refuses queries whose pruned column set is ONLY the internal
+    # corrupt-record column; selecting * (collect) sidesteps the pruning
+    assert [r for r in back.collect() if r["_corrupt_record"] is not None] == []
+    a = {(r["doc_id"], r["text"]) for r in docs.collect()}
+    b = {(r["doc_id"], r["text"]) for r in back.collect()}
+    assert a == b
+
+    # corrupt line handling: append a broken file into the directory
+    (tmp_path / "docs_jsonl" / "zz-broken.json").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "not json at all\n"
+    )
+    again = read_documents_jsonl(spark, path)
+    bad = [r for r in again.collect() if r["_corrupt_record"] is not None]
+    assert len(bad) == 1
+    assert again.count() == len(a) + 2

@@ -382,4 +382,15 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         language_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
+        _pii_flag(t).alias("has_pii"),
     )
+
+
+def _pii_flag(t: Column) -> Column:
+    """1 when the text contains any email/phone/IPv4 hit (the scrub suite's
+    portable patterns) — the cheap pre-filter before a full redaction pass."""
+    from tsne_flink_spark.pipeline.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return (
+        t.rlike(EMAIL_RE) | t.rlike(PHONE_RE) | t.rlike(IPV4_RE)
+    ).cast("int")

@@ -85,6 +85,33 @@ _EVENTS_DDL = (
     "event_type string, value double, props string"
 )
 
+_DOCUMENTS_DDL = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """Read a documents corpus from JSON Lines — the interchange format
+    LLM-corpus tooling actually ships (one JSON object per line; gzip/zstd
+    per Spark's codec support, splittable when uncompressed).
+
+    The schema is EXPLICIT (default: the driver's documents layout):
+    schema inference would scan the corpus once just to guess types — at
+    100 TB that is a full extra pass, and a single malformed line can
+    flip a column to string corpus-wide.  Malformed lines surface in the
+    standard ``_corrupt_record`` column (PERMISSIVE mode) rather than
+    failing the job; filter or count them as a quality gate.  Caveat:
+    Spark refuses a query whose PRUNED column set is only the internal
+    corrupt-record column — cache the frame (or reference data columns in
+    the same query) before counting corrupt lines.
+    """
+    ddl = schema if schema is not None else (
+        _DOCUMENTS_DDL + ", _corrupt_record string"
+    )
+    return spark.read.schema(ddl).json(path)
+
 
 def _parquet_ts_unit(path: str, column: str = "ts") -> tuple[str | None, str | None]:
     """Read the timestamp unit and timezone of ``column`` from the parquet

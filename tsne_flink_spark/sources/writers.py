@@ -31,3 +31,22 @@ def write_execution_plan(df: DataFrame, path: str) -> None:
         df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     Path(path).write_text(plan)
+
+
+def write_documents_jsonl(
+    docs: DataFrame,
+    path: str,
+    compression: str = "gzip",
+    n_files: int = 0,
+) -> None:
+    """Write a documents corpus as JSON Lines (one object per line) — the
+    export format downstream tokenizer/training tooling reads.  ``n_files``
+    > 0 bounds the output file count via one repartition (the same sink
+    discipline as curate_cli ``--output-files``); compression defaults to
+    gzip for interchange compatibility (use ``none`` for splittable
+    re-reads)."""
+    out = docs.repartition(n_files) if n_files > 0 else docs
+    writer = out.write.mode("overwrite")
+    if compression and compression != "none":
+        writer = writer.option("compression", compression)
+    writer.json(path)
