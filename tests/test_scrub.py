@@ -222,3 +222,33 @@ def test_incremental_dedup_batch_and_streaming(spark, tmp_path):
     norm = lambda t: " ".join(t.lower().split())  # noqa: E731
     assert {norm(r["text"]) for r in got} == {"brand new one", "another fresh"}
     assert len(got) == 2
+
+
+def test_scrub_ops_on_empty_corpus(spark):
+    """Zero-row inputs flow through every round-6 operator without error
+    (the guard the driver's empty-partition edge cases hit first)."""
+    from tsne_flink_spark.pipeline.curation import mixture_weights
+    from tsne_flink_spark.pipeline.dedup import (
+        fingerprint_index,
+        incremental_dedup_annotate,
+    )
+    from tsne_flink_spark.pipeline.profile import profile_table
+    from tsne_flink_spark.pipeline.semantic import semantic_dedup
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    assert pii_stats(empty_docs).count() == 0
+    assert url_domain_stats(empty_docs).count() == 0
+    assert remove_boilerplate_lines(empty_docs).count() == 0
+    assert bigram_stats(empty_docs).count() == 0
+    assert mixture_weights(empty_docs).count() == 0
+    assert incremental_dedup_annotate(
+        empty_docs, fingerprint_index(empty_docs)
+    ).count() == 0
+    # profile of an empty table still emits one row per column with zeros
+    prof = {r["column"]: r for r in profile_table(empty_docs).collect()}
+    assert prof["text"]["n_rows"] == 0 and prof["text"]["n_distinct"] == 0
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_dedup(empty_emb).count() == 0

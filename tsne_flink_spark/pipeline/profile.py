@@ -78,7 +78,7 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     # keys == distinct doubles; count_distinct skips NULLs, matching the
     # ANSI convention the oracle uses
     vkey = F.coalesce(F.col("vnum").cast("string"), F.col("vstr"))
-    return melted.groupBy("column").agg(
+    agg = melted.groupBy("column").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.when(vkey.isNull(), 1).otherwise(0))
         .cast("long").alias("n_nulls"),
@@ -98,4 +98,18 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ).alias("mean_num"),
         F.min("vstr").alias("min_str"),
         F.max("vstr").alias("max_str"),
+    )
+    # an EMPTY table still profiles as one row per column (counts 0,
+    # extrema NULL) — the groupBy alone would emit nothing.  Deliberate
+    # divergence from a bare SQL aggregate, whose sum() over zero rows is
+    # NULL: a profiler reporting "0 nulls in 0 rows" is the useful answer.
+    base = df.sparkSession.createDataFrame(
+        [(c,) for c in cols], "column string"
+    )
+    return base.join(agg, "column", "left").select(
+        "column",
+        F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        F.coalesce("n_nulls", F.lit(0)).alias("n_nulls"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        "min_num", "max_num", "mean_num", "min_str", "max_str",
     )

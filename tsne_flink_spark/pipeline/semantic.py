@@ -50,8 +50,9 @@ def fit_spherical_centroids(
     seed: int = 42,
     n_corpus: int | None = None,
     lloyd_iters: int = 3,
-) -> np.ndarray:
-    """Seeded spherical k-means centroids from a bounded uniform sample.
+) -> np.ndarray | None:
+    """Seeded spherical k-means centroids from a bounded uniform sample
+    (``None`` for an empty corpus).
 
     Mirrors the IVF coarse quantizer (similarity.ivf_top_k): a seeded
     ``sample`` (never ``limit`` — first-scanned rows degenerate on sorted
@@ -70,6 +71,8 @@ def fit_spherical_centroids(
         sample = (
             corpus.select(vec_col).sample(False, frac, seed).limit(target).collect()
         )
+    if not sample:
+        return None  # empty corpus: nothing to cluster
     X = np.array([list(r[0]) for r in sample], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1)[:, None], 1e-12)
     rng = np.random.default_rng(seed)
@@ -179,6 +182,10 @@ def semantic_dedup(
     centroids = fit_spherical_centroids(
         reps, vec_col=vec_col, n_clusters=n_clusters, seed=seed
     )
+    if centroids is None:  # empty corpus
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster int, group_id long, keep int"
+        )
     assigned = materialize(assign_clusters(reps, centroids, id_col, vec_col))
     a = assigned.select(
         F.col("cluster"),
@@ -245,9 +252,14 @@ def semantic_dedup_invariants(
     """
     from tsne_flink_spark.operators.optimize import materialize
 
+    spark = emb.sparkSession
     centroids = fit_spherical_centroids(
         emb, vec_col=vec_col, n_clusters=n_clusters, seed=seed
     )
+    if centroids is None:  # empty corpus: vacuously sound
+        return spark.createDataFrame(
+            [(0, 0, 0)], "bad_killed long, bad_pairs long, bad_groups long"
+        )
     assigned = materialize(assign_clusters(emb, centroids, id_col, vec_col))
     result = materialize(
         semantic_dedup(
