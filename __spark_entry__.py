@@ -1132,6 +1132,35 @@ def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of per-doc token counts (sequence-length
+    distribution; integer-exact buckets via length(bin(n))).  Exact DuckDB
+    oracle."""
+    from tsne_flink_spark.pipeline.text import token_histogram
+
+    return token_histogram(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang x source contingency with CUBE subtotals (docs + token sums at
+    every grouping-set level) — the corpus-composition report.  Exact
+    DuckDB oracle."""
+    from tsne_flink_spark.pipeline.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang", "source",
+            token_count(F.col("text")).cast("long").alias("__n"),
+        )
+        .cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source mixture rebalancing: token shares vs a uniform target,
     reweighting factors, and downsample-only sample rates
@@ -1263,6 +1292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": q_profile_lineitem,
         "mixture_weights": q_mixture_weights,
         "incremental_dedup": q_incremental_dedup,
+        "token_histogram": q_token_histogram,
+        "lang_source_matrix": q_lang_source_matrix,
         "tsne_embedding": q_tsne_embedding,
     }
 
@@ -2249,6 +2280,29 @@ SELECT CAST(0 AS BIGINT) AS bad_killed,
        CAST(0 AS BIGINT) AS bad_groups
 """,
         "profile_lineitem": _profile_oracle_sql(),
+        "token_histogram": """
+WITH t AS (
+  SELECT len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           ::BIGINT AS n
+  FROM documents
+)
+SELECT (CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END)::INT AS bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS total_tokens,
+       min(n)::BIGINT AS min_tokens,
+       max(n)::BIGINT AS max_tokens
+FROM t GROUP BY 1
+""",
+        "lang_source_matrix": """
+WITH t AS (
+  SELECT lang, source,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           ::BIGINT AS n
+  FROM documents
+)
+SELECT lang, source, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens
+FROM t GROUP BY CUBE (lang, source)
+""",
         "incremental_dedup": """
 WITH ref AS (
   SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp

@@ -75,6 +75,8 @@ def main() -> None:
         "language_id",
         "language_id_ngram",
         "repetition_stats",
+        "token_histogram",
+        "lang_source_matrix",
         "stratified_sample",
         "mixture_weights",
         "pack_sequences",

@@ -252,3 +252,19 @@ def test_scrub_ops_on_empty_corpus(spark):
 
     empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert semantic_dedup(empty_emb).count() == 0
+
+
+def test_token_histogram_buckets(spark):
+    from tsne_flink_spark.pipeline.text import token_histogram
+
+    docs = _docs(spark, [
+        (1, ""),                 # 0 tokens -> bucket 0
+        (2, "one"),               # 1 token  -> bucket 1 (bin '1')
+        (3, "a b c"),             # 3 tokens -> bucket 2 ('11')
+        (4, "a b c d"),           # 4 tokens -> bucket 3 ('100')
+        (5, "a b c d e f g h"),   # 8 tokens -> bucket 4 ('1000')
+    ])
+    out = {r["bucket"]: r for r in token_histogram(docs).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[2]["n_docs"] == 1 and out[2]["total_tokens"] == 3
+    assert out[4]["min_tokens"] == out[4]["max_tokens"] == 8

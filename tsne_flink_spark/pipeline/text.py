@@ -369,6 +369,36 @@ def repetition_stats(
     ).select(id_col, "__s.*")
 
 
+def token_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Power-of-two histogram of per-document token counts — the
+    sequence-length distribution a packing/training pipeline checks before
+    choosing its context window.
+
+    Bucket = number of binary digits of the token count (floor(log2)+1;
+    bucket 0 for empty docs), computed via ``length(bin(n))`` — exact
+    integer arithmetic in any engine, where ``floor(log2(x))`` built on a
+    double ``log`` can flip at exact powers of two.  One narrow map + one
+    tiny hash agg keyed on the bucket.
+    """
+    n = token_count(F.col(text_col))
+    bucket = F.when(n == 0, F.lit(0)).otherwise(
+        F.length(F.bin(n.cast("long")))
+    )
+    return (
+        docs.select(
+            bucket.cast("int").alias("bucket"),
+            n.cast("long").alias("__n"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_tokens"),
+            F.min("__n").cast("long").alias("min_tokens"),
+            F.max("__n").cast("long").alias("max_tokens"),
+        )
+    )
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection over a documents table."""
     t = F.col(text_col)
