@@ -346,3 +346,61 @@ def test_boilerplate_reassembly_matches_reference(spark):
         assert r["n_lines"] == len(lines)
         assert r["n_removed"] == len(lines) - len(kept)
         assert r["kept_fp"] == want_fp, (d, t)
+
+
+def test_profile_table_matches_python_reference(spark):
+    """Property: per-column profile equals a pure-python computation on a
+    random mixed-type frame with NULLs (exact distinct excludes NULLs;
+    decimal-summed mean rounds identically)."""
+    import random
+    from decimal import Decimal
+
+    from tsne_flink_spark.pipeline.profile import profile_table
+
+    rng = random.Random(41)
+    rows = []
+    for i in range(300):
+        v = None if rng.random() < 0.2 else round(rng.uniform(-50, 50), 3)
+        s = None if rng.random() < 0.3 else rng.choice(list("abcdef")) * rng.randrange(1, 4)
+        rows.append((i, v, s))
+    df = spark.createDataFrame(rows, "k long, v double, s string")
+    out = {r["column"]: r for r in profile_table(df).collect()}
+
+    vs = [r[1] for r in rows if r[1] is not None]
+    want_mean = float(
+        round(
+            float(sum(Decimal(str(round(Decimal(repr(x)), 10))) for x in vs))
+            / len(vs),
+            6,
+        )
+    )
+    v = out["v"]
+    assert v["n_rows"] == 300
+    assert v["n_nulls"] == sum(1 for r in rows if r[1] is None)
+    assert v["n_distinct"] == len(set(vs))
+    assert v["min_num"] == min(vs) and v["max_num"] == max(vs)
+    assert abs(v["mean_num"] - want_mean) < 1e-9
+    ss = [r[2] for r in rows if r[2] is not None]
+    s = out["s"]
+    assert s["n_distinct"] == len(set(ss))
+    assert s["min_str"] == min(ss) and s["max_str"] == max(ss)
+
+
+def test_mixture_weights_shares_sum_to_one(spark):
+    """Property: actual shares sum to ~1, the max sample_rate is exactly 1,
+    and weights invert the share ratio, on random corpora."""
+    import random
+
+    from tsne_flink_spark.pipeline.curation import mixture_weights
+
+    rng = random.Random(43)
+    rows = []
+    for i in range(200):
+        src = f"s{rng.randrange(1, 6)}"
+        rows.append((i, "tok " * rng.randrange(1, 30), src))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = mixture_weights(df).collect()
+    assert abs(sum(r["actual_share"] for r in out) - 1.0) < 1e-4
+    assert max(r["sample_rate"] for r in out) == 1.0
+    for r in out:
+        assert abs(r["weight"] * r["actual_share"] - r["target_share"]) < 1e-4
