@@ -293,6 +293,19 @@ def q_events_by_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _utc_wall(col_name: str):
+    """Format an instant as its UTC wall clock REGARDLESS of session
+    timezone: bare date_format renders in the session zone, so the gate's
+    string comparison against DuckDB's stored-UTC wall clock would shift
+    by the session offset in non-UTC sessions (found by running the full
+    gate under TZ=America/New_York — values were identical instants,
+    strings differed by 5 h).  Identity under a UTC session."""
+    return F.date_format(
+        F.expr(f"convert_timezone(current_timezone(), 'UTC', {col_name})"),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+
+
 def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event aggregation (streaming-ready formulation,
     tsne_flink_spark.streaming.events)."""
@@ -301,7 +314,7 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = windowed_event_counts(ev, "1 hour")
     return out.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        _utc_wall("window_start").alias("window_start"),
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
         F.round("sum_value", 4).alias("sum_value"),
@@ -317,7 +330,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sessionize(ev, gap_minutes=30)
     return out.select(
         "user_id",
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        _utc_wall("session_start").alias("session_start"),
         F.col("n_events").cast("long").alias("n_events"),
         F.round("sum_value", 4).alias("sum_value"),
     ).orderBy("user_id", "session_start")
@@ -407,9 +420,7 @@ def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "sess_user",
-            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
-                "session_start"
-            ),
+            _utc_wall("session_start").alias("session_start"),
             "n_overlapping",
             "sum_value",
         )

@@ -42,6 +42,10 @@ AUDITED = [
     "boilerplate_lines",
     "bigram_stats",
     "profile_lineitem",
+    "mixture_weights",
+    "incremental_dedup",
+    "token_histogram",
+    "lang_source_matrix",
 ]
 
 
