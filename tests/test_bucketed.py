@@ -91,3 +91,41 @@ def test_bucket_pruning_scans_one_bucket(spark, bucketed_tables):
         assert pruned.count() >= 1
     finally:
         spark.conf.set(conf, old)
+
+
+def test_write_zordered_roundtrip_and_clustering(spark, tmp_path):
+    """Z-ordered write preserves rows and actually clusters: with a
+    Hilbert key over (a, b), each output file's min/max span on BOTH
+    columns is far below the global span (the data-skipping property)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tsne_flink_spark.sources.layout import write_zordered
+
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 141).alias("a"),
+        ((F.col("id") * 7) % 213).alias("b"),
+    )
+    path = str(tmp_path / "z")
+    write_zordered(df, path, ["a", "b"], n_files=16)
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert {r["id"] for r in back.select("id").collect()} == set(range(n))
+
+    spans_a, spans_b = [], []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = pq.ParquetFile(f).schema_arrow.names
+        for rg in range(md.num_row_groups):
+            sa = md.row_group(rg).column(names.index("a")).statistics
+            sb = md.row_group(rg).column(names.index("b")).statistics
+            spans_a.append(sa.max - sa.min)
+            spans_b.append(sb.max - sb.min)
+    # every file is tight on both dimensions vs the 141/213 global spans
+    assert sum(spans_a) / len(spans_a) < 141 * 0.6
+    assert sum(spans_b) / len(spans_b) < 213 * 0.6
