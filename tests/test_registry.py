@@ -1,0 +1,59 @@
+"""Meta-tests for the driver-contract registry in __spark_entry__.py:
+the gate only works if the three surfaces stay consistent."""
+
+import ast
+
+
+def _entry():
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as m
+
+    return m
+
+
+def test_every_oracle_has_a_query():
+    m = _entry()
+    qs, oracles = m.queries(), m.oracle_sql()
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracle_sql keys without queries(): {missing}"
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_every_bench_headliner_is_registered():
+    m = _entry()
+    qs = m.queries()
+    tree = ast.parse(open("bench.py").read())
+    headline = set()
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Assign)
+            and any(getattr(t, "id", None) == "headline" for t in node.targets)
+            and isinstance(node.value, ast.List)
+        ):
+            headline = {
+                c.value for c in node.value.elts if isinstance(c, ast.Constant)
+            }
+    assert headline, "bench.py headline list not found"
+    missing = headline - set(qs)
+    assert not missing, f"bench headliners missing from queries(): {missing}"
+
+
+def test_rows_only_queries_have_check_coverage():
+    """Every approximate/iterative (rows-only) query is either itself a
+    `_check` invariant query or is paired with one — the repo-wide
+    correctness discipline."""
+    m = _entry()
+    rows_only = set(m.queries()) - set(m.oracle_sql())
+    uncovered = []
+    for name in rows_only:
+        if name.endswith("_check"):
+            continue
+        stem = name[: -len("_features")] if name.endswith("_features") else name
+        base_checks = {f"{name}_check", f"{stem}_check"}
+        if not base_checks & set(m.queries()):
+            uncovered.append(name)
+    # every rows-only operator carries a verified-invariant partner
+    assert not uncovered, f"rows-only queries without a _check partner: {uncovered}"
