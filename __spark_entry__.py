@@ -1143,6 +1143,29 @@ def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source leakage matrix: for every ordered source pair, how many
+    normalized-text fingerprints they share (which feeds "which sources
+    duplicate each other" decisions) plus each source's internal dup count
+    on the diagonal.  Fingerprint self-join grouped by the source pair —
+    shuffle keyed on the fingerprint, cardinality = distinct texts.  Exact
+    DuckDB oracle."""
+    from tsne_flink_spark.pipeline.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source", fingerprint(F.col("text")).alias("__fp")
+    ).distinct()
+    a = fp.select(F.col("source").alias("src_a"), "__fp")
+    b = fp.select(F.col("source").alias("src_b"), "__fp")
+    return (
+        a.join(b, "__fp")
+        .where(F.col("src_a") <= F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+    )
+
+
 def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two histogram of per-doc token counts (sequence-length
     distribution; integer-exact buckets via length(bin(n))).  Exact DuckDB
@@ -1305,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "token_histogram": q_token_histogram,
         "lang_source_matrix": q_lang_source_matrix,
+        "source_overlap": q_source_overlap,
         "tsne_embedding": q_tsne_embedding,
     }
 
@@ -2291,6 +2315,16 @@ SELECT CAST(0 AS BIGINT) AS bad_killed,
        CAST(0 AS BIGINT) AS bad_groups
 """,
         "profile_lineitem": _profile_oracle_sql(),
+        "source_overlap": """
+WITH fp AS (
+  SELECT DISTINCT source,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+  FROM documents
+)
+SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS shared_fps
+FROM fp a JOIN fp b ON a.f = b.f AND a.source <= b.source
+GROUP BY 1, 2
+""",
         "token_histogram": """
 WITH t AS (
   SELECT len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))

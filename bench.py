@@ -77,6 +77,7 @@ def main() -> None:
         "repetition_stats",
         "token_histogram",
         "lang_source_matrix",
+        "source_overlap",
         "stratified_sample",
         "mixture_weights",
         "pack_sequences",

@@ -268,3 +268,31 @@ def test_token_histogram_buckets(spark):
     assert set(out) == {0, 1, 2, 3, 4}
     assert out[2]["n_docs"] == 1 and out[2]["total_tokens"] == 3
     assert out[4]["min_tokens"] == out[4]["max_tokens"] == 8
+
+
+def test_source_overlap_matrix(spark):
+    """Cross-source fingerprint sharing: off-diagonal pairs count texts
+    present in both sources; diagonal counts each source's distinct texts."""
+    import sys
+    sys.path.insert(0, ".")
+    from __spark_entry__ import q_source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared text", "en", "web"),
+            (2, "Shared   TEXT", "en", "books"),   # same normalized text
+            (3, "only web", "en", "web"),
+            (4, "only books", "en", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        (r["src_a"], r["src_b"]): r["shared_fps"]
+        for r in q_source_overlap(spark, d).collect()
+    }
+    assert out[("books", "web")] == 1     # the shared normalized text
+    assert out[("web", "web")] == 2       # web's two distinct texts
+    assert out[("books", "books")] == 2
