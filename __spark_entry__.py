@@ -628,12 +628,17 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     out = extract_audio_features(attach_audio_payload(docs))
+    # band_energy is ARRAY<DOUBLE>(8); flatten to scalar columns so the
+    # driver's pandas canonicalizer (which lexsorts cell values) can hash it.
+    band_cols = [
+        F.round(F.col("band_energy")[k], 6).alias(f"band_{k}") for k in range(8)
+    ]
     return out.select(
         "doc_id",
         F.round("duration_s", 6).alias("duration_s"),
         F.round("rms", 6).alias("rms"),
         F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
-        F.transform("band_energy", lambda x: F.round(x, 6)).alias("band_energy"),
+        *band_cols,
     )
 
 

@@ -41,6 +41,24 @@ def test_every_bench_headliner_is_registered():
     assert not missing, f"bench headliners missing from queries(): {missing}"
 
 
+def test_no_complex_types_in_query_output_schemas(spark):
+    """The driver's DuckDB-compare canonicalizer pandas-sorts every output
+    column; ArrayType/MapType/StructType cells are unhashable there (the
+    r6 audio_features red row).  Ban complex types in every queries()
+    output schema so the class of bug cannot recur."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    m = _entry()
+    sf_dir = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in m.queries().items():
+        schema = fn(spark, sf_dir).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType}")
+    assert not offenders, f"complex-typed output columns: {offenders}"
+
+
 def test_rows_only_queries_have_check_coverage():
     """Every approximate/iterative (rows-only) query is either itself a
     `_check` invariant query or is paired with one — the repo-wide
