@@ -656,3 +656,66 @@ def test_curate_cli_scrub_flags(spark, tmp_path):
         assert "FOOTER" not in r["text"]
         assert "admin@corp.example.com" not in r["text"]
         assert "<EMAIL>" in r["text"]
+
+
+def test_curate_cli_zordered_write(spark, tmp_path):
+    """--zorder-by doc_id,n_chars writes the curated corpus clustered on
+    the Hilbert key of BOTH columns: parquet row-group min/max stats let a
+    reader's 25% box predicate on EITHER column skip at least half of the
+    row groups (the B28 layout, now reachable from the CLI sink)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tsne_flink_spark.pipeline.curate_cli import main
+
+    n = 1200
+    # n_chars is a decorrelated permutation of doc_id so single-column
+    # sorting on one would be blind on the other
+    rows = [
+        (i, f"unique document number {i} alpha beta gamma delta {i * 7919}",
+         "en", (i * 769) % n)
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, n_chars bigint"
+    )
+    src = str(tmp_path / "docs_z.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "zordered")
+    rc = main(
+        ["--input", src, "--output", out, "--mode", "filter",
+         "--rate", "en=100", "--default-rate", "100", "--quality-min", "0.0",
+         "--zorder-by", "doc_id,n_chars", "--output-files", "16"],
+        spark=spark,
+    )
+    assert rc == 0
+    files = [
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    ]
+    assert len(files) >= 8  # range shuffle produced a multi-file layout
+
+    def scanned_fraction(col, lo, hi):
+        total = overlapping = 0
+        for path in files:
+            pf = pq.ParquetFile(path)
+            idx = pf.schema_arrow.names.index(col)
+            for rg in range(pf.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                total += 1
+                if not (st.max < lo or st.min > hi):
+                    overlapping += 1
+        return overlapping / total
+
+    # 25% box on each clustered column; tolerate holdout-trimmed bounds
+    assert scanned_fraction("doc_id", 100, 100 + n // 4) <= 0.5
+    assert scanned_fraction("n_chars", 100, 100 + n // 4) <= 0.5
+
+    # guard rails: exclusive with --partition-by, filter-mode only
+    with pytest.raises(SystemExit):
+        main(["--input", src, "--output", out, "--mode", "filter",
+              "--zorder-by", "doc_id", "--partition-by", "lang"],
+             spark=spark)
+    with pytest.raises(SystemExit):
+        main(["--input", src, "--output", out, "--mode", "annotate",
+              "--zorder-by", "doc_id"], spark=spark)

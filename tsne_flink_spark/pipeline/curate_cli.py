@@ -85,6 +85,17 @@ def build_parser() -> argparse.ArgumentParser:
         default="zstd",
         help="parquet codec for the output (zstd/snappy/gzip/none)",
     )
+    p.add_argument(
+        "--zorder-by",
+        default="",
+        metavar="COL1,COL2",
+        help="cluster the written parquet on the Hilbert space-filling key "
+        "of these numeric columns (filter mode only) so row-group min/max "
+        "stats are tight on EVERY listed column — readers filtering on any "
+        "of them skip most row groups (the B28 layout).  Mutually "
+        "exclusive with --partition-by; --output-files sets the file count "
+        "(default 16)",
+    )
     return p
 
 
@@ -152,6 +163,28 @@ def run(args: argparse.Namespace, spark=None) -> int:
                 out = redact_pii(out, text_col=args.text_col)
         else:
             out = staged
+        zorder_cols = [c for c in args.zorder_by.split(",") if c]
+        if zorder_cols and args.mode != "filter":
+            raise SystemExit("--zorder-by requires --mode filter")
+        if zorder_cols and args.partition_by:
+            raise SystemExit(
+                "--zorder-by and --partition-by are mutually exclusive "
+                "(cluster within hive partitions is not supported yet)"
+            )
+        if zorder_cols:
+            from tsne_flink_spark.sources.layout import write_zordered
+
+            write_zordered(
+                out,
+                args.output,
+                zorder_cols,
+                n_files=args.output_files or 16,
+                compression=args.compression,
+            )
+            n = spark.read.parquet(args.output).count()
+            print(f"wrote {n} rows to {args.output} ({args.mode}, "
+                  f"zordered on {zorder_cols})")
+            return 0
         part_cols = args.partition_by if args.mode == "filter" else []
         if part_cols:
             # shuffle on the partition columns BEFORE a partitionBy write:
