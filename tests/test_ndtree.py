@@ -173,3 +173,56 @@ def test_optimize_3d_full_loop(spark):
     assert Y.shape == (n, 3)
     assert np.isfinite(Y).all()
     assert np.abs(Y.mean(axis=0)).max() < 1e-6  # ends with center_embedding
+
+
+def test_bulk_build_equals_sequential_insert():
+    """The vectorized level-synchronous build must produce a tree
+    structurally identical to per-point insert() on adversarial data:
+    exact duplicates, points on split planes, out-of-root drops."""
+    from tsne_flink_spark.operators.ndtree import NDTree, _bulk_build
+
+    rng = np.random.default_rng(31)
+    for d in (1, 2, 3, 4):
+        base = rng.normal(0, 5.0, (300, d))
+        dup = np.repeat(base[:20], 3, axis=0)       # coincident clusters
+        onplane = base[:15].copy()
+        onplane[:, 0] = 0.0                          # on the root split plane
+        outside = rng.normal(0, 5.0, (10, d)) + 100  # dropped by containment
+        Y = np.concatenate([base, dup, onplane, outside])
+        Y = Y[rng.permutation(len(Y))]
+
+        center = np.zeros(d)
+        half = float((Y.max(axis=0) - Y.min(axis=0)).max())
+        seq = NDTree(center, half)
+        for row in Y:
+            seq.insert(row)
+        seq.trim()
+        bulk = _bulk_build(NDTree(center, half), Y).trim()
+
+        assert bulk.cum[0] == seq.cum[0]
+        # same mass distribution: compare canonical (path-keyed) node maps
+        def node_map(t):
+            out = {}
+            stack = [(0, ())]
+            while stack:
+                n, path = stack.pop()
+                out[path] = (
+                    int(t.cum[n]), tuple(np.round(t.s[n], 9)),
+                    bool(t.has_point[n]),
+                    tuple(t.p[n]) if t.has_point[n] else None,
+                )
+                if t.children[n, 0] != -1:
+                    for c in range(t.nc):
+                        stack.append((int(t.children[n, c]), path + (c,)))
+            return out
+
+        ms, mb = node_map(seq), node_map(bulk)
+        assert ms == mb, f"d={d}: tree mismatch"
+
+        # query results agree to float-sum reassociation (np.add.at
+        # accumulates s in a different order than sequential insert)
+        Q = rng.normal(0, 5.0, (64, d))
+        fs, ss = seq.repulsive_forces(Q, 0.5, condition="scaled")
+        fb, sb = bulk.repulsive_forces(Q, 0.5, condition="scaled")
+        assert np.allclose(fs, fb, rtol=1e-12, atol=1e-12)
+        assert np.allclose(ss, sb, rtol=1e-12, atol=1e-12)

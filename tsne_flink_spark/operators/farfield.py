@@ -321,3 +321,256 @@ def eval_far(
         forces[s:e, 0] = (wq2 * dx).sum(axis=1)
         forces[s:e, 1] = (wq2 * dy).sum(axis=1)
     return forces, sumq
+
+
+# ============================================================================
+# d-dimensional generalization (2^d-ary grid; octree-grid at d=3)
+# ============================================================================
+#
+# The 2-D path above is the reference-parity surface (QuadTree.scala is the
+# reference's only BH structure); everything below generalizes the same
+# decomposition to n_components != 2 so a d-dim run above the broadcast
+# budget is O(2^(d*D))-broadcast instead of the O(N) NDTree broadcast.
+
+
+def morton_encode_nd(idx: np.ndarray, depth: int) -> np.ndarray:
+    """Interleave ``idx`` (n, d) per-axis cell indices (each < 2^depth) into
+    one morton code, axis 0 in the most significant interleave position.
+    depth * d must fit in 63 bits (guaranteed by the plan's depth cap)."""
+    n, d = idx.shape
+    code = np.zeros(n, dtype=np.int64)
+    for b in range(depth - 1, -1, -1):
+        for k in range(d):
+            code = (code << 1) | ((idx[:, k] >> b) & 1)
+    return code
+
+
+def morton_decode_nd(code: np.ndarray, depth: int, d: int) -> np.ndarray:
+    """Inverse of :func:`morton_encode_nd`; returns (n, d) indices."""
+    idx = np.zeros((len(code), d), dtype=np.int64)
+    shift = 0
+    for b in range(depth):
+        for k in range(d - 1, -1, -1):
+            idx[:, k] |= ((code >> shift) & 1) << b
+            shift += 1
+    return idx
+
+
+@dataclass
+class SummaryPlanND:
+    center: tuple          # root center, d floats (quirk Q1: origin default)
+    half: float            # root half-extent (= max axis span)
+    depth: int             # per-axis depth D; grid = 2^D cells per axis
+    rc: int                # halo radius in depth-D cells (chebyshev)
+    theta: float
+    condition: str
+    block_bits: int
+    d: int
+
+    @property
+    def grid(self) -> int:
+        return 1 << self.depth
+
+    @property
+    def cellw(self) -> float:
+        return 2.0 * self.half / self.grid
+
+    @property
+    def blocks_per_axis(self) -> int:
+        return max(1, self.grid >> self.block_bits)
+
+
+def plan_summary_nd(
+    n: int,
+    d: int,
+    half: float,
+    theta: float,
+    condition: str,
+    center: tuple | None = None,
+    summary_depth: int | None = None,
+    block_bits: int | None = None,
+) -> SummaryPlanND | None:
+    """Size the d-dim summary grid, or None for the full-tree path.
+
+    Depth cap: total cells 2^(d*D) <= 2^20 (the same ~1M-cell budget the
+    2-D path's 4^10 cap encodes), targeting ~64 points per occupied cell.
+    """
+    if theta <= 0.0 or half <= 0.0 or d < 1:
+        return None
+    if block_bits is None:
+        # ~64 cells per query block regardless of d (2^(d*bb) ~ 64)
+        block_bits = max(1, int(round(6.0 / d)))
+    if summary_depth is None:
+        if n < 4096:
+            return None
+        want = math.ceil(math.log2(max(n, 2) / 64.0) / d)
+        summary_depth = min(20 // d, max(block_bits + 1, want))
+    depth = summary_depth
+    grid = 1 << depth
+    extent_d = half * 2.0 ** -depth
+    cellw = 2.0 * extent_d
+    if condition == "scaled":
+        thr = extent_d / theta
+    else:
+        thr = math.sqrt(extent_d / theta)
+    rc = max(1, math.ceil(thr / cellw))
+    block = 1 << block_bits
+    if block + 2 * rc >= grid:
+        return None
+    c = tuple(center) if center is not None else tuple([0.0] * d)
+    return SummaryPlanND(c, half, depth, rc, theta, condition, block_bits, d)
+
+
+def build_pyramid_nd(
+    cells: np.ndarray, cum: np.ndarray, s: np.ndarray, plan: SummaryPlanND,
+) -> list[dict]:
+    """From depth-D cell aggregates build per-level tables for levels 0..D.
+
+    ``cells`` is the LINEAR index sum_k i_k * grid^k; ``s`` is (k, d) sums.
+    Each level is morton-sorted so children of code m occupy
+    [m << d, (m << d) + 2^d)."""
+    grid, d = plan.grid, plan.d
+    k = len(cells)
+    idx = np.zeros((k, d), dtype=np.int64)
+    rem = cells.astype(np.int64)
+    for a in range(d):
+        idx[:, a] = rem % grid
+        rem = rem // grid
+    code = morton_encode_nd(idx, plan.depth)
+    order = np.argsort(code)
+    levels = [None] * (plan.depth + 1)
+    c = code[order]
+    w = cum[order].astype(np.int64)
+    sv = s[order].astype(np.float64).reshape(k, d)
+    levels[plan.depth] = {"code": c, "cum": w, "s": sv}
+    for lvl in range(plan.depth - 1, -1, -1):
+        parent = c >> d
+        uniq, start = np.unique(parent, return_index=True)
+        w = np.add.reduceat(w, start)
+        sv = np.add.reduceat(sv, start, axis=0)
+        c = uniq
+        levels[lvl] = {"code": c, "cum": w, "s": sv}
+    return levels
+
+
+def merge_pyramids_nd(a: list[dict], b: list[dict]) -> list[dict]:
+    """Associative per-level sorted-code groupby-sum merge (treeReduce op)."""
+    out: list[dict] = []
+    for la, lb in zip(a, b):
+        if not len(lb["code"]):
+            out.append(la)
+            continue
+        if not len(la["code"]):
+            out.append(lb)
+            continue
+        code = np.concatenate([la["code"], lb["code"]])
+        cum = np.concatenate([la["cum"], lb["cum"]])
+        s = np.concatenate([la["s"], lb["s"]], axis=0)
+        order = np.argsort(code, kind="stable")
+        code, cum, s = code[order], cum[order], s[order]
+        uniq, start = np.unique(code, return_index=True)
+        out.append(
+            {
+                "code": uniq,
+                "cum": np.add.reduceat(cum, start),
+                "s": np.add.reduceat(s, start, axis=0),
+            }
+        )
+    return out
+
+
+def far_masses_nd(
+    levels: list[dict],
+    plan: SummaryPlanND,
+    halo_lo: np.ndarray,
+    halo_hi: np.ndarray,
+    q_lo: np.ndarray,
+    q_hi: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Coarsen the d-dim pyramid into the largest cells guaranteed-accepted
+    from everywhere in the query bbox [q_lo, q_hi], excluding the halo box
+    [halo_lo, halo_hi] (depth-D index space, inclusive, per-axis arrays).
+
+    Returns (cum, com) with com of shape (C, d)."""
+    d = plan.d
+    if not len(levels[0]["code"]):
+        return np.zeros(0), np.zeros((0, d))
+    D = plan.depth
+    origin = np.asarray(plan.center, dtype=np.float64) - plan.half
+    out_w: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    cand = np.zeros(1, dtype=np.int64)
+    for lvl in range(0, D + 1):
+        tab = levels[lvl]
+        if not len(cand):
+            break
+        code = tab["code"][cand]
+        cum = tab["cum"][cand]
+        idx = morton_decode_nd(code, lvl, d)  # (k, d)
+        w_l = 2.0 * plan.half / (1 << lvl)
+        extent = plan.half * 2.0 ** -lvl
+        c0 = origin[None, :] + idx * w_l      # cell lower corner (k, d)
+        # per-axis min distance between query bbox and cell bbox
+        gap = np.maximum(
+            0.0, np.maximum(c0 - q_hi[None, :], q_lo[None, :] - (c0 + w_l))
+        )
+        d2 = (gap * gap).sum(axis=1)
+        denom = np.sqrt(d2) if plan.condition == "scaled" else d2
+        with np.errstate(divide="ignore"):
+            guaranteed = (denom > 0.0) & (extent / denom < plan.theta)
+        shift = D - lvl
+        g0 = idx << shift
+        g1 = ((idx + 1) << shift) - 1
+        overlaps = np.all(
+            (g0 <= halo_hi[None, :]) & (g1 >= halo_lo[None, :]), axis=1
+        )
+        if lvl == D:
+            emit = ~overlaps
+        else:
+            emit = guaranteed & ~overlaps
+        if emit.any():
+            e = np.flatnonzero(emit)
+            out_w.append(cum[e].astype(np.float64))
+            out_c.append(tab["s"][cand[e]] / cum[e][:, None])
+        if lvl == D:
+            break
+        expand = np.flatnonzero(~emit & (cum > 0))
+        if not len(expand):
+            break
+        nc = 1 << d
+        pcodes = code[expand] << d
+        child = levels[lvl + 1]["code"]
+        lo = np.searchsorted(child, pcodes, side="left")
+        hi = np.searchsorted(child, pcodes + nc, side="left")
+        counts = hi - lo
+        cand = np.repeat(lo, counts) + (
+            np.arange(counts.sum()) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+    if not out_w:
+        return np.zeros(0), np.zeros((0, d))
+    return np.concatenate(out_w), np.concatenate(out_c, axis=0)
+
+
+def eval_far_nd(
+    Qp: np.ndarray, w: np.ndarray, com: np.ndarray, chunk: int = 2048,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dense d-dim point-mass kernel (per-axis temporaries, so peak memory
+    matches the 2-D kernel's chunk x C arrays regardless of d)."""
+    m, d = Qp.shape
+    forces = np.zeros((m, d))
+    sumq = np.zeros(m)
+    if m == 0 or len(w) == 0:
+        return forces, sumq
+    for st in range(0, m, chunk):
+        e = min(st + chunk, m)
+        deltas = [Qp[st:e, k, None] - com[None, :, k] for k in range(d)]
+        d2 = deltas[0] * deltas[0]
+        for k in range(1, d):
+            d2 += deltas[k] * deltas[k]
+        q = 1.0 / (1.0 + d2)
+        wq = w[None, :] * q
+        sumq[st:e] = wq.sum(axis=1)
+        wq2 = wq * q
+        for k in range(d):
+            forces[st:e, k] = (wq2 * deltas[k]).sum(axis=1)
+    return forces, sumq

@@ -260,8 +260,205 @@ def _repulsive_summary(
 # Auto-mode policy constants (BASELINE.md B14): the pickled full quadtree
 # measured 213 MB at N=1M, so ~220 bytes/point with headroom; above a 64 MB
 # per-iteration broadcast budget the summary far-field path is selected.
+# The d-dim NDTree's per-point bytes are dominated by the 2^d-wide child
+# table: 55 * 2^d reproduces both measured values (220 B/pt at d=2, B14;
+# 440 B/pt at d=3, N=1M, tools/probe_summary_nd.py round 7).
 _TREE_BYTES_PER_POINT = 220
 _AUTO_BROADCAST_BUDGET = 64 << 20  # => auto switches to summary at N ~ 305k
+
+
+def _nd_tree_bytes_per_point(d: int) -> int:
+    return 55 << d
+
+
+def _bounds_with_count_nd(embedding: DataFrame, d: int):
+    """d-dim bounds/mean/count aggregate (min_k / max_k / mean_k / n) — the
+    only per-iteration driver round-trip the d-dim summary path needs.
+    Row shape matches build_ndtree_distributed's ``bounds`` parameter."""
+    aggs = []
+    for k in range(d):
+        aggs += [
+            F.min(F.col("y")[k]).alias(f"min_{k}"),
+            F.max(F.col("y")[k]).alias(f"max_{k}"),
+            F.avg(F.col("y")[k]).alias(f"mean_{k}"),
+        ]
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    return embedding.agg(*aggs).first()
+
+
+def _repulsive_summary_nd(
+    embedding: DataFrame,
+    theta: float,
+    d: int,
+    fix_bounds_mean: bool,
+    bh_condition: str,
+    summary_depth: int | None = None,
+    bounds=None,
+) -> DataFrame | None:
+    """d-dimensional far-field summary repulsion — the 100-TB path for
+    n_components != 2 (generalizes :func:`_repulsive_summary`, which remains
+    the tuned 2-D surface): broadcast a depth-capped 2^d-ary cell-aggregate
+    pyramid (O(2^(d*D)) bytes, constant in N) and shuffle each point only to
+    the query blocks within a theta-derived chebyshev halo.  Near field is
+    evaluated with a local NDTree per block (full leaf-level accuracy incl.
+    coincident-point semantics); far field as guaranteed-accepted cell
+    masses.  Returns None in regimes the full-tree path should handle."""
+    from tsne_flink_spark.operators import farfield
+    from tsne_flink_spark.operators.ndtree import build_ndtree
+
+    spark = embedding.sparkSession
+    b = bounds if bounds is not None else _bounds_with_count_nd(embedding, d)
+    if b is None or b["min_0"] is None:
+        return None
+    center = np.array(
+        [float(b[f"mean_{k}"]) for k in range(d)]
+        if fix_bounds_mean
+        else [0.0] * d
+    )
+    half = max(float(b[f"max_{k}"] - b[f"min_{k}"]) for k in range(d))
+    plan = farfield.plan_summary_nd(
+        int(b["n"]), d, half, theta, bh_condition, center=tuple(center),
+        summary_depth=summary_depth,
+    )
+    if plan is None:
+        return None
+
+    grid, cellw, rc = plan.grid, plan.cellw, plan.rc
+    block, bpa = 1 << plan.block_bits, plan.blocks_per_axis
+    origin = center - half
+
+    def cell_ix(col: str, org: float):
+        return F.least(
+            F.greatest(F.floor((F.col(col) - F.lit(org)) / F.lit(cellw)),
+                       F.lit(0)),
+            F.lit(grid - 1),
+        ).cast("long")
+
+    pts = embedding.select(
+        "id", *[F.col("y")[k].alias(f"p{k}") for k in range(d)]
+    )
+    for k in range(d):
+        pts = pts.withColumn(f"i{k}", cell_ix(f"p{k}", float(origin[k])))
+
+    # mass side: replicate the full-tree root containment (insert drops
+    # points outside the root cell — reference behavior)
+    contained = F.lit(True)
+    for k in range(d):
+        contained = contained & (
+            F.abs(F.col(f"p{k}") - F.lit(float(center[k]))) <= F.lit(half)
+        )
+    mass = pts.where(contained)
+
+    # depth-D cell aggregates -> per-partition partial pyramids ->
+    # executor-side treeReduce merge (same protocol as the 2-D path)
+    cell_expr = F.lit(0).cast("long")
+    for k in range(d):
+        cell_expr = cell_expr + F.col(f"i{k}") * F.lit(grid ** k)
+    agg = mass.groupBy(cell_expr.alias("cell")).agg(
+        F.count(F.lit(1)).alias("cum"),
+        *[F.sum(f"p{k}").alias(f"s{k}") for k in range(d)],
+    )
+
+    def part_pyramid(rows):
+        cells, cums, svals = [], [], []
+        for r in rows:
+            cells.append(r["cell"])
+            cums.append(r["cum"])
+            svals.append([r[f"s{k}"] for k in range(d)])
+        yield farfield.build_pyramid_nd(
+            np.asarray(cells, dtype=np.int64),
+            np.asarray(cums, dtype=np.int64),
+            np.asarray(svals, dtype=np.float64).reshape(len(cells), d),
+            plan,
+        )
+
+    parts = agg.rdd.mapPartitions(part_pyramid)
+    if parts.getNumPartitions() == 0:
+        z = np.zeros(0, dtype=np.int64)
+        levels = farfield.build_pyramid_nd(
+            z, z, np.zeros((0, d)), plan
+        )
+    else:
+        levels = parts.treeReduce(farfield.merge_pyramids_nd, depth=2)
+    bc = spark.sparkContext.broadcast(levels)
+
+    # explicit block-key repartition on both cogroup sides (AQE coalesces
+    # by bytes and would serialize the CPU-heavy Python stage — B14)
+    n_eval = spark.sparkContext.defaultParallelism * 2
+    bkey_expr = F.lit(0).cast("long")
+    for k in range(d):
+        bkey_expr = bkey_expr + (
+            F.shiftright(F.col(f"i{k}"), plan.block_bits) * F.lit(bpa ** k)
+        )
+    qdf = pts.withColumn("bkey", bkey_expr).select(
+        "id", *[f"p{k}" for k in range(d)], "bkey"
+    ).repartition(n_eval, "bkey")
+
+    def block_range(col: str):
+        lo = F.greatest(
+            F.floor((F.col(col) - F.lit(rc)) / F.lit(float(block))), F.lit(0)
+        ).cast("long")
+        hi = F.least(
+            F.floor((F.col(col) + F.lit(rc)) / F.lit(float(block))),
+            F.lit(bpa - 1),
+        ).cast("long")
+        return F.sequence(lo, hi)
+
+    pm = mass
+    for k in range(d):
+        pm = pm.withColumn(f"b{k}", F.explode(block_range(f"i{k}")))
+    nbkey_expr = F.lit(0).cast("long")
+    for k in range(d):
+        nbkey_expr = nbkey_expr + F.col(f"b{k}") * F.lit(bpa ** k)
+    # alias to distinct names: same-name attributes on both cogroup sides
+    # get silently deduplicated away (see the 2-D path's note)
+    pmass = pm.select(
+        *[F.col(f"p{k}").alias(f"n{k}") for k in range(d)],
+        nbkey_expr.alias("nbkey"),
+    ).repartition(n_eval, "nbkey")
+
+    halo_lo_off = np.full(d, -rc, dtype=np.int64)
+    halo_hi_off = np.full(d, block - 1 + rc, dtype=np.int64)
+
+    def eval_block(key, qpdf: pd.DataFrame, ppdf: pd.DataFrame):
+        if not len(qpdf):
+            return pd.DataFrame(
+                {"id": pd.Series([], dtype="int64"),
+                 "rep": pd.Series([], dtype=object),
+                 "sumq": pd.Series([], dtype="float64")}
+            )
+        rem = int(key[0])
+        bidx = np.zeros(d, dtype=np.int64)
+        for k in range(d):
+            bidx[k] = rem % bpa
+            rem //= bpa
+        Qp = np.stack(
+            [qpdf[f"p{k}"].to_numpy(np.float64) for k in range(d)], axis=1
+        )
+        halo_lo = bidx * block + halo_lo_off
+        halo_hi = bidx * block + halo_hi_off
+        q_lo, q_hi = Qp.min(axis=0), Qp.max(axis=0)
+        w, com = farfield.far_masses_nd(
+            bc.value, plan, halo_lo, halo_hi, q_lo, q_hi
+        )
+        forces, sumq = farfield.eval_far_nd(Qp, w, com)
+        if len(ppdf):
+            P = np.stack(
+                [ppdf[f"n{k}"].to_numpy(np.float64) for k in range(d)], axis=1
+            )
+            ltree = build_ndtree(P, fix_bounds_mean=True)
+            nf, ns = ltree.repulsive_forces(Qp, theta, condition=bh_condition)
+            forces += nf
+            sumq += ns
+        return pd.DataFrame(
+            {"id": qpdf["id"].to_numpy(), "rep": list(forces), "sumq": sumq}
+        )
+
+    return (
+        qdf.groupby("bkey")
+        .cogroup(pmass.groupby("nbkey"))
+        .applyInPandas(eval_block, schema="id int, rep array<double>, sumq double")
+    )
 
 
 def _repulsive_barnes_hut(
@@ -297,8 +494,9 @@ def _repulsive_barnes_hut(
     if n_components != 2:
         # the reference's BH path is a 2-D quadtree only (QuadTree.scala)
         # even though its CLI accepts --nComponents; the d-dimensional
-        # NDTree closes that surface (beyond-reference, same semantics).
-        # The far-field summary grid is 2-D, so auto/summary run full-tree.
+        # NDTree closes that surface (beyond-reference, same semantics),
+        # with its own auto policy: the d-dim far-field summary replaces
+        # the O(N) NDTree broadcast above the budget.
         return _repulsive_barnes_hut_nd(
             embedding, theta, n_components, fix_bounds_mean, bh_condition,
             tree_build,
@@ -371,7 +569,9 @@ def _repulsive_barnes_hut_nd(
 ) -> tuple[DataFrame, bool]:
     """Barnes-Hut repulsion for n_components != 2 via the d-dimensional
     NDTree (octree at d=3) — driver or executor-merged build + broadcast +
-    vectorized mapInPandas evaluation, mirroring the 2-D paths."""
+    vectorized mapInPandas evaluation, mirroring the 2-D paths, including
+    the auto policy: above the broadcast budget the d-dim far-field summary
+    (``_repulsive_summary_nd``) replaces the O(N) NDTree broadcast."""
     from tsne_flink_spark.operators.ndtree import (
         NDTree,
         build_ndtree,
@@ -379,15 +579,36 @@ def _repulsive_barnes_hut_nd(
     )
 
     d = n_components
+    bounds = None
+    if tree_build in ("auto", "summary"):
+        bounds = _bounds_with_count_nd(embedding, d)
+        if tree_build == "auto":
+            n = (
+                int(bounds["n"])
+                if bounds is not None and bounds["n"] is not None
+                else 0
+            )
+            tree_build = (
+                "summary"
+                if n * _nd_tree_bytes_per_point(d) > _AUTO_BROADCAST_BUDGET
+                else "distributed"
+            )
+    if tree_build == "summary":
+        res = _repulsive_summary_nd(
+            embedding, theta, d, fix_bounds_mean, bh_condition, bounds=bounds
+        )
+        if res is not None:
+            return res, True
+        tree_build = "distributed"  # degenerate regime: full-tree fallback
     if tree_build == "driver":
         rows = embedding.select("id", "y").collect()
         Y = np.array([r["y"] for r in rows], dtype=np.float64).reshape(-1, d)
         tree = build_ndtree(Y, fix_bounds_mean=fix_bounds_mean)
     elif tree_build == "stub":
         tree = NDTree(np.zeros(d), 1.0)
-    else:  # auto / distributed / summary (no d-dim summary grid yet)
+    else:
         tree = build_ndtree_distributed(
-            embedding, d, fix_bounds_mean=fix_bounds_mean
+            embedding, d, fix_bounds_mean=fix_bounds_mean, bounds=bounds
         )
     bc = embedding.sparkSession.sparkContext.broadcast(tree)
 

@@ -210,9 +210,64 @@ class NDTree:
         return forces, sumq
 
 
+def _bulk_build(tree: NDTree, Y: np.ndarray) -> NDTree:
+    """Vectorized level-synchronous construction into a FRESH (root-only)
+    tree — equivalent to inserting every row of ``Y`` sequentially (same
+    structure: a node subdivides iff >= 2 distinct points fall in it; same
+    cum/s totals; coincident rows accumulate in one leaf), but each descent
+    level is one batch of numpy ops instead of a per-point Python loop.
+
+    Equivalence argument: insertion order only ever mattered through the
+    re-seat-with-full-weight rule, which this module already makes
+    order-independent (see class docstring); the per-node mass totals are
+    order-free sums, and the child of a point is a pure function of the
+    point and the cell (tie on a split plane -> negative side, matching
+    ``_child_for``'s first-containing-child scan).  Gated by
+    tests/test_ndtree.py::test_bulk_build_equals_sequential_insert.
+    """
+    d = tree.d
+    if not len(Y):
+        return tree
+    inside = np.all(np.abs(Y - tree.c[0]) <= tree.half, axis=1)
+    X = Y[inside]
+    if not len(X):
+        return tree
+    # coincident rows collapse to one weighted point (insert's accumulate
+    # rule); they would never separate however deep the descent goes
+    pts, counts = np.unique(X, axis=0, return_counts=True)
+    w = counts.astype(np.int64)
+    ws = pts * counts[:, None]
+    cur = np.zeros(len(pts), dtype=np.int64)
+    for _ in range(_MAX_DEPTH):
+        np.add.at(tree.cum, cur, w)
+        np.add.at(tree.s, cur, ws)
+        uniq, inv, cnt = np.unique(cur, return_inverse=True, return_counts=True)
+        alone = cnt[inv] == 1
+        if alone.any():
+            sn = cur[alone]
+            tree.has_point[sn] = True
+            tree.p[sn] = pts[alone]
+        keep = ~alone
+        cur, pts, w, ws = cur[keep], pts[keep], w[keep], ws[keep]
+        if not len(cur):
+            break
+        # all remaining nodes hold >= 2 distinct points: split and descend.
+        # They are fresh same-depth leaves (level-synchronous invariant).
+        _bulk_subdivide(tree, np.unique(cur))
+        centers = tree.c[cur]
+        coff = np.zeros(len(cur), dtype=np.int64)
+        for k in range(d):
+            coff |= (pts[:, k] > centers[:, k]).astype(np.int64) << k
+        cur = tree.children[cur, coff].astype(np.int64)
+    # depth-guard exhaustion mirrors insert(): mass counted along the path,
+    # near-coincident survivors left unseated
+    return tree
+
+
 def build_ndtree(Y: np.ndarray, fix_bounds_mean: bool = False) -> NDTree:
     """Build the tree for an N x d embedding (root-cell construction as
-    TsneHelpers.scala:228-248, generalized to d axes)."""
+    TsneHelpers.scala:228-248, generalized to d axes); vectorized bulk
+    construction, insert-equivalent (see :func:`_bulk_build`)."""
     Y = np.asarray(Y, dtype=np.float64)
     if Y.ndim != 2:
         raise ValueError(f"expected (n, d) array, got shape {Y.shape}")
@@ -223,9 +278,7 @@ def build_ndtree(Y: np.ndarray, fix_bounds_mean: bool = False) -> NDTree:
         center = np.zeros(d)
     half = float((Y.max(axis=0) - Y.min(axis=0)).max()) if len(Y) else 1.0
     tree = NDTree(center, half, capacity_hint=(1 << d) * max(len(Y), 16))
-    for row in Y:
-        tree.insert(row)
-    return tree
+    return _bulk_build(tree, Y)
 
 
 # -- vectorized merge machinery (generalizes quadtree.py's 2-D versions) ----
@@ -420,8 +473,7 @@ def build_ndtree_distributed(embedding, n_components: int,
         if not pts:
             return
         t = NDTree(center, half, capacity_hint=(1 << d) * max(len(pts), 16))
-        for p in pts:
-            t.insert(p)
+        _bulk_build(t, np.asarray(pts, dtype=np.float64).reshape(-1, d))
         yield t.trim()
 
     trees = embedding.select("y").rdd.mapPartitions(build_part)
