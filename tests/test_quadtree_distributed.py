@@ -191,3 +191,59 @@ def test_distributed_build_empty(spark):
     assert t.cum[0] == 0
     f, q = t.repulsive_forces(np.zeros((2, 2)), 0.5)
     assert (f == 0).all() and (q == 0).all()
+
+
+def test_bulk_build_equals_sequential_insert():
+    """The vectorized level-synchronous 2-D build must produce a tree
+    structurally identical to per-point insert() on adversarial data:
+    exact duplicates, points on split planes, out-of-root drops."""
+    import numpy as np
+
+    from tsne_flink_spark.operators.quadtree import QuadTree, _bulk_build
+
+    rng = np.random.default_rng(37)
+    base = rng.normal(0, 5.0, (400, 2))
+    dup = np.repeat(base[:25], 3, axis=0)
+    onplane = base[:15].copy()
+    onplane[:, 0] = 0.0
+    onaxis = base[15:30].copy()
+    onaxis[:, 1] = 0.0
+    outside = rng.normal(0, 5.0, (10, 2)) + 100
+    Y = np.concatenate([base, dup, onplane, onaxis, outside])
+    Y = Y[rng.permutation(len(Y))]
+
+    half = max(
+        float(Y[:, 0].max() - Y[:, 0].min()),
+        float(Y[:, 1].max() - Y[:, 1].min()),
+    )
+    seq = QuadTree(0.0, 0.0, half)
+    for x, y in Y:
+        seq.insert(float(x), float(y))
+    seq.trim()
+    bulk = _bulk_build(QuadTree(0.0, 0.0, half), Y).trim()
+
+    assert bulk.cum[0] == seq.cum[0]
+
+    def node_map(t):
+        out = {}
+        stack = [(0, ())]
+        while stack:
+            n, path = stack.pop()
+            out[path] = (
+                int(t.cum[n]),
+                (round(float(t.sx[n]), 9), round(float(t.sy[n]), 9)),
+                bool(t.has_point[n]),
+                (t.px[n], t.py[n]) if t.has_point[n] else None,
+            )
+            if t.children[n, 0] != -1:
+                for c in range(4):
+                    stack.append((int(t.children[n, c]), path + (c,)))
+        return out
+
+    assert node_map(seq) == node_map(bulk)
+
+    Q = rng.normal(0, 5.0, (64, 2))
+    fs, ss = seq.repulsive_forces(Q, 0.5, condition="scaled")
+    fb, sb = bulk.repulsive_forces(Q, 0.5, condition="scaled")
+    assert np.allclose(fs, fb, rtol=1e-12, atol=1e-12)
+    assert np.allclose(ss, sb, rtol=1e-12, atol=1e-12)

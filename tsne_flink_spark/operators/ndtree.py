@@ -253,12 +253,12 @@ def _bulk_build(tree: NDTree, Y: np.ndarray) -> NDTree:
             break
         # all remaining nodes hold >= 2 distinct points: split and descend.
         # They are fresh same-depth leaves (level-synchronous invariant).
+        # _children_for replicates insert's first-containing-child scan
+        # exactly, including the 1-ulp no-containing-child drop edge.
         _bulk_subdivide(tree, np.unique(cur))
-        centers = tree.c[cur]
-        coff = np.zeros(len(cur), dtype=np.int64)
-        for k in range(d):
-            coff |= (pts[:, k] > centers[:, k]).astype(np.int64) << k
-        cur = tree.children[cur, coff].astype(np.int64)
+        nxt = _children_for(tree, cur, pts)
+        v = nxt >= 0
+        cur, pts, w, ws = nxt[v], pts[v], w[v], ws[v]
     # depth-guard exhaustion mirrors insert(): mass counted along the path,
     # near-coincident survivors left unseated
     return tree

@@ -313,8 +313,58 @@ def build_quadtree(
     else:
         half = 1.0
     tree = QuadTree(mx, my, half, capacity_hint=4 * max(len(Y), 16))
-    for x, y in Y:
-        tree.insert(float(x), float(y))
+    return _bulk_build(tree, np.asarray(Y, dtype=np.float64).reshape(-1, 2))
+
+
+def _bulk_build(tree: QuadTree, P: np.ndarray) -> QuadTree:
+    """Vectorized level-synchronous construction into a FRESH (root-only)
+    tree — equivalent to inserting every row of ``P`` sequentially (same
+    structure: a node subdivides iff >= 2 distinct points fall in it; same
+    cum/sx/sy totals up to float-sum reassociation; coincident rows
+    accumulate in one leaf via the full-weight re-seat rule this class
+    already makes order-independent).  Each descent level is one batch of
+    numpy ops instead of a per-point Python loop — the same rewrite as
+    ndtree._bulk_build, gated by
+    tests/test_quadtree_distributed.py::test_bulk_build_equals_sequential_insert.
+    """
+    if not len(P):
+        return tree
+    inside = (np.abs(P[:, 0] - tree.cx[0]) <= tree.half) & (
+        np.abs(P[:, 1] - tree.cy[0]) <= tree.half
+    )
+    X = P[inside]
+    if not len(X):
+        return tree
+    pts, counts = np.unique(X, axis=0, return_counts=True)
+    w = counts.astype(np.int64)
+    wsx = pts[:, 0] * counts
+    wsy = pts[:, 1] * counts
+    cur = np.zeros(len(pts), dtype=np.int64)
+    for _ in range(_MAX_DEPTH):
+        np.add.at(tree.cum, cur, w)
+        np.add.at(tree.sx, cur, wsx)
+        np.add.at(tree.sy, cur, wsy)
+        uniq, inv, cnt = np.unique(cur, return_inverse=True, return_counts=True)
+        alone = cnt[inv] == 1
+        if alone.any():
+            sn = cur[alone]
+            tree.has_point[sn] = True
+            tree.px[sn] = pts[alone, 0]
+            tree.py[sn] = pts[alone, 1]
+        keep = ~alone
+        cur, pts = cur[keep], pts[keep]
+        w, wsx, wsy = w[keep], wsx[keep], wsy[keep]
+        if not len(cur):
+            break
+        # remaining nodes hold >= 2 distinct points: split and descend.
+        # _children_for replicates insert's first-containing-child scan,
+        # including the 1-ulp no-containing-child drop edge (mass stays in
+        # the ancestors, exactly like insert returning False mid-descent).
+        _bulk_subdivide(tree, np.unique(cur))
+        nxt = _children_for(tree, cur, pts[:, 0], pts[:, 1])
+        v = nxt >= 0
+        cur, pts = nxt[v], pts[v]
+        w, wsx, wsy = w[v], wsx[v], wsy[v]
     return tree
 
 
@@ -618,8 +668,7 @@ def build_quadtree_distributed(
         if not pts:
             return
         t = QuadTree(mx, my, half, capacity_hint=4 * max(len(pts), 16))
-        for p in pts:
-            t.insert(float(p[0]), float(p[1]))
+        _bulk_build(t, np.asarray(pts, dtype=np.float64).reshape(-1, 2))
         yield t.trim()
 
     trees = embedding.select("y").rdd.mapPartitions(build_part)
