@@ -858,6 +858,34 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs).select("doc_id", "lang", "source")
 
 
+_LICENSE_FOOTER = (
+    "this dataset is licensed under the creative commons attribution "
+    "share alike four point zero international license"
+)
+
+
+def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, pipeline/substr.py): cut every
+    8-token span occurring >= 2 times corpus-wide.  Documents are augmented
+    with a shared 16-token license footer on doc_id % 3 == 0 (the text
+    payload-synthesis convention, as in the scrub gate queries) so span
+    removal is actually exercised.  Fully deterministic -> exact DuckDB
+    oracle (gaps-and-islands span merge)."""
+    from tsne_flink_spark.pipeline.substr import exact_substring_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + _LICENSE_FOOTER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = exact_substring_dedup(docs, l=8)
+    return out.select("doc_id", "text", "n_dup_spans", "tokens_removed")
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dedup (shingle->minhash->band->bucket-join) —
     hash-function-specific, rows-only checked; survivors listed."""
@@ -1282,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "language_id_ngram": q_language_id_ngram,
         "exact_dedup": q_exact_dedup,
+        "exact_substr_dedup": q_exact_substr_dedup,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_check": q_minhash_dedup_check,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1767,6 +1796,65 @@ WITH fp AS (
   FROM documents
 )
 SELECT doc_id, lang, source FROM fp WHERE rn = 1
+""",
+        "exact_substr_dedup": f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' {_LICENSE_FOOTER}'
+              ELSE text END AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t <> '') AS t
+  FROM aug
+), grams AS (
+  SELECT doc_id, unnest(range(0, greatest(len(t) - 7, 0))) AS pos, t
+  FROM toks
+), keyed AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(t[pos + 1 : pos + 8], chr(1))) AS gram
+  FROM grams
+), dup AS (
+  SELECT gram FROM keyed GROUP BY gram HAVING COUNT(*) >= 2
+), hits AS (
+  SELECT k.doc_id, k.pos FROM keyed k JOIN dup USING (gram)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+), islands AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flagged
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+  FROM islands GROUP BY doc_id, isl
+), doc_stats AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_dup_spans,
+         SUM(e - s)::BIGINT AS tokens_removed
+  FROM spans GROUP BY doc_id
+), tokpos AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS k FROM toks
+), kept AS (
+  SELECT tp.doc_id, tp.k, tp.tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = tp.doc_id
+                      AND tp.k >= s.s AND tp.k < s.e)
+), clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY k) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       COALESCE(c.text, '') AS text,
+       COALESCE(ds.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       COALESCE(ds.tokens_removed, 0)::BIGINT AS tokens_removed
+FROM aug a
+LEFT JOIN clean c USING (doc_id)
+LEFT JOIN doc_stats ds USING (doc_id)
 """,
         "tfidf_top_terms": """
 WITH toks AS (

@@ -85,6 +85,7 @@ def main() -> None:
         "doc_fingerprint",
         "winnow_overlap",
         "exact_dedup",
+        "exact_substr_dedup",
         "incremental_dedup",
         "minhash_dedup",
         "simhash_dedup",
