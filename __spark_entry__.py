@@ -886,6 +886,17 @@ def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "n_dup_spans", "tokens_removed")
 
 
+def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus sharding (sources/shard.py): seeded md5 global
+    shuffle via the parallel JVM-side dense rank (B15), round-robin into 8
+    shards.  Pure hash arithmetic -> exact DuckDB oracle."""
+    from tsne_flink_spark.sources.shard import shard_assignments
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = shard_assignments(docs, n_shards=8, seed=42)
+    return out.select("doc_id", "shard", "rank_in_shard")
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dedup (shingle->minhash->band->bucket-join) —
     hash-function-specific, rows-only checked; survivors listed."""
@@ -1311,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_ngram": q_language_id_ngram,
         "exact_dedup": q_exact_dedup,
         "exact_substr_dedup": q_exact_substr_dedup,
+        "corpus_shards": q_corpus_shards,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_check": q_minhash_dedup_check,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1855,6 +1867,16 @@ SELECT a.doc_id,
 FROM aug a
 LEFT JOIN clean c USING (doc_id)
 LEFT JOIN doc_stats ds USING (doc_id)
+""",
+        "corpus_shards": """
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY md5('42:' || doc_id::VARCHAR), doc_id)
+           - 1 AS r
+  FROM documents
+)
+SELECT doc_id, (r % 8)::BIGINT AS shard, (r // 8)::BIGINT AS rank_in_shard
+FROM ranked
 """,
         "tfidf_top_terms": """
 WITH toks AS (

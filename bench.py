@@ -86,6 +86,7 @@ def main() -> None:
         "winnow_overlap",
         "exact_dedup",
         "exact_substr_dedup",
+        "corpus_shards",
         "incremental_dedup",
         "minhash_dedup",
         "simhash_dedup",

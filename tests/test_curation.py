@@ -719,3 +719,33 @@ def test_curate_cli_zordered_write(spark, tmp_path):
     with pytest.raises(SystemExit):
         main(["--input", src, "--output", out, "--mode", "annotate",
               "--zorder-by", "doc_id"], spark=spark)
+
+
+def test_curate_cli_strip_dup_substrings(spark, tmp_path):
+    """--strip-dup-substrings L cuts corpus-wide duplicated passages
+    before the pipeline; the written docs keep their distinct bodies."""
+    from tsne_flink_spark.pipeline.curate_cli import main
+
+    passage = ("all rights reserved redistribution permitted under the "
+               "terms of this license agreement only")
+    rows = [
+        (i, f"document body number {i} with unique words here {passage}",
+         "en")
+        for i in range(1, 9)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    src = str(tmp_path / "docs_substr.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "substr_clean")
+    rc = main(
+        ["--input", src, "--output", out, "--mode", "filter",
+         "--rate", "en=100", "--default-rate", "100", "--quality-min", "0.0",
+         "--strip-dup-substrings", "8"],
+        spark=spark,
+    )
+    assert rc == 0
+    kept = spark.read.parquet(out).collect()
+    assert kept  # distinct bodies survive dedup once the passage is gone
+    for r in kept:
+        assert "redistribution" not in r["text"]
+        assert f"document body number {r['doc_id']}" in r["text"]

@@ -194,3 +194,41 @@ def test_documents_jsonl_roundtrip(spark, tmp_path):
     bad = [r for r in again.collect() if r["_corrupt_record"] is not None]
     assert len(bad) == 1
     assert again.count() == len(a) + 2
+
+
+def test_write_sharded_layout_and_determinism(spark, tmp_path):
+    """Seeded shuffle-shard writer: one directory per shard, balanced to
+    within one doc, rank contract intact, and bit-identical mapping on a
+    re-run (the reproducibility requirement)."""
+    import os
+
+    from tsne_flink_spark.sources.shard import shard_assignments, write_sharded
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(101)], "doc_id bigint, text string"
+    )
+    out = str(tmp_path / "shards")
+    write_sharded(docs, out, n_shards=4, seed=7)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    back = spark.read.parquet(out)
+    sizes = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").count().withColumnRenamed("count", "n").collect()
+    }
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # round-robin
+    # rank contract: each shard holds ranks 0..n_k-1 exactly
+    for k, n in sizes.items():
+        ranks = sorted(
+            r["rank_in_shard"] for r in back.where(f"shard = {k}").collect()
+        )
+        assert ranks == list(range(n))
+    # determinism: same (corpus, n_shards, seed) -> same mapping; new seed
+    # -> a different permutation
+    a = {(r["doc_id"], r["shard"], r["rank_in_shard"])
+         for r in shard_assignments(docs, 4, seed=7).collect()}
+    b = {(r["doc_id"], r["shard"], r["rank_in_shard"])
+         for r in shard_assignments(docs, 4, seed=7).collect()}
+    c = {(r["doc_id"], r["shard"], r["rank_in_shard"])
+         for r in shard_assignments(docs, 4, seed=8).collect()}
+    assert a == b and a != c

@@ -59,6 +59,15 @@ def build_parser() -> argparse.ArgumentParser:
         "the cleaned text",
     )
     p.add_argument(
+        "--strip-dup-substrings",
+        type=int,
+        default=0,
+        metavar="L",
+        help="cut every L-token span occurring >= 2 times corpus-wide "
+        "BEFORE the pipeline runs (ExactSubstr, Lee et al. 2022; 0 = off) "
+        "— dedup/quality then see the cleaned text",
+    )
+    p.add_argument(
         "--redact-pii",
         action="store_true",
         help="replace emails/phones/IPv4s with typed placeholders in the "
@@ -139,6 +148,20 @@ def run(args: argparse.Namespace, spark=None) -> int:
                     text_col=args.text_col,
                     min_docs=args.strip_boilerplate,
                 )
+            )
+        if args.strip_dup_substrings > 0:
+            from tsne_flink_spark.operators.optimize import materialize
+            from tsne_flink_spark.pipeline.substr import exact_substring_dedup
+
+            # materialize for the same reason as --strip-boilerplate: the
+            # staged pipeline reads its input once per kill-set stage
+            docs = materialize(
+                exact_substring_dedup(
+                    docs,
+                    l=args.strip_dup_substrings,
+                    id_col=args.id_col,
+                    text_col=args.text_col,
+                ).drop("n_dup_spans", "tokens_removed")
             )
         staged = curation_pipeline(
             docs,
