@@ -886,6 +886,51 @@ def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "n_dup_spans", "tokens_removed")
 
 
+def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariant for approximate quantiles (oracle: constant zero
+    row): every `percentile_approx` output at accuracy A must have an
+    EXACT rank within N/A + 1 of its target rank — the sketch's documented
+    deterministic error bound (Greenwald-Khanna epsilon = 1/A).  The exact
+    ranks are recomputed from scratch in the same query."""
+    li = _t(spark, sf_dir, "lineitem")
+    acc = 1000
+    qs = [0.25, 0.5, 0.75, 0.95]
+    approx = li.agg(
+        F.percentile_approx("l_extendedprice", qs, acc).alias("p"),
+    ).first()["p"]
+    ranks = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum((F.col("l_extendedprice") <= F.lit(float(v))).cast("long"))
+            .alias(f"r{i}")
+            for i, v in enumerate(approx)
+        ],
+    )
+    tol = F.col("n") / F.lit(acc) + F.lit(1.0)
+    bad = [
+        (F.abs(F.col(f"r{i}") - F.lit(q) * F.col("n")) > tol).cast("long")
+        for i, q in enumerate(qs)
+    ]
+    total = bad[0]
+    for b in bad[1:]:
+        total = total + b
+    return ranks.select(total.alias("rank_bound_violations"))
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked-retrieval scores (pipeline/tfidf.py, Robertson/Sparck
+    Jones with the Lucene idf) for a fixed 3-term query over every
+    matching document.  Exact DuckDB oracle; ranking itself is covered by
+    unit tests against a pure-python reference (cross-engine float
+    last-bit noise makes rank order a bad hash surface, score values a
+    good one)."""
+    from tsne_flink_spark.pipeline.tfidf import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, ["join", "window", "stream"])
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus sharding (sources/shard.py): seeded md5 global
     shuffle via the parallel JVM-side dense rank (B15), round-robin into 8
@@ -1323,6 +1368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "exact_substr_dedup": q_exact_substr_dedup,
         "corpus_shards": q_corpus_shards,
+        "bm25_scores": q_bm25_scores,
+        "approx_quantile_check": q_approx_quantile_check,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_check": q_minhash_dedup_check,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1648,6 +1695,9 @@ SELECT CAST(0 AS BIGINT) AS bad_feature_rows,
         "sketch_distinct_check": """
 SELECT CAST(0 AS BIGINT) AS bad_groups
 """,
+        "approx_quantile_check": """
+SELECT CAST(0 AS BIGINT) AS rank_bound_violations
+""",
         "language_id_ngram": _language_id_ngram_oracle(),
         "video_frames": """
 SELECT d.doc_id, f.frame_idx, CAST(203 AS BIGINT) AS frame_len
@@ -1877,6 +1927,33 @@ WITH ranked AS (
 )
 SELECT doc_id, (r % 8)::BIGINT AS shard, (r // 8)::BIGINT AS rank_in_shard
 FROM ranked
+""",
+        "bm25_scores": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toks
+), words AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+), q AS (
+  SELECT unnest(['join', 'window', 'stream']) AS term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM words WHERE term IN (SELECT term FROM q) GROUP BY term
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+  FROM words WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+), contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) AS c
+  FROM tf JOIN dfreq d USING (term), stats s
+)
+SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id
 """,
         "tfidf_top_terms": """
 WITH toks AS (

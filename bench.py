@@ -99,6 +99,7 @@ def main() -> None:
         "dup_clusters",
         "curation_pipeline",
         "tfidf_top_terms",
+        "bm25_scores",
         "embedding_dedup",
         "semantic_dedup",
         "ann_bruteforce",

@@ -179,3 +179,107 @@ def tfidf_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """(doc_id, score) BM25 ranked retrieval for a bag of query terms
+    (Robertson/Sparck Jones; the Lucene idf variant
+    ln(1 + (N - df + 0.5) / (df + 0.5)), which keeps idf positive).
+
+    Shuffle profile mirrors tf_idf: one explode->groupBy for tf, one
+    aggregate for df and the average document length, then per-term
+    contributions summed per doc.  The query-term filter is applied BEFORE
+    the tf groupBy, so the shuffled rows are O(matching tokens), not
+    O(corpus tokens); df/avgdl still come from the full corpus (the
+    statistics BM25 is defined over).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    if n_docs is None:
+        n_docs = docs.count()
+
+    spread = docs.select(id_col, text_col).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    toks = spread.select(
+        F.col(id_col), _tokens(text_col).alias("__t")
+    ).withColumn("__dl", F.size("__t"))
+    avgdl = float(
+        toks.agg(F.avg("__dl").alias("a")).first()["a"] or 0.0
+    )
+    if avgdl == 0.0:
+        return docs.select(id_col).limit(0).withColumn(
+            "score", F.lit(0.0)
+        )
+
+    exploded = toks.select(
+        id_col, "__dl", F.explode("__t").alias("term")
+    )
+    # corpus-wide df for the query terms only (df of other terms is unused)
+    dfreq = (
+        exploded.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count_distinct(F.col(id_col)).cast("long").alias("df"))
+    )
+    tf = (
+        exploded.where(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.first("__dl").alias("__dl"),
+        )
+    )
+    idf = dfreq.withColumn(
+        "idf",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+    )
+    contrib = tf.join(idf, "term").select(
+        id_col,
+        (
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(avgdl))
+            )
+        ).alias("__c"),
+    )
+    return contrib.groupBy(id_col).agg(F.sum("__c").alias("score"))
+
+
+def bm25_top_docs(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 score (deterministic: score desc, id asc).
+
+    Global top-k goes through ``orderBy().limit(k)`` — Spark plans it as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k rows),
+    NOT a single-partition global sort; the rank window then runs over the
+    k surviving rows only.
+    """
+    scored = bm25_scores(docs, query_terms, k1, b, text_col, id_col)
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rn", F.row_number().over(w)).select(
+        id_col, "score", F.col("rn").cast("int").alias("rn")
+    )
