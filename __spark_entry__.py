@@ -917,6 +917,81 @@ def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(total.alias("rank_bound_violations"))
 
 
+def q_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for dimensionality reduction (pipeline/
+    project.py; oracle: constant zero row).  PCA: one row out per row in,
+    orthonormal components, explained variance sorted/non-negative, and
+    the projected per-component variance equal to its eigenvalue (the
+    exact-PCA identity, recomputed from the transform).  Random
+    projection: row count, finiteness, and the JL norm-preservation ratio
+    within a concentration band (k*d = 1024 effective dof here)."""
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.project import (
+        pca_fit,
+        pca_transform,
+        random_projection,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    n_in = emb.count()
+    k = 8
+    model = pca_fit(emb, k=k)
+    C = model["components"]
+    ev = model["explained_variance"]
+    ortho_bad = int(np.abs(C.T @ C - np.eye(k)).max() > 1e-8)
+    order_bad = int(not (np.all(np.diff(ev) <= 1e-9) and np.all(ev >= -1e-12)))
+
+    proj_agg = pca_transform(emb, model).agg(
+        (F.count(F.lit(1)) - F.lit(n_in)).cast("long").alias("pca_row_delta"),
+        *[
+            F.avg(F.col("embedding")[j] * F.col("embedding")[j]).alias(f"v{j}")
+            for j in range(k)
+        ],
+    )
+    var_bad = None
+    for j in range(k):
+        scale = max(float(ev[j]), 1e-12)
+        b = (F.abs(F.col(f"v{j}") - F.lit(float(ev[j]))) > F.lit(1e-6 * scale)
+             ).cast("long")
+        var_bad = b if var_bad is None else var_bad + b
+    pca_row = proj_agg.select(
+        "pca_row_delta", var_bad.alias("pca_variance_mismatches")
+    )
+
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    orig_ss = float(emb.agg(F.sum(sq).alias("s")).first()["s"])
+    rp_agg = random_projection(emb, k=16, seed=7).agg(
+        (F.count(F.lit(1)) - F.lit(n_in)).cast("long").alias("rp_row_delta"),
+        F.sum(
+            (~F.forall("embedding", lambda x: F.abs(x) < F.lit(1e12)))
+            .cast("long")
+        ).alias("rp_nonfinite_rows"),
+        F.sum(sq).alias("rp_ss"),
+    ).select(
+        "rp_row_delta",
+        "rp_nonfinite_rows",
+        (~(F.col("rp_ss") / F.lit(orig_ss)).between(0.7, 1.4)).cast("long")
+        .alias("rp_norm_ratio_violation"),
+    )
+    return pca_row.crossJoin(rp_agg).select(
+        "pca_row_delta",
+        "pca_variance_mismatches",
+        F.lit(ortho_bad).cast("long").alias("pca_orthonormality_violation"),
+        F.lit(order_bad).cast("long").alias("pca_variance_order_violation"),
+        "rp_row_delta",
+        "rp_nonfinite_rows",
+        "rp_norm_ratio_violation",
+    )
+
+
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked-retrieval scores (pipeline/tfidf.py, Robertson/Sparck
     Jones with the Lucene idf) for a fixed 3-term query over every
@@ -1370,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shards": q_corpus_shards,
         "bm25_scores": q_bm25_scores,
         "approx_quantile_check": q_approx_quantile_check,
+        "projection_check": q_projection_check,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_check": q_minhash_dedup_check,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1697,6 +1773,15 @@ SELECT CAST(0 AS BIGINT) AS bad_groups
 """,
         "approx_quantile_check": """
 SELECT CAST(0 AS BIGINT) AS rank_bound_violations
+""",
+        "projection_check": """
+SELECT CAST(0 AS BIGINT) AS pca_row_delta,
+       CAST(0 AS BIGINT) AS pca_variance_mismatches,
+       CAST(0 AS BIGINT) AS pca_orthonormality_violation,
+       CAST(0 AS BIGINT) AS pca_variance_order_violation,
+       CAST(0 AS BIGINT) AS rp_row_delta,
+       CAST(0 AS BIGINT) AS rp_nonfinite_rows,
+       CAST(0 AS BIGINT) AS rp_norm_ratio_violation
 """,
         "language_id_ngram": _language_id_ngram_oracle(),
         "video_frames": """
