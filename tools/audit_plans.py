@@ -44,6 +44,9 @@ AUDITED = [
     "profile_lineitem",
     "mixture_weights",
     "incremental_dedup",
+    "exact_substr_dedup",
+    "corpus_shards",
+    "bm25_scores",
     "token_histogram",
     "lang_source_matrix",
 ]
