@@ -1,0 +1,123 @@
+"""Physical-plan regression gates: the scale properties PLANS.md audits,
+locked into CI so a refactor cannot silently trade them away.
+
+Each assertion is a property that matters at 100 TB, not a golden plan
+string: column pruning reaching the parquet scan, small dimensions
+broadcasting, and no UNINTENTIONAL cartesian/nested-loop joins (the only
+sanctioned ones are the brute-force kNN baselines and the blocked cross,
+which are all-pairs by definition).
+"""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# queries whose plans legitimately contain a nested-loop/cartesian join:
+# all-pairs distance baselines and the blocked cross (SURVEY §2.3), the
+# 1-row broadcast side-inputs (crossJoin of a scalar aggregate), and the
+# exact similarity baselines the approximate operators are checked against
+NLJ_ALLOWED = {
+    "knn_bruteforce",
+    "knn_partition",
+    "knn_project",
+    "knn_project_check",
+    "joint_distribution",
+    "pairwise_affinities",
+    "global_aggregates",
+    "distinct_pairs",
+    "centering",
+    "ann_bruteforce",
+    "minhash_dedup_check",
+    "simhash_dedup_check",
+    "embedding_dedup_check",
+    "ann_lsh",
+    "ann_lsh_check",
+    "ann_ivf",
+    "ann_ivf_check",
+    "semantic_dedup",
+    "semantic_dedup_check",
+    "tsne_embedding",
+    "tsne_embedding_check",
+    "source_stats_approx_check",
+    "sketch_distinct_check",
+    "audio_check",
+    "multimodal_check",
+    "quality_scores",
+    "text_stats",
+    "stopword_ratio",
+    "token_counts",
+    "winnow_overlap",
+    "doc_fingerprint",
+    "pack_sequences",
+    "mixture_weights",
+    "profile_lineitem",
+    "curation_pipeline",
+    "dup_clusters",
+    "projection_check",
+}
+
+
+def _entry():
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as m
+
+    return m
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_pricing_summary_prunes_columns(spark):
+    m = _entry()
+    plan = _plan(m.queries()["pricing_summary"](spark, SF_DIR))
+    # the scan must read a strict subset of lineitem's 16 columns
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert 0 < len(s.split(",")) <= 6, s
+
+
+def test_regional_revenue_broadcasts_dimensions(spark):
+    m = _entry()
+    plan = _plan(m.queries()["regional_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_shards_is_scan_shaped(spark):
+    """The shard mapping is hash arithmetic over a materialized rank — no
+    joins, no window over a single partition."""
+    m = _entry()
+    plan = _plan(m.queries()["corpus_shards"](spark, SF_DIR))
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_plan_sweep_no_cartesian_no_row_udfs(spark):
+    """ONE pass over every registered query plan (plan construction runs
+    real driver actions for the iterative queries, so sweep once):
+
+    - nested-loop/cartesian joins may appear only in the sanctioned
+      all-pairs baselines (NLJ_ALLOWED);
+    - Python appears only as Arrow-batched eval (mapInPandas / grouped
+      map / cogroup / pandas UDF) — never BatchEvalPython, the
+      row-at-a-time path that is 10-100x slower.
+    """
+    m = _entry()
+    cartesian, row_udfs = [], []
+    for name, fn in m.queries().items():
+        plan = _plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan and name not in NLJ_ALLOWED:
+            cartesian.append(name)
+        if "BatchEvalPython" in plan:
+            row_udfs.append(name)
+    assert not cartesian, f"unsanctioned cartesian joins in: {cartesian}"
+    assert not row_udfs, f"row-at-a-time Python UDFs in: {row_udfs}"
