@@ -674,7 +674,7 @@ def test_curate_cli_zordered_write(spark, tmp_path):
     # sorting on one would be blind on the other
     rows = [
         (i, f"unique document number {i} alpha beta gamma delta {i * 7919}",
-         "en", (i * 769) % n)
+         "en" if i % 2 else "de", (i * 769) % n)
         for i in range(n)
     ]
     docs = spark.createDataFrame(
@@ -711,14 +711,46 @@ def test_curate_cli_zordered_write(spark, tmp_path):
     assert scanned_fraction("doc_id", 100, 100 + n // 4) <= 0.5
     assert scanned_fraction("n_chars", 100, 100 + n // 4) <= 0.5
 
-    # guard rails: exclusive with --partition-by, filter-mode only
-    with pytest.raises(SystemExit):
-        main(["--input", src, "--output", out, "--mode", "filter",
-              "--zorder-by", "doc_id", "--partition-by", "lang"],
-             spark=spark)
+    # guard rail: filter-mode only
     with pytest.raises(SystemExit):
         main(["--input", src, "--output", out, "--mode", "annotate",
               "--zorder-by", "doc_id"], spark=spark)
+
+    # --zorder-by composes with --partition-by: hive directories whose
+    # files are curve-clustered (prunable on the zorder columns within
+    # each directory)
+    out_p = str(tmp_path / "zordered_by_lang")
+    rc = main(
+        ["--input", src, "--output", out_p, "--mode", "filter",
+         "--rate", "en=100", "--default-rate", "100", "--quality-min", "0.0",
+         "--zorder-by", "doc_id,n_chars", "--partition-by", "lang",
+         "--output-files", "32"],
+        spark=spark,
+    )
+    assert rc == 0
+    lang_dirs = [d for d in os.listdir(out_p) if d.startswith("lang=")]
+    assert lang_dirs
+    pfiles = [
+        os.path.join(out_p, d, f)
+        for d in lang_dirs
+        for f in os.listdir(os.path.join(out_p, d))
+        if f.endswith(".parquet")
+    ]
+
+    def scanned_fraction_files(col, lo, hi):
+        total = overlapping = 0
+        for path in pfiles:
+            pf = pq.ParquetFile(path)
+            idx = pf.schema_arrow.names.index(col)
+            for rg in range(pf.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                total += 1
+                if not (st.max < lo or st.min > hi):
+                    overlapping += 1
+        return overlapping / total
+
+    assert scanned_fraction_files("doc_id", 100, 100 + n // 4) <= 0.6
+    assert scanned_fraction_files("n_chars", 100, 100 + n // 4) <= 0.6
 
 
 def test_curate_cli_strip_dup_substrings(spark, tmp_path):

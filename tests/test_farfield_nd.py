@@ -246,3 +246,36 @@ def test_summary_nd_uncentered_mass_dropped_like_full_tree(spark):
     assert len(rows) == 5000
     assert all(r["sumq"] == 0.0 for r in rows)
     assert all(r["rep"] == [0.0, 0.0, 0.0] for r in rows)
+
+
+def test_summary_nd_full_optimize_loop(spark):
+    """Integration: the d=3 summary path must survive the real driver loop
+    (materialize between iterations, fresh pyramid broadcast per step) at
+    a size where plan_summary_nd does NOT fall back, and produce a usable
+    embedding (finite, centered per component)."""
+    from tsne_flink_spark.operators.affinities import (
+        joint_distribution,
+        pairwise_affinities,
+    )
+    from tsne_flink_spark.operators.embedding import init_working_set
+    from tsne_flink_spark.operators.knn import partition_knn
+    from tsne_flink_spark.operators.optimize import optimize
+
+    rng = np.random.default_rng(5)
+    n = 4500  # above the 4096 auto-mode threshold
+    X = rng.normal(0, 1.0, (n, 8))
+    pts = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)], "id int, features array<double>"
+    )
+    knn = partition_knn(pts, 8, "sqeuclidean").persist()
+    P = joint_distribution(pairwise_affinities(knn, 5.0)).persist()
+    ws = init_working_set(pts.select("id"), n_components=3, random_state=0)
+    out = optimize(
+        P, ws, iterations=3, theta=0.5, n_components=3,
+        bh_condition="scaled", tree_build="summary",
+    )
+    rows = out.collect()
+    assert len(rows) == n
+    Y = np.array([r["y"] for r in rows])
+    assert Y.shape == (n, 3) and np.isfinite(Y).all()
+    assert np.abs(Y.mean(axis=0)).max() < 1e-6

@@ -101,9 +101,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="cluster the written parquet on the Hilbert space-filling key "
         "of these numeric columns (filter mode only) so row-group min/max "
         "stats are tight on EVERY listed column — readers filtering on any "
-        "of them skip most row groups (the B28 layout).  Mutually "
-        "exclusive with --partition-by; --output-files sets the file count "
-        "(default 16)",
+        "of them skip most row groups (the B28 layout).  Composes with "
+        "--partition-by (curve-clusters within each hive directory); "
+        "--output-files sets the total file count (default 16)",
     )
     return p
 
@@ -189,11 +189,6 @@ def run(args: argparse.Namespace, spark=None) -> int:
         zorder_cols = [c for c in args.zorder_by.split(",") if c]
         if zorder_cols and args.mode != "filter":
             raise SystemExit("--zorder-by requires --mode filter")
-        if zorder_cols and args.partition_by:
-            raise SystemExit(
-                "--zorder-by and --partition-by are mutually exclusive "
-                "(cluster within hive partitions is not supported yet)"
-            )
         if zorder_cols:
             from tsne_flink_spark.sources.layout import write_zordered
 
@@ -203,10 +198,15 @@ def run(args: argparse.Namespace, spark=None) -> int:
                 zorder_cols,
                 n_files=args.output_files or 16,
                 compression=args.compression,
+                partition_by=args.partition_by or None,
             )
             n = spark.read.parquet(args.output).count()
-            print(f"wrote {n} rows to {args.output} ({args.mode}, "
-                  f"zordered on {zorder_cols})")
+            where = (
+                f"zordered on {zorder_cols}"
+                + (f", partitioned by {args.partition_by}"
+                   if args.partition_by else "")
+            )
+            print(f"wrote {n} rows to {args.output} ({args.mode}, {where})")
             return 0
         part_cols = args.partition_by if args.mode == "filter" else []
         if part_cols:

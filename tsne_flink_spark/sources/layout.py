@@ -56,17 +56,31 @@ def write_zordered(
     n_files: int = 16,
     bits: int = 16,
     compression: str = "zstd",
+    partition_by: list[str] | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered on the space-filling key of
     ``cols``: range-partitioned into ``n_files`` files, sorted within each
     — every file's min/max stats are tight on all of ``cols`` at once, so
-    a reader's predicate on ANY of them skips most files/row groups."""
+    a reader's predicate on ANY of them skips most files/row groups.
+
+    With ``partition_by``, the layout nests inside a hive partitioning
+    (Delta's ``ZORDER BY`` within partitions): the range shuffle keys on
+    (partition cols, curve key), so each output task holds one contiguous
+    slice of one-or-few partition directories, sorted by the curve — file
+    counts stay ~``n_files`` total and every directory's files are
+    curve-clustered.  The curve key quantizes against GLOBAL bounds (one
+    aggregate); per-partition bounds would sharpen skipping slightly but
+    cost a bounds pass per partition value.
+    """
     keyed = zorder_key(df, cols, curve=curve, bits=bits)
-    (
-        keyed.repartitionByRange(n_files, F.col("__z"))
-        .sortWithinPartitions("__z")
+    parts = [F.col(c) for c in (partition_by or [])]
+    writer = (
+        keyed.repartitionByRange(n_files, *parts, F.col("__z"))
+        .sortWithinPartitions(*parts, "__z")
         .drop("__z")
         .write.mode("overwrite")
         .option("compression", compression)
-        .parquet(path)
     )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
