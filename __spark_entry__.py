@@ -226,6 +226,37 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion effect, as a monthly series: lineitem
+    joined to part (AQE broadcasts the dimension), conditional aggregation
+    of the ECONOMY type share of revenue per ship month.  Month keys are
+    UTC wall-clock strings (the repo's timezone-independence convention)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    month = F.date_format(
+        F.expr("convert_timezone(current_timezone(), 'UTC', l_shipdate)"),
+        "yyyy-MM",
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.withColumn("month", month)
+        .where((F.col("month") >= "1996-01") & (F.col("month") <= "1996-12"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("month")
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share_pct"),
+            F.round(F.sum(rev), 4).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy("month")
+    )
+
+
 def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: selective dim filter + 3-way join + agg + top-10.
     The customer filter is pushed to the scan; customer is broadcast."""
@@ -1432,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centering": q_centering,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
+        "promo_revenue_monthly": q_promo_revenue_monthly,
         "regional_revenue": q_regional_revenue,
         "events_by_user_segment": q_events_by_user_segment,
         "windowed_event_counts": q_windowed_event_counts,
@@ -1824,6 +1856,21 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
+""",
+        "promo_revenue_monthly": """
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       round(100.0 * SUM(CASE WHEN p_type = 'ECONOMY'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                   / SUM(l_extendedprice * (1 - l_discount)), 6)
+         AS promo_share_pct,
+       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1996-01' AND '1996-12'
+GROUP BY 1
+ORDER BY 1
 """,
         "top_revenue_orders": """
 SELECT l_orderkey, round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue

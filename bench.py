@@ -56,6 +56,7 @@ def main() -> None:
     headline = [
         "pricing_summary",
         "top_revenue_orders",
+        "promo_revenue_monthly",
         "regional_revenue",
         "grouped_topk_orders",
         "global_aggregates",
