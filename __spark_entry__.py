@@ -1023,6 +1023,25 @@ def q_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM perplexity per document (pipeline/lm.py,
+    the CCNet quality signal with the LM fit on the corpus itself —
+    deterministic, exact DuckDB oracle).  Perplexity is derived from the
+    ROUNDED avg logprob on both sides: exp() amplifies last-bit float-sum
+    differences past the hash comparator's rounding granularity."""
+    from tsne_flink_spark.pipeline.lm import ngram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_lm_scores(docs)
+    alp = F.round("avg_logprob", 6)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        alp.alias("avg_logprob"),
+        F.round(F.exp(-alp), 4).alias("perplexity"),
+    )
+
+
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked-retrieval scores (pipeline/tfidf.py, Robertson/Sparck
     Jones with the Lucene idf) for a fixed 3-term query over every
@@ -1476,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_dedup": q_exact_substr_dedup,
         "corpus_shards": q_corpus_shards,
         "bm25_scores": q_bm25_scores,
+        "lm_perplexity": q_lm_perplexity,
         "approx_quantile_check": q_approx_quantile_check,
         "projection_check": q_projection_check,
         "minhash_dedup": q_minhash_dedup,
@@ -2086,6 +2106,37 @@ WITH toks AS (
   FROM tf JOIN dfreq d USING (term), stats s
 )
 SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id
+""",
+        "lm_perplexity": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(t) + 1)) AS j, t
+  FROM toks WHERE len(t) >= 1
+), ev AS (
+  SELECT doc_id,
+         CASE WHEN j = 1 THEN '<s>' ELSE t[j - 1] END AS w1,
+         t[j] AS w2
+  FROM pos
+), c2 AS (
+  SELECT w1, w2, count(*)::DOUBLE AS c2 FROM ev GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w2)::DOUBLE AS v FROM c2
+), scored AS (
+  SELECT ev.doc_id,
+         count(*)::BIGINT AS n_tokens,
+         round(avg(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS alp
+  FROM ev JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+  GROUP BY ev.doc_id
+)
+SELECT doc_id, n_tokens, alp AS avg_logprob,
+       round(exp(-alp), 4) AS perplexity
+FROM scored
 """,
         "tfidf_top_terms": """
 WITH toks AS (

@@ -101,6 +101,7 @@ def main() -> None:
         "curation_pipeline",
         "tfidf_top_terms",
         "bm25_scores",
+        "lm_perplexity",
         "embedding_dedup",
         "semantic_dedup",
         "ann_bruteforce",

@@ -1,0 +1,78 @@
+"""Corpus-trained bigram LM scoring (pipeline/lm.py) vs a pure-python
+reference, plus the ranking property the CCNet signal exists for."""
+
+import math
+
+import pytest
+
+
+def _py_scores(rows, k=0.5):
+    toks = {i: t.lower().split() for i, t in rows if t.strip()}
+    c2, c1 = {}, {}
+    for t in toks.values():
+        prev = "<s>"
+        for w in t:
+            c2[(prev, w)] = c2.get((prev, w), 0) + 1
+            c1[prev] = c1.get(prev, 0) + 1
+            prev = w
+    vocab = len({w2 for (_, w2) in c2})
+    out = {}
+    for i, t in toks.items():
+        lps = []
+        prev = "<s>"
+        for w in t:
+            lps.append(
+                math.log((c2[(prev, w)] + k) / (c1[prev] + k * vocab))
+            )
+            prev = w
+        out[i] = (len(t), sum(lps) / len(lps))
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox sleeps under the tall tree"),
+        (2, "the lazy dog jumps over the quick fox"),
+        (3, "zq xv qq zz vx pq qp zx"),  # garble: unseen-everywhere bigrams
+        (4, "the quick brown fox"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_lm_scores_match_reference(spark, corpus):
+    from tsne_flink_spark.pipeline.lm import ngram_lm_scores
+
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    want = _py_scores(rows)
+    got = {r["doc_id"]: r for r in ngram_lm_scores(corpus).collect()}
+    assert set(got) == set(want)  # empty doc 5 excluded by both
+    for i, (n, alp) in want.items():
+        assert got[i]["n_tokens"] == n
+        assert got[i]["avg_logprob"] == pytest.approx(alp, rel=1e-12)
+        assert got[i]["perplexity"] == pytest.approx(math.exp(-alp), rel=1e-12)
+
+
+def test_garble_sits_in_the_perplexity_tail(spark, corpus):
+    from tsne_flink_spark.pipeline.lm import ngram_lm_scores
+
+    ppl = {
+        r["doc_id"]: r["perplexity"] for r in ngram_lm_scores(corpus).collect()
+    }
+    assert ppl[3] > max(ppl[i] for i in (0, 1, 2, 4))
+
+
+def test_perplexity_buckets_are_threshold_consistent(spark, corpus):
+    from tsne_flink_spark.pipeline.lm import perplexity_buckets
+
+    rows = perplexity_buckets(corpus, n_buckets=3).collect()
+    assert {r["bucket"] for r in rows} <= {0, 1, 2}
+    # buckets respect the perplexity order: no lower-perplexity doc sits in
+    # a higher bucket than a higher-perplexity doc
+    by_ppl = sorted(rows, key=lambda r: r["perplexity"])
+    buckets = [r["bucket"] for r in by_ppl]
+    assert buckets == sorted(buckets)
+    # the garbled doc lands in the top bucket
+    assert next(r for r in rows if r["doc_id"] == 3)["bucket"] == max(buckets)

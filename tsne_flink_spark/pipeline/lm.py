@@ -1,0 +1,119 @@
+"""Corpus-trained n-gram language-model scoring (CCNet-style perplexity).
+
+CCNet buckets documents by their perplexity under a pretrained KenLM —
+low-perplexity text reads like the target distribution, high-perplexity
+text is noise/boilerplate/garble.  No external model ships with this
+repo, so the LM is trained on the corpus ITSELF in the same job: an
+add-k-smoothed bigram model from one counting pass, then each document
+scored by its average token log-probability.  Self-trained perplexity
+keeps the ranking power (garbled docs sit in the tail of any LM fit to
+the corpus) while staying fully deterministic and SQL-expressible, so
+the operator carries an exact DuckDB oracle.
+
+Model, defined identically in both engines:
+
+- tokens: lowercased whitespace tokens; every document is prefixed with
+  a BOS marker ``<s>``, giving len(tokens) prediction events per doc;
+- counts: c2(w1, w2) over all bigram events, c1(w1) = sum_w2 c2(w1, w2),
+  vocabulary V = |distinct predicted tokens w2|;
+- logp(w2|w1) = ln((c2 + k) / (c1 + k·V)), add-k smoothing (k = 0.5);
+- per doc: avg_logprob = mean event logp, perplexity = exp(-avg_logprob).
+
+Shuffle profile: one explode -> groupBy(w1, w2) count with map-side
+combine, one groupBy(w1) rollup of that (tiny), one join of the event
+table back to the counts (AQE broadcasts the count tables when small;
+a web-scale vocabulary shuffles on the bigram key), one groupBy(doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BOS = "<s>"
+
+
+def _bigram_events(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, w1, w2) — one prediction event per token, BOS-prefixed."""
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("__t"),
+    ).withColumn("__n", F.size("__t"))
+    spread = toks.where(F.col("__n") >= 1).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    ev = F.transform(
+        F.sequence(F.lit(1), F.col("__n")),
+        lambda j: F.struct(
+            F.when(j == 1, F.lit(BOS))
+            .otherwise(F.element_at("__t", (j - 1).cast("int")))
+            .alias("w1"),
+            F.element_at("__t", j.cast("int")).alias("w2"),
+        ),
+    )
+    return spread.select(
+        id_col, F.explode(ev).alias("__e")
+    ).select(id_col, F.col("__e.w1").alias("w1"), F.col("__e.w2").alias("w2"))
+
+
+def ngram_lm_scores(
+    docs: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, avg_logprob, perplexity) for every document with at
+    least one token, under the corpus-trained add-k bigram LM."""
+    events = _bigram_events(docs, text_col, id_col)
+    c2 = events.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = float(c2.select("w2").distinct().count())
+    logp = F.log(
+        (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k * vocab))
+    )
+    return (
+        events.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(logp).alias("avg_logprob"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "avg_logprob",
+            F.exp(-F.col("avg_logprob")).alias("perplexity"),
+        )
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: documents bucketed by perplexity
+    (bucket 0 = lowest perplexity = most fluent).  Boundaries come from
+    ``percentile_approx`` (Greenwald-Khanna, rank error N/accuracy) and
+    each doc is bucketed by threshold comparison — no global sort, no
+    single-partition window; exactly how CCNet applies its head/middle/
+    tail cutoffs."""
+    scored = ngram_lm_scores(docs, k, text_col, id_col)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.agg(
+        F.percentile_approx("perplexity", qs, 10000).alias("c")
+    ).first()["c"]
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (F.col("perplexity") > F.lit(float(c))).cast("int")
+    return scored.withColumn("bucket", bucket.cast("int"))
