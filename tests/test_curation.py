@@ -781,3 +781,35 @@ def test_curate_cli_strip_dup_substrings(spark, tmp_path):
     for r in kept:
         assert "redistribution" not in r["text"]
         assert f"document body number {r['doc_id']}" in r["text"]
+
+
+def test_curate_cli_perplexity_tail_cut(spark, tmp_path):
+    """--perplexity-tail-pct drops the corpus-LM perplexity tail (the
+    garbled docs) before the pipeline; fluent docs survive."""
+    from tsne_flink_spark.pipeline.curate_cli import main
+
+    fluent = [
+        (i, f"the quick brown fox number {i} jumps over the lazy dog "
+            "and runs through the quiet green field", "en")
+        for i in range(1, 17)
+    ]
+    garbled = [
+        (100 + i, f"zq{i} xv qq zz vx pq qp zx wv vw jj", "en")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(
+        fluent + garbled, "doc_id bigint, text string, lang string"
+    )
+    src = str(tmp_path / "docs_ppl.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "ppl_cut")
+    rc = main(
+        ["--input", src, "--output", out, "--mode", "filter",
+         "--rate", "en=100", "--default-rate", "100", "--quality-min", "0.0",
+         "--jaccard-threshold", "0.95", "--holdout-mod", "1000",
+         "--perplexity-tail-pct", "20"],
+        spark=spark,
+    )
+    assert rc == 0
+    kept_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept_ids and not {i for i in kept_ids if i >= 100}, kept_ids

@@ -68,6 +68,16 @@ def build_parser() -> argparse.ArgumentParser:
         "— dedup/quality then see the cleaned text",
     )
     p.add_argument(
+        "--perplexity-tail-pct",
+        type=float,
+        default=0.0,
+        metavar="PCT",
+        help="drop the PCT%% of documents with the highest perplexity "
+        "under a corpus-trained bigram LM BEFORE the pipeline runs "
+        "(CCNet-style tail cut; 0 = off).  Threshold via "
+        "percentile_approx — no global sort",
+    )
+    p.add_argument(
         "--redact-pii",
         action="store_true",
         help="replace emails/phones/IPv4s with typed placeholders in the "
@@ -149,6 +159,30 @@ def run(args: argparse.Namespace, spark=None) -> int:
                     min_docs=args.strip_boilerplate,
                 )
             )
+        if args.perplexity_tail_pct > 0:
+            from pyspark.sql import functions as F
+
+            from tsne_flink_spark.operators.optimize import materialize
+            from tsne_flink_spark.pipeline.lm import ngram_lm_scores
+
+            scored = ngram_lm_scores(
+                docs, text_col=args.text_col, id_col=args.id_col
+            )
+            cut = scored.agg(
+                F.percentile_approx(
+                    "perplexity", 1.0 - args.perplexity_tail_pct / 100.0, 10000
+                ).alias("c")
+            ).first()["c"]
+            keep = scored.where(F.col("perplexity") <= F.lit(float(cut))).select(
+                args.id_col
+            )
+            # empty docs have no LM score; they pass through (the quality
+            # stage downstream handles them) — hence the inner join on the
+            # scored survivors unioned with the unscored ids
+            unscored = docs.select(args.id_col).exceptAll(
+                scored.select(args.id_col)
+            )
+            docs = materialize(docs.join(keep.union(unscored), args.id_col))
         if args.strip_dup_substrings > 0:
             from tsne_flink_spark.operators.optimize import materialize
             from tsne_flink_spark.pipeline.substr import exact_substring_dedup
