@@ -1023,6 +1023,57 @@ def q_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer trained on the corpus (pipeline/bpe.py: one Spark
+    word-count pass + driver merge loop over the capped word table) and
+    applied as a broadcast merge table.  The merge loop is not
+    SQL-expressible — rows-only, with q_bpe_check carrying the verified
+    round-trip invariants."""
+    from tsne_flink_spark.pipeline.bpe import (
+        bpe_tokenize,
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(word_frequencies(docs), n_merges=64)
+    return bpe_tokenize(docs, merges).select(
+        "doc_id", "n_words", "n_tokens", "tokens_preview"
+    )
+
+
+def q_bpe_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the BPE pipeline (oracle: constant zero
+    row): detokenizing every document reproduces its whitespace-normalized
+    lowercase text exactly; token counts sit in the provable
+    [n_words, n_chars + n_words] band; one output row per input."""
+    from tsne_flink_spark.pipeline.bpe import (
+        bpe_tokenize,
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n_in = docs.count()
+    merges = train_bpe(word_frequencies(docs), n_merges=64)
+    out = bpe_tokenize(docs, merges, with_detok=True)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    joined = out.join(docs.select("doc_id", norm.alias("__norm")), "doc_id")
+    chars = F.length(F.regexp_replace(F.col("__norm"), " ", ""))
+    return joined.agg(
+        (F.count(F.lit(1)) - F.lit(n_in)).cast("long").alias("row_count_delta"),
+        F.sum((F.col("detok") != F.col("__norm")).cast("long")).alias(
+            "detok_mismatches"
+        ),
+        F.sum(
+            (
+                (F.col("n_tokens") < F.col("n_words"))
+                | (F.col("n_tokens") > chars + F.col("n_words"))
+            ).cast("long")
+        ).alias("token_bound_violations"),
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM perplexity per document (pipeline/lm.py,
     the CCNet quality signal with the LM fit on the corpus itself —
@@ -1496,6 +1547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shards": q_corpus_shards,
         "bm25_scores": q_bm25_scores,
         "lm_perplexity": q_lm_perplexity,
+        "bpe_tokens": q_bpe_tokens,
+        "bpe_check": q_bpe_check,
         "approx_quantile_check": q_approx_quantile_check,
         "projection_check": q_projection_check,
         "minhash_dedup": q_minhash_dedup,
@@ -1825,6 +1878,11 @@ SELECT CAST(0 AS BIGINT) AS bad_groups
 """,
         "approx_quantile_check": """
 SELECT CAST(0 AS BIGINT) AS rank_bound_violations
+""",
+        "bpe_check": """
+SELECT CAST(0 AS BIGINT) AS row_count_delta,
+       CAST(0 AS BIGINT) AS detok_mismatches,
+       CAST(0 AS BIGINT) AS token_bound_violations
 """,
         "projection_check": """
 SELECT CAST(0 AS BIGINT) AS pca_row_delta,

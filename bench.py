@@ -102,6 +102,7 @@ def main() -> None:
         "tfidf_top_terms",
         "bm25_scores",
         "lm_perplexity",
+        "bpe_tokens",
         "embedding_dedup",
         "semantic_dedup",
         "ann_bruteforce",

