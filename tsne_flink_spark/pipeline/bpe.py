@@ -71,27 +71,61 @@ def train_bpe(
     """Learn up to ``n_merges`` merges from a (word, count) table.
     Greedy: each step merges the most frequent adjacent symbol pair
     (ties lexicographic), reference-faithful to Sennrich et al.'s
-    published algorithm."""
-    words = [
-        (tuple(list(w) + [EOW]), c) for w, c in word_freqs if w
-    ]
+    published algorithm — but implemented incrementally: a pair -> words
+    index means each merge touches only the words containing the merged
+    pair and adjusts pair counts locally, instead of rescanning the whole
+    word table per merge (the difference between O(merges x vocab) and
+    O(merges x affected) driver work at a 65k-word cap)."""
+    words: list[list[str]] = []
+    counts: list[int] = []
+    for w, c in word_freqs:
+        if w:
+            words.append(list(w) + [EOW])
+            counts.append(c)
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wid, syms in enumerate(words):
+        c = counts[wid]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(wid)
+
+    def bump(p: tuple[str, str], delta: int, wid: int) -> None:
+        n = pair_counts.get(p, 0) + delta
+        if n > 0:
+            pair_counts[p] = n
+        else:
+            pair_counts.pop(p, None)
+        s = pair_words.setdefault(p, set())
+        if delta > 0:
+            s.add(wid)
+        # negative deltas: membership is re-derived below for the merged
+        # word only; stale entries are filtered at use
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for syms, c in words:
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + c
-        if not pairs:
+        if not pair_counts:
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pairs[best] < 2:
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < 2:
             break  # nothing left that actually repeats
         merges.append(best)
         a, b = best
         ab = a + b
-        new_words = []
-        for syms, c in words:
-            out = []
+        for wid in sorted(pair_words.get(best, ())):
+            syms = words[wid]
+            c = counts[wid]
+            # verify membership (the index can hold stale ids)
+            if not any(
+                syms[i] == a and syms[i + 1] == b
+                for i in range(len(syms) - 1)
+            ):
+                continue
+            # retract this word's old pairs, apply the merge, add new ones
+            for p in zip(syms, syms[1:]):
+                bump(p, -c, wid)
+            out: list[str] = []
             i = 0
             while i < len(syms):
                 if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
@@ -100,8 +134,11 @@ def train_bpe(
                 else:
                     out.append(syms[i])
                     i += 1
-            new_words.append((tuple(out), c))
-        words = new_words
+            words[wid] = out
+            for p in zip(out, out[1:]):
+                bump(p, c, wid)
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
     return merges
 
 
