@@ -1548,7 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "lm_perplexity": q_lm_perplexity,
         "bpe_tokens": q_bpe_tokens,
-        "bpe_check": q_bpe_check,
+        "bpe_tokens_check": q_bpe_check,
         "approx_quantile_check": q_approx_quantile_check,
         "projection_check": q_projection_check,
         "minhash_dedup": q_minhash_dedup,
@@ -1879,7 +1879,7 @@ SELECT CAST(0 AS BIGINT) AS bad_groups
         "approx_quantile_check": """
 SELECT CAST(0 AS BIGINT) AS rank_bound_violations
 """,
-        "bpe_check": """
+        "bpe_tokens_check": """
 SELECT CAST(0 AS BIGINT) AS row_count_delta,
        CAST(0 AS BIGINT) AS detok_mismatches,
        CAST(0 AS BIGINT) AS token_bound_violations
