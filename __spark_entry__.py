@@ -1023,6 +1023,18 @@ def q_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for RAG/context prep (pipeline/curation.
+    chunk_documents): 16-token windows every 8 tokens, ragged tail kept.
+    Pure Column expressions; exact DuckDB oracle."""
+    from tsne_flink_spark.pipeline.curation import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=16, stride=8).select(
+        "doc_id", "chunk_id", "n_tokens", "chunk_text"
+    )
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer trained on the corpus (pipeline/bpe.py: one Spark
     word-count pass + driver merge loop over the capped word table) and
@@ -1548,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "lm_perplexity": q_lm_perplexity,
         "bpe_tokens": q_bpe_tokens,
+        "chunk_documents": q_chunk_documents,
         "bpe_tokens_check": q_bpe_check,
         "approx_quantile_check": q_approx_quantile_check,
         "projection_check": q_projection_check,
@@ -2164,6 +2177,22 @@ WITH toks AS (
   FROM tf JOIN dfreq d USING (term), stats s
 )
 SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id
+""",
+        "chunk_documents": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(0, ((len(t) - 1) // 8) + 1)) AS chunk_id, t
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, chunk_id::INT AS chunk_id,
+       len(t[chunk_id * 8 + 1 : chunk_id * 8 + 16])::BIGINT AS n_tokens,
+       array_to_string(t[chunk_id * 8 + 1 : chunk_id * 8 + 16], ' ')
+         AS chunk_text
+FROM pos
 """,
         "lm_perplexity": """
 WITH toks AS (

@@ -82,6 +82,7 @@ def main() -> None:
         "stratified_sample",
         "mixture_weights",
         "pack_sequences",
+        "chunk_documents",
         "decontaminate",
         "doc_fingerprint",
         "winnow_overlap",

@@ -813,3 +813,45 @@ def test_curate_cli_perplexity_tail_cut(spark, tmp_path):
     assert rc == 0
     kept_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept_ids and not {i for i in kept_ids if i >= 100}, kept_ids
+
+
+def test_chunk_documents_layout(spark):
+    """Sliding-window chunking: full coverage, correct overlap, ragged
+    tail, short docs one chunk, empty docs none."""
+    from tsne_flink_spark.pipeline.curation import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(0, words), (1, "a b c"), (2, ""), (3, "solo")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, window=4, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    # doc 0 (10 tokens, window 4, stride 2): starts 0,2,4,6,8 -> 5 chunks
+    assert sorted(by_doc[0]) == [0, 1, 2, 3, 4]
+    assert by_doc[0][0]["chunk_text"] == "w0 w1 w2 w3"
+    assert by_doc[0][1]["chunk_text"] == "w2 w3 w4 w5"
+    assert by_doc[0][4]["chunk_text"] == "w8 w9"  # ragged tail
+    assert by_doc[0][4]["n_tokens"] == 2
+    # every token position is covered by at least one chunk
+    covered = set()
+    for cid, r in by_doc[0].items():
+        covered |= set(range(cid * 2, cid * 2 + r["n_tokens"]))
+    assert covered == set(range(10))
+    # short docs
+    assert sorted(by_doc[1]) == [0, 1]  # "a b c": starts 0 and 2
+    assert by_doc[1][1]["chunk_text"] == "c"
+    assert 2 not in by_doc  # empty doc yields no chunks
+    assert by_doc[3][0]["chunk_text"] == "solo"
+    # non-overlapping default: stride == window, no shared tokens
+    out2 = chunk_documents(docs, window=3).collect()
+    d0 = sorted(
+        (r["chunk_id"], r["chunk_text"]) for r in out2 if r["doc_id"] == 0
+    )
+    assert d0 == [
+        (0, "w0 w1 w2"), (1, "w3 w4 w5"), (2, "w6 w7 w8"), (3, "w9")
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=0)

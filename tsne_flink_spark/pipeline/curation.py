@@ -465,3 +465,56 @@ def pack_sequences(
             + 1
         ).alias("n_packs"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 128,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking: (id, chunk_id, n_tokens,
+    chunk_text) rows of ``window`` whitespace tokens each, starting every
+    ``stride`` tokens (default window — non-overlapping; stride < window
+    gives the overlapping RAG-retrieval layout).
+
+    The last chunk of a document is the ragged remainder (never empty,
+    never padded); documents shorter than one window yield exactly one
+    chunk.  Pure Column expressions — tokenize once, bind the array with
+    a higher-order-function let (projection-collapse-immune, see
+    text._let), posexplode the per-chunk slices: zero joins, zero Python,
+    one narrow codegen stage, embarrassingly parallel at any corpus size.
+    """
+    if stride is None:
+        stride = window
+    if window < 1 or stride < 1:
+        raise ValueError(f"window/stride must be >= 1: {window}/{stride}")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    spread = docs.select(id_col, text_col).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    with_t = spread.select(
+        id_col, toks.alias("__t")
+    ).withColumn("__n", F.size("__t"))
+    # chunk starts 0, stride, 2*stride, ... while start < n (>= 1 chunk
+    # for non-empty docs); each chunk is slice(start+1, window)
+    n_chunks = F.when(
+        F.col("__n") <= 0, F.lit(0)
+    ).otherwise(F.floor((F.col("__n") - 1) / stride).cast("int") + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.slice("__t", (k * stride + 1).cast("int"), window),
+    )
+    return (
+        with_t.where(F.col("__n") > 0)
+        .select(id_col, F.posexplode(chunks).alias("chunk_id", "__c"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__c").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "__c").alias("chunk_text"),
+        )
+    )
