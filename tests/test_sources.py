@@ -232,3 +232,27 @@ def test_write_sharded_layout_and_determinism(spark, tmp_path):
     c = {(r["doc_id"], r["shard"], r["rank_in_shard"])
          for r in shard_assignments(docs, 4, seed=8).collect()}
     assert a == b and a != c
+
+
+def test_corpus_roundtrip_all_formats(spark, tmp_path):
+    """write_corpus/read_corpus round-trip the same frame through
+    parquet, orc, and jsonl."""
+    from tsne_flink_spark.sources.readers import read_corpus
+    from tsne_flink_spark.sources.writers import write_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}", "en") for i in range(40)],
+        "doc_id bigint, text string, lang string",
+    )
+    want = {(r["doc_id"], r["text"], r["lang"]) for r in docs.collect()}
+    for fmt in ("parquet", "orc", "jsonl"):
+        path = str(tmp_path / f"corpus_{fmt}")
+        write_corpus(docs, path, fmt=fmt, n_files=2)
+        schema = "doc_id bigint, text string, lang string" if fmt == "jsonl" else None
+        back = read_corpus(spark, path, fmt=fmt, schema=schema)
+        got = {(r["doc_id"], r["text"], r["lang"]) for r in back.collect()}
+        assert got == want, fmt
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_corpus(docs, str(tmp_path / "x"), fmt="avro")

@@ -191,3 +191,21 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn(
         "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
     )
+
+
+def read_corpus(
+    spark: SparkSession, path: str, fmt: str = "parquet",
+    schema: str | None = None,
+) -> DataFrame:
+    """Format-dispatching corpus source, the read twin of
+    ``writers.write_corpus``: parquet / orc with their embedded schemas,
+    jsonl with an explicit one (see read_documents_jsonl for why
+    inference is banned at corpus scale)."""
+    if fmt == "jsonl":
+        return read_documents_jsonl(spark, path, schema=schema)
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unknown corpus format {fmt!r}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format(fmt).load(path)

@@ -50,3 +50,31 @@ def write_documents_jsonl(
     if compression and compression != "none":
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def write_corpus(
+    docs: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    compression: str | None = None,
+    n_files: int = 0,
+) -> None:
+    """Format-dispatching corpus sink: parquet (default, analytics),
+    orc (the other splittable columnar interchange format; Spark writes
+    it natively), or jsonl (line-interchange).  ``n_files`` > 0 bounds
+    the output file count via one repartition.  Per-format default
+    codecs: zstd for columnar, gzip for jsonl."""
+    if fmt == "jsonl":
+        write_documents_jsonl(
+            docs, path, compression=compression or "gzip", n_files=n_files
+        )
+        return
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unknown corpus format {fmt!r}")
+    out = docs.repartition(n_files) if n_files > 0 else docs
+    (
+        out.write.mode("overwrite")
+        .option("compression", compression or "zstd")
+        .format(fmt)
+        .save(path)
+    )
