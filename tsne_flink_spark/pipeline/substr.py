@@ -92,6 +92,24 @@ def _gram_positions(
     )
 
 
+def merge_hit_spans(p: "np.ndarray", l: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """Merge SORTED hit positions (each covering tokens [p, p+l)) into
+    maximal spans: a hit opens a new span iff it starts more than l after
+    the previous hit (overlapping or adjacent intervals coalesce).
+    Returns (starts, ends) with ends exclusive.  Gaps-and-islands in
+    numpy; the DuckDB oracle implements the identical rule with lag()."""
+    new_span = np.empty(len(p), dtype=bool)
+    new_span[0] = True
+    new_span[1:] = p[1:] > p[:-1] + l
+    starts = p[new_span]
+    # the end of a span is l past its LAST hit: last hit of span i is the
+    # hit just before the start of span i+1
+    last = np.empty(len(starts), dtype=np.int64)
+    last[:-1] = p[np.flatnonzero(new_span)[1:] - 1]
+    last[-1] = p[-1]
+    return starts, last + l
+
+
 def exact_substring_dedup(
     docs: DataFrame,
     l: int = 8,
@@ -118,6 +136,7 @@ def exact_substring_dedup(
     with_hits = docs.join(hits, id_col, "left")
 
     other_cols = [c for c in docs.columns if c != text_col]
+    merge = merge_hit_spans
 
     def cut(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -129,17 +148,7 @@ def exact_substring_dedup(
                     n_spans.append(0)
                     removed.append(0)
                     continue
-                p = np.asarray(hit, dtype=np.int64)
-                new_span = np.empty(len(p), dtype=bool)
-                new_span[0] = True
-                new_span[1:] = p[1:] > p[:-1] + l
-                starts = p[new_span]
-                # the end of a span is L past its LAST hit: last hit of
-                # span i is the hit just before the start of span i+1
-                last = np.empty(len(starts), dtype=np.int64)
-                last[:-1] = p[np.flatnonzero(new_span)[1:] - 1]
-                last[-1] = p[-1]
-                ends = last + l
+                starts, ends = merge(np.asarray(hit, dtype=np.int64), l)
                 keep = np.ones(len(toks), dtype=bool)
                 for s, e in zip(starts, ends):
                     keep[s:e] = False
