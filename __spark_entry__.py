@@ -1365,6 +1365,17 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_domain_stats(augment_entities(docs))
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + occurrence dedup over entity-augmented
+    documents (scrub.url_dedup_stats): scheme dropped, host lowercased,
+    www. stripped, fragment/trailing-slash trimmed; the crawl-frontier
+    dedup table.  Exact DuckDB oracle (same regex chain)."""
+    from tsne_flink_spark.pipeline.scrub import augment_entities, url_dedup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return url_dedup_stats(augment_entities(docs))
+
+
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style boilerplate line removal: lines in >= 5 distinct docs
     dropped; per-doc retained-text fingerprint (exact DuckDB oracle)."""
@@ -1606,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "pii_scrub": q_pii_scrub,
         "url_domains": q_url_domains,
+        "url_dedup": q_url_dedup,
         "boilerplate_lines": q_boilerplate_lines,
         "bigram_stats": q_bigram_stats,
         "semantic_dedup": q_semantic_dedup,
@@ -2739,6 +2751,29 @@ u AS (SELECT doc_id,
 SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
        count(*)::BIGINT AS n_urls, count(DISTINCT doc_id)::BIGINT AS n_docs
 FROM u GROUP BY domain
+""",
+        "url_dedup": f"""
+WITH aug AS ({_AUG_ENTITIES_SQL}),
+u AS (SELECT doc_id,
+             unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9./?=_-]+')) AS url
+      FROM aug),
+c AS (SELECT doc_id,
+             lower(regexp_replace(
+               regexp_extract(
+                 regexp_replace(regexp_replace(url, '#.*$', ''),
+                                '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
+                 '^([^/?#]+)', 1),
+               '^www\\.', ''))
+             || regexp_replace(
+                  regexp_replace(
+                    regexp_replace(regexp_replace(url, '#.*$', ''),
+                                   '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
+                    '^[^/?#]+', ''),
+                  '/+$', '') AS cu
+      FROM u)
+SELECT cu AS canonical_url, count(*)::BIGINT AS n_urls,
+       count(DISTINCT doc_id)::BIGINT AS n_docs, min(doc_id) AS first_doc
+FROM c GROUP BY cu
 """,
         "boilerplate_lines": """
 WITH aug AS (SELECT doc_id, concat_ws(chr(10),

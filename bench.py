@@ -71,6 +71,7 @@ def main() -> None:
         "text_stats",
         "pii_scrub",
         "url_domains",
+        "url_dedup",
         "boilerplate_lines",
         "bigram_stats",
         "language_id",

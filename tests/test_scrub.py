@@ -296,3 +296,40 @@ def test_source_overlap_matrix(spark):
     assert out[("books", "web")] == 1     # the shared normalized text
     assert out[("web", "web")] == 2       # web's two distinct texts
     assert out[("books", "books")] == 2
+
+
+def test_canonical_url_rules(spark):
+    from tsne_flink_spark.pipeline.scrub import canonical_url
+
+    cases = [
+        ("https://WWW.Example.ORG/Path/To#frag", "example.org/Path/To"),
+        ("http://example.org/Path/To/", "example.org/Path/To"),
+        ("https://example.org", "example.org"),
+        ("http://www.example.org///", "example.org"),
+        ("https://cdn3.example.net/x?q=1", "cdn3.example.net/x?q=1"),
+        ("http://wwwx.example.net/a", "wwwx.example.net/a"),  # not 'www.'
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_stats_collapses_variants(spark):
+    from tsne_flink_spark.pipeline.scrub import url_dedup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a https://www.example.org/p/1 b"),
+            (2, "c http://example.org/p/1/ d"),
+            (3, "e HTTPS://EXAMPLE.ORG/p/1#x f".lower()),
+            (4, "g https://example.org/p/2 h"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["canonical_url"]: r for r in url_dedup_stats(docs).collect()}
+    assert rows["example.org/p/1"]["n_urls"] == 3
+    assert rows["example.org/p/1"]["n_docs"] == 3
+    assert rows["example.org/p/1"]["first_doc"] == 1
+    assert rows["example.org/p/2"]["n_docs"] == 1

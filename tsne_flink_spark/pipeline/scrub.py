@@ -346,3 +346,42 @@ def bigram_stats(docs: DataFrame, text_col: str = "text",
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(k)
     )
+
+
+def canonical_url(url):
+    """Canonicalize a URL for dedup/frontier purposes: scheme dropped
+    (http and https are the same resource for crawl dedup), host
+    lowercased with a leading ``www.`` stripped, fragment removed,
+    trailing slashes trimmed.  Pure regex Column expressions, mirrored
+    verbatim in the DuckDB oracle (q_url_dedup)."""
+    u = F.regexp_replace(url, "#.*$", "")
+    u = F.regexp_replace(u, "^[Hh][Tt][Tt][Pp][Ss]?://", "")
+    host = F.lower(F.regexp_extract(u, "^([^/?#]+)", 1))
+    host = F.regexp_replace(host, "^www\\.", "")
+    rest = F.regexp_replace(u, "^[^/?#]+", "")
+    rest = F.regexp_replace(rest, "/+$", "")
+    return F.concat(host, rest)
+
+
+def url_dedup_stats(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(canonical_url, n_urls, n_docs, first_doc): every URL occurrence
+    reduced to its canonical form and aggregated — the dedup table a
+    crawl frontier consults before fetching.  One explode + one hash
+    aggregation keyed on the canonical string (map-side combined; shuffle
+    proportional to distinct URLs)."""
+    urls = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+        ).alias("url"),
+    )
+    return (
+        urls.select(id_col, canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct(F.col(id_col)).cast("long").alias("n_docs"),
+            F.min(F.col(id_col)).alias("first_doc"),
+        )
+    )
