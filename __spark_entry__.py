@@ -1376,6 +1376,28 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup_stats(augment_entities(docs))
 
 
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (scrub.normalize_unicode): documents
+    augmented with a decomposed combining-accent sequence AND its
+    precomposed twin; after NFC both collapse to identical codepoints.
+    Oracle: DuckDB's nfc_normalize over the same augmentation — the
+    md5 match proves byte-identical normalization across engines."""
+    from tsne_flink_spark.pipeline.scrub import normalize_unicode
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" cafe\u0301 caf\u00e9")
+        ).alias("text"),
+    )
+    out = normalize_unicode(docs)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style boilerplate line removal: lines in >= 5 distinct docs
     dropped; per-doc retained-text fingerprint (exact DuckDB oracle)."""
@@ -1618,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "url_domains": q_url_domains,
         "url_dedup": q_url_dedup,
+        "unicode_normalize": q_unicode_normalize,
         "boilerplate_lines": q_boilerplate_lines,
         "bigram_stats": q_bigram_stats,
         "semantic_dedup": q_semantic_dedup,
@@ -2751,6 +2774,14 @@ u AS (SELECT doc_id,
 SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
        count(*)::BIGINT AS n_urls, count(DISTINCT doc_id)::BIGINT AS n_docs
 FROM u GROUP BY domain
+""",
+        "unicode_normalize": """
+SELECT doc_id,
+       md5(nfc_normalize(text || ' cafe' || chr(769) || ' caf' || chr(233)))
+         AS fp,
+       length(nfc_normalize(text || ' cafe' || chr(769) || ' caf' || chr(233)))::BIGINT
+         AS n_chars
+FROM documents
 """,
         "url_dedup": f"""
 WITH aug AS ({_AUG_ENTITIES_SQL}),

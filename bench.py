@@ -72,6 +72,7 @@ def main() -> None:
         "pii_scrub",
         "url_domains",
         "url_dedup",
+        "unicode_normalize",
         "boilerplate_lines",
         "bigram_stats",
         "language_id",

@@ -333,3 +333,23 @@ def test_url_dedup_stats_collapses_variants(spark):
     assert rows["example.org/p/1"]["n_docs"] == 3
     assert rows["example.org/p/1"]["first_doc"] == 1
     assert rows["example.org/p/2"]["n_docs"] == 1
+
+
+def test_normalize_unicode_collapses_decomposed_forms(spark):
+    from tsne_flink_spark.pipeline.scrub import normalize_unicode
+
+    decomposed = "café"       # e + combining acute
+    precomposed = "café"       # precomposed e-acute
+    assert decomposed != precomposed
+    docs = spark.createDataFrame(
+        [(1, decomposed, "en"), (2, precomposed, "en"), (3, None, "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    rows = {r["doc_id"]: r for r in normalize_unicode(docs).collect()}
+    assert rows[1]["text"] == rows[2]["text"] == precomposed
+    assert rows[3]["text"] == ""          # NULL-safe
+    assert rows[1]["lang"] == "en"        # other columns untouched
+    # NFD goes the other way
+    nfd = {r["doc_id"]: r["text"]
+           for r in normalize_unicode(docs, form="NFD").collect()}
+    assert nfd[1] == nfd[2] == decomposed

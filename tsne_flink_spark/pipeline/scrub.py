@@ -385,3 +385,31 @@ def url_dedup_stats(docs: DataFrame, id_col: str = "doc_id",
             F.min(F.col(id_col)).alias("first_doc"),
         )
     )
+
+
+def normalize_unicode(docs: DataFrame, form: str = "NFC",
+                      text_col: str = "text") -> DataFrame:
+    """Unicode-normalize the text column (default NFC — canonical
+    composition).  Visually identical strings with different codepoint
+    sequences (combining accents vs precomposed characters) defeat every
+    hash-based dedup and fingerprint operator; real pipelines normalize
+    before fingerprinting.  Arrow-batched pandas ``str.normalize`` (the
+    stdlib unicodedata fast path) — zero shuffles, embarrassingly
+    parallel; NFC output is oracle-checked against DuckDB's
+    ``nfc_normalize`` (q_unicode_normalize)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    cols = docs.columns
+
+    def norm(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[text_col] = pdf[text_col].fillna("").str.normalize(form)
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema
+    )
+    return docs.select(*cols).mapInPandas(norm, schema=schema)
