@@ -47,6 +47,12 @@ AUDITED = [
     "exact_substr_dedup",
     "corpus_shards",
     "bm25_scores",
+    "lm_perplexity",
+    "chunk_documents",
+    "bpe_tokens",
+    "url_dedup",
+    "unicode_normalize",
+    "promo_revenue_monthly",
     "token_histogram",
     "lang_source_matrix",
 ]
