@@ -919,10 +919,13 @@ def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified invariant for approximate quantiles (oracle: constant zero
-    row): every `percentile_approx` output at accuracy A must have an
-    EXACT rank within N/A + 1 of its target rank — the sketch's documented
-    deterministic error bound (Greenwald-Khanna epsilon = 1/A).  The exact
-    ranks are recomputed from scratch in the same query."""
+    row): every `percentile_approx` output at accuracy A must have a rank
+    INTERVAL [count(< v) + 1, count(<= v)] intersecting the GK tolerance
+    window [q*N - (N/A + 1), q*N + (N/A + 1)] (epsilon = 1/A).  Testing a
+    single rank (e.g. count(<= v)) against the window is WRONG on
+    tie-heavy columns: a correct sketch value whose tie run extends past
+    the tolerance would falsely fail.  The exact rank interval is
+    recomputed from scratch in the same query."""
     li = _t(spark, sf_dir, "lineitem")
     acc = 1000
     qs = [0.25, 0.5, 0.75, 0.95]
@@ -933,13 +936,23 @@ def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         *[
             F.sum((F.col("l_extendedprice") <= F.lit(float(v))).cast("long"))
-            .alias(f"r{i}")
+            .alias(f"le{i}")
+            for i, v in enumerate(approx)
+        ],
+        *[
+            F.sum((F.col("l_extendedprice") < F.lit(float(v))).cast("long"))
+            .alias(f"lt{i}")
             for i, v in enumerate(approx)
         ],
     )
     tol = F.col("n") / F.lit(acc) + F.lit(1.0)
     bad = [
-        (F.abs(F.col(f"r{i}") - F.lit(q) * F.col("n")) > tol).cast("long")
+        (
+            ~(
+                (F.col(f"lt{i}") < F.lit(q) * F.col("n") + tol)
+                & (F.col(f"le{i}") > F.lit(q) * F.col("n") - tol)
+            )
+        ).cast("long")
         for i, q in enumerate(qs)
     ]
     total = bad[0]
@@ -1566,17 +1579,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's correctness gate checks only the first
+    # 50 entries.  Round 7 left 35 registered queries with no driver row, so
+    # round 8 leads with exactly those 35 (audio_features — the round-6 red
+    # whose fix was never driver-confirmed — first), then fills the window
+    # with the backbone queries whose code was touched this round
+    # (exact_substr_dedup, bpe_*, approx_quantile_check) plus core greens.
+    # Everything below position 50 has a green CORRECTNESS_r07 row.
     return {
+        # --- 35 queries with no CORRECTNESS_r07 row ---
+        "audio_features": q_audio_features,
+        "audio_check": q_audio_check,
+        "curation_pipeline": q_curation_pipeline,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_check": q_semantic_dedup_check,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "pii_scrub": q_pii_scrub,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_check": q_multimodal_check,
+        "decontaminate": q_decontaminate,
+        "source_stats": q_source_stats,
+        "source_stats_approx_check": q_source_stats_approx_check,
+        "sketch_distinct_check": q_sketch_distinct_check,
+        "stratified_sample": q_stratified_sample,
+        "stratified_take": q_stratified_take,
+        "pack_sequences": q_pack_sequences,
+        "repetition_stats": q_repetition_stats,
+        "video_frames": q_video_frames,
+        "tsne_embedding_check": q_tsne_embedding_check,
+        "doc_fingerprint": q_doc_fingerprint,
+        "winnow_overlap": q_winnow_overlap,
+        "quality_scores": q_quality_scores,
+        "token_histogram": q_token_histogram,
+        "lang_source_matrix": q_lang_source_matrix,
+        "source_overlap": q_source_overlap,
+        "url_dedup": q_url_dedup,
+        "url_domains": q_url_domains,
+        "unicode_normalize": q_unicode_normalize,
+        "boilerplate_lines": q_boilerplate_lines,
+        "bigram_stats": q_bigram_stats,
+        "profile_lineitem": q_profile_lineitem,
+        "mixture_weights": q_mixture_weights,
+        "incremental_dedup": q_incremental_dedup,
+        "tsne_embedding": q_tsne_embedding,
+        # --- backbone fill: code touched in round 8 first ---
+        "exact_substr_dedup": q_exact_substr_dedup,
+        "bpe_tokens": q_bpe_tokens,
+        "bpe_tokens_check": q_bpe_check,
+        "approx_quantile_check": q_approx_quantile_check,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_partition": q_knn_partition,
-        "knn_project": q_knn_project,
         "joint_distribution": q_joint_distribution,
         "pairwise_affinities": q_pairwise_affinities,
-        "grouped_topk_orders": q_grouped_topk_orders,
         "global_aggregates": q_global_aggregates,
-        "distinct_pairs": q_distinct_pairs,
         "centering": q_centering,
         "pricing_summary": q_pricing_summary,
+        "bm25_scores": q_bm25_scores,
+        "lm_perplexity": q_lm_perplexity,
+        "chunk_documents": q_chunk_documents,
+        "dup_clusters": q_dup_clusters,
+        # --- below the driver's 50-query window: green in CORRECTNESS_r07 ---
+        "knn_project": q_knn_project,
+        "knn_project_check": q_knn_project_check,
+        "grouped_topk_orders": q_grouped_topk_orders,
+        "distinct_pairs": q_distinct_pairs,
         "top_revenue_orders": q_top_revenue_orders,
         "promo_revenue_monthly": q_promo_revenue_monthly,
         "regional_revenue": q_regional_revenue,
@@ -1588,14 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "language_id_ngram": q_language_id_ngram,
         "exact_dedup": q_exact_dedup,
-        "exact_substr_dedup": q_exact_substr_dedup,
         "corpus_shards": q_corpus_shards,
-        "bm25_scores": q_bm25_scores,
-        "lm_perplexity": q_lm_perplexity,
-        "bpe_tokens": q_bpe_tokens,
-        "chunk_documents": q_chunk_documents,
-        "bpe_tokens_check": q_bpe_check,
-        "approx_quantile_check": q_approx_quantile_check,
         "projection_check": q_projection_check,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_check": q_minhash_dedup_check,
@@ -1609,49 +1669,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_check": q_ann_lsh_check,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_check": q_ann_ivf_check,
-        "knn_project_check": q_knn_project_check,
         "sliding_user_activity": q_sliding_user_activity,
         "user_totals": q_user_totals,
         "event_rollup": q_event_rollup,
         "event_order_asof": q_event_order_asof,
         "session_overlap": q_session_overlap,
         "token_counts": q_token_counts,
-        "dup_clusters": q_dup_clusters,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "repetition_stats": q_repetition_stats,
-        "curation_pipeline": q_curation_pipeline,
-        "source_stats": q_source_stats,
-        "source_stats_approx_check": q_source_stats_approx_check,
-        "audio_features": q_audio_features,
-        "audio_check": q_audio_check,
-        "sketch_distinct_check": q_sketch_distinct_check,
-        "stratified_take": q_stratified_take,
-        "video_frames": q_video_frames,
-        "doc_fingerprint": q_doc_fingerprint,
-        "winnow_overlap": q_winnow_overlap,
-        "quality_scores": q_quality_scores,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_check": q_multimodal_check,
-        "tsne_embedding_check": q_tsne_embedding_check,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "pii_scrub": q_pii_scrub,
-        "url_domains": q_url_domains,
-        "url_dedup": q_url_dedup,
-        "unicode_normalize": q_unicode_normalize,
-        "boilerplate_lines": q_boilerplate_lines,
-        "bigram_stats": q_bigram_stats,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_check": q_semantic_dedup_check,
-        "profile_lineitem": q_profile_lineitem,
-        "mixture_weights": q_mixture_weights,
-        "incremental_dedup": q_incremental_dedup,
-        "token_histogram": q_token_histogram,
-        "lang_source_matrix": q_lang_source_matrix,
-        "source_overlap": q_source_overlap,
-        "tsne_embedding": q_tsne_embedding,
     }
 
 

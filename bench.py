@@ -52,8 +52,13 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    # headline queries: representative + bounded runtime at sf0.1
+    # headline queries: representative + bounded runtime at sf0.1.
+    # tsne_embedding (the flagship iterative query) runs FIRST: measured
+    # in-suite tax of 8-20 s when it runs last (cache/JIT/heap pressure
+    # from 50+ prior queries) vs its solo warm medians (B30) — leading
+    # with it makes the recorded number reflect the plan, not suite state.
     headline = [
+        "tsne_embedding",
         "pricing_summary",
         "top_revenue_orders",
         "promo_revenue_monthly",
@@ -117,10 +122,28 @@ def main() -> None:
         "source_stats",
         "multimodal_features",
         "audio_features",
-        "tsne_embedding",
     ]
 
     import gc
+
+    def calibration() -> float:
+        """Fixed codegen-only scan+agg — a host-speed probe.  Timed at
+        suite start and end; the end/start ratio separates host-speed
+        drift (noisy neighbors, thermal) from plan changes when comparing
+        BENCH rounds."""
+        from pyspark.sql import functions as F
+
+        t0 = time.time()
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        li.select(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            F.sum(F.col("l_quantity") * F.col("l_tax")),
+            F.count(F.lit(1)),
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    calibration()  # untimed: pays one-time JVM/codegen/parquet-footer warmup
+    calib_start = calibration()
 
     timings: dict[str, float] = {}
     for name in headline:
@@ -141,6 +164,8 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
 
+    calib_end = calibration()
+
     ok = [v for v in timings.values() if v >= 0]
     total = round(sum(ok), 3)
     print(
@@ -154,6 +179,11 @@ def main() -> None:
                 "cpus": int(cpus),
                 "n_queries": len(headline),
                 "n_failed": len(timings) - len(ok),
+                "calibration": {
+                    "start_sec": calib_start,
+                    "end_sec": calib_end,
+                    "end_over_start": round(calib_end / max(calib_start, 1e-9), 3),
+                },
             }
         )
     )

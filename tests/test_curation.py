@@ -855,3 +855,23 @@ def test_chunk_documents_layout(spark):
     ]
     with pytest.raises(ValueError):
         chunk_documents(docs, window=0)
+
+
+def test_curate_cli_perplexity_tail_cut_tokenless_corpus(spark, tmp_path):
+    """Regression: a corpus where NO document has a token used to crash
+    --perplexity-tail-pct with float(None) (percentile_approx over an empty
+    scored frame returns NULL).  The cut is skipped and the run completes."""
+    from tsne_flink_spark.pipeline.curate_cli import main
+
+    rows = [(1, "", "en"), (2, "   ", "en"), (3, "\t\n", "en")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    src = str(tmp_path / "docs_tokenless.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "tokenless_clean")
+    rc = main(
+        ["--input", src, "--output", out, "--mode", "filter",
+         "--rate", "en=100", "--default-rate", "100", "--quality-min", "0.0",
+         "--perplexity-tail-pct", "10"],
+        spark=spark,
+    )
+    assert rc == 0

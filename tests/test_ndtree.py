@@ -226,3 +226,53 @@ def test_bulk_build_equals_sequential_insert():
         fb, sb = bulk.repulsive_forces(Q, 0.5, condition="scaled")
         assert np.allclose(fs, fb, rtol=1e-12, atol=1e-12)
         assert np.allclose(ss, sb, rtol=1e-12, atol=1e-12)
+
+
+def test_depth_exhaustion_terminal_leaf():
+    """Points separated only below _MAX_DEPTH levels must land in ONE
+    terminal accumulate-only leaf (no massless last-level subdivide — that
+    shape loses the cluster's mass in force queries, which expand internal
+    nodes and drop empty children).  Sequential insert (lex order) and bulk
+    build agree, and exact evaluation sees all the mass."""
+    from tsne_flink_spark.operators.ndtree import (
+        _MAX_DEPTH,
+        NDTree,
+        _bulk_build,
+    )
+
+    d = 2
+    # Coordinates chosen exactly representable, strictly interior to every
+    # cell through depth 63 (the 2^-80 guard bit keeps them off all split
+    # planes, dodging the documented 1-ulp boundary-drop edge), separated
+    # by 2^-70 < root_extent * 2^-63 so they share a cell at every level.
+    base = 2.0**-34 + 2.0**-80
+    p1 = np.array([base, base])
+    p2 = np.array([base + 2.0**-70, base])
+    far = np.full(d, 0.51)
+    Y = np.array([p1, p2, far])
+
+    seq = NDTree(np.zeros(d), 1.0)
+    for row in Y:
+        assert seq.insert(row)
+    seq.trim()
+    bulk = _bulk_build(NDTree(np.zeros(d), 1.0), Y).trim()
+
+    for t in (seq, bulk):
+        assert t.cum[0] == 3
+        assert int(t.depth[: t.n_nodes].max()) <= _MAX_DEPTH - 1
+        md = int(t.depth[: t.n_nodes].max())
+        occupied = np.flatnonzero(
+            (t.depth[: t.n_nodes] == md) & (t.cum[: t.n_nodes] > 0)
+        )
+        assert len(occupied) == 1  # one terminal leaf holds the pair
+        deepest = int(occupied[0])
+        assert t.children[deepest, 0] == -1  # terminal LEAF, not internal
+        assert t.cum[deepest] == 2           # both near-coincident points
+        assert t.has_point[deepest] and np.array_equal(t.p[deepest], p1)
+
+    # exact (theta=0) evaluation accounts for every point's mass
+    Q = np.array([far + 0.25])
+    brute = sum(1.0 / (1.0 + ((Q[0] - p) ** 2).sum()) for p in Y)
+    for t in (seq, bulk):
+        _, sq = t.repulsive_forces(Q, 0.0)
+        assert np.isclose(sq[0], brute, rtol=1e-9)

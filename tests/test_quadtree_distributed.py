@@ -247,3 +247,55 @@ def test_bulk_build_equals_sequential_insert():
     fb, sb = bulk.repulsive_forces(Q, 0.5, condition="scaled")
     assert np.allclose(fs, fb, rtol=1e-12, atol=1e-12)
     assert np.allclose(ss, sb, rtol=1e-12, atol=1e-12)
+
+
+def test_depth_exhaustion_terminal_leaf():
+    """2-D counterpart of ndtree's depth-exhaustion case: near-coincident
+    points (separation below the root extent * 2^-64) aggregate in one
+    terminal leaf; insert, bulk build, and the structural merge all agree
+    and no mass is stranded in massless last-level children."""
+    from tsne_flink_spark.operators.quadtree import _MAX_DEPTH, _bulk_build
+
+    # exactly-representable coordinates strictly interior to every cell
+    # through depth 63 (see the ndtree counterpart for the construction)
+    base = 2.0**-34 + 2.0**-80
+    p1 = (base, base)
+    p2 = (base + 2.0**-70, base)
+    far = (0.51, 0.51)
+    pts = [p1, p2, far]
+
+    seq = QuadTree(0.0, 0.0, 1.0)
+    for x, y in pts:
+        assert seq.insert(x, y)
+    seq.trim()
+    bulk = _bulk_build(QuadTree(0.0, 0.0, 1.0), np.array(pts)).trim()
+
+    # merge path: one tree holding the near pair, one holding the far point
+    a = QuadTree(0.0, 0.0, 1.0)
+    a.insert(*p1)
+    a.insert(*p2)
+    b = QuadTree(0.0, 0.0, 1.0)
+    b.insert(*far)
+    merged = merge_quadtrees(a, b).trim()
+
+    for t in (seq, bulk, merged):
+        assert t.cum[0] == 3
+        assert int(t.depth[: t.n_nodes].max()) <= _MAX_DEPTH - 1
+        md = int(t.depth[: t.n_nodes].max())
+        occupied = np.flatnonzero(
+            (t.depth[: t.n_nodes] == md) & (t.cum[: t.n_nodes] > 0)
+        )
+        assert len(occupied) == 1  # one terminal leaf holds the pair
+        deepest = int(occupied[0])
+        assert t.children[deepest, 0] == -1
+        assert t.cum[deepest] == 2
+        assert t.has_point[deepest]
+        assert (t.px[deepest], t.py[deepest]) == p1
+
+    Q = np.array([[0.75, 0.75]])
+    brute = sum(
+        1.0 / (1.0 + (Q[0, 0] - x) ** 2 + (Q[0, 1] - y) ** 2) for x, y in pts
+    )
+    for t in (seq, bulk, merged):
+        _, sq = t.repulsive_forces(Q, 0.0)
+        assert np.isclose(sq[0], brute, rtol=1e-9)

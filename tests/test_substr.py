@@ -73,6 +73,30 @@ def test_min_count_gate(spark):
     assert all(r["tokens_removed"] == 8 for r in cut)
 
 
+def test_unicode_whitespace_tokenization_agrees(spark):
+    """The gram stage tokenizes with Java \\s (ASCII-only); the cut stage
+    must use the SAME rule.  A document whose duplicated passage follows a
+    \\xa0 (NBSP — one Spark token 'intro\\xa0A', but two under Python
+    str.split) would otherwise have its span indices shifted by one and cut
+    the wrong tokens."""
+    from tsne_flink_spark.pipeline.substr import exact_substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro\xa0A {DUP} outro", "en"),
+            (1, f"intro B {DUP} trailer", "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in exact_substring_dedup(docs, l=8).collect()}
+    # NBSP stays inside the first token; the 13-token passage (Spark
+    # positions 2..14) is cut exactly, leaving the ASCII-joined remainder
+    assert out[0]["text"] == "intro\xa0A outro"
+    assert out[0]["tokens_removed"] == 13 and out[0]["n_dup_spans"] == 1
+    assert out[1]["text"] == "intro B trailer"
+    assert out[1]["tokens_removed"] == 13
+
+
 def test_cleaned_corpus_interior_grams_unique(spark, corpus):
     """Soundness property: an L-gram fully inside a KEPT region existed in
     the input and was not duplicated, so recomputing duplicated grams over

@@ -124,6 +124,12 @@ class NDTree:
                     return True
                 if np.array_equal(self.p[node], x):
                     return True  # coincident: accumulate in this leaf
+                if self.depth[node] >= _MAX_DEPTH - 1:
+                    # terminal depth: treat the distinct point as coincident
+                    # (accumulate only, keep the seated point, NO subdivide —
+                    # a last-level split would strand mass in children that
+                    # repulsive_forces expands into and drops as empty)
+                    return True
                 # re-seat the old point one level down with its FULL
                 # accumulated weight (same rule as QuadTree.insert)
                 ox = self.p[node].copy()
@@ -238,7 +244,7 @@ def _bulk_build(tree: NDTree, Y: np.ndarray) -> NDTree:
     w = counts.astype(np.int64)
     ws = pts * counts[:, None]
     cur = np.zeros(len(pts), dtype=np.int64)
-    for _ in range(_MAX_DEPTH):
+    for lvl in range(_MAX_DEPTH):
         np.add.at(tree.cum, cur, w)
         np.add.at(tree.s, cur, ws)
         uniq, inv, cnt = np.unique(cur, return_inverse=True, return_counts=True)
@@ -251,6 +257,18 @@ def _bulk_build(tree: NDTree, Y: np.ndarray) -> NDTree:
         cur, pts, w, ws = cur[keep], pts[keep], w[keep], ws[keep]
         if not len(cur):
             break
+        if lvl == _MAX_DEPTH - 1:
+            # terminal depth: accumulate-only leaves (matching insert's
+            # terminal rule — no massless last-level subdivide).  Seat the
+            # lexicographically-first point of each survivor group, the
+            # order-independent counterpart of insert seating whichever
+            # point arrived first.
+            order = np.lexsort(tuple(pts.T[::-1]) + (cur,))
+            sc, sp = cur[order], pts[order]
+            first = np.r_[True, sc[1:] != sc[:-1]]
+            tree.has_point[sc[first]] = True
+            tree.p[sc[first]] = sp[first]
+            break
         # all remaining nodes hold >= 2 distinct points: split and descend.
         # They are fresh same-depth leaves (level-synchronous invariant).
         # _children_for replicates insert's first-containing-child scan
@@ -259,8 +277,6 @@ def _bulk_build(tree: NDTree, Y: np.ndarray) -> NDTree:
         nxt = _children_for(tree, cur, pts)
         v = nxt >= 0
         cur, pts, w, ws = nxt[v], pts[v], w[v], ws[v]
-    # depth-guard exhaustion mirrors insert(): mass counted along the path,
-    # near-coincident survivors left unseated
     return tree
 
 
@@ -352,6 +368,12 @@ def _bulk_insert_weighted(
             coinc = np.all(tree.p[on] == X[occ], axis=1)
             done[occ[coinc]] = True
             split = occ[~coinc]
+            if len(split):
+                # terminal depth: accumulate only, never subdivide (same
+                # rule as insert/_bulk_build)
+                term = tree.depth[cur[split]] >= _MAX_DEPTH - 1
+                done[split[term]] = True
+                split = split[~term]
             if len(split):
                 snodes = cur[split]
                 ow = tree.cum[snodes] - ws[split]

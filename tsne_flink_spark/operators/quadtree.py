@@ -129,6 +129,12 @@ class QuadTree:
                     return True
                 if self.px[node] == x and self.py[node] == y:
                     return True  # coincident: accumulate in this leaf
+                if self.depth[node] >= _MAX_DEPTH - 1:
+                    # terminal depth: treat the distinct point as coincident
+                    # (accumulate only, keep the seated point, NO subdivide —
+                    # a last-level split would strand mass in children that
+                    # repulsive_forces expands into and drops as empty)
+                    return True
                 # re-seat the old leaf point one level down with its FULL
                 # accumulated weight: the leaf may hold w >= 2 bit-equal
                 # copies (cum/sx/sy below exclude the new point added at
@@ -198,6 +204,8 @@ class QuadTree:
                     return
                 if self.px[node] == x and self.py[node] == y:
                     return  # coincident: accumulate in this leaf
+                if self.depth[node] >= _MAX_DEPTH - 1:
+                    return  # terminal depth: accumulate only (see insert)
                 ow = int(self.cum[node]) - w
                 osx = self.sx[node] - wsx
                 osy = self.sy[node] - wsy
@@ -326,6 +334,12 @@ def _bulk_build(tree: QuadTree, P: np.ndarray) -> QuadTree:
     numpy ops instead of a per-point Python loop — the same rewrite as
     ndtree._bulk_build, gated by
     tests/test_quadtree_distributed.py::test_bulk_build_equals_sequential_insert.
+
+    Depth-guard semantics (shared with insert/_insert_weighted): a leaf at
+    depth _MAX_DEPTH-1 never subdivides; still-distinct survivors
+    accumulate there as a terminal leaf seated with the lexicographically
+    first point (insert seats whichever arrived first, so the two agree
+    under lex-ordered insertion; see test_depth_exhaustion_terminal_leaf).
     """
     if not len(P):
         return tree
@@ -340,7 +354,7 @@ def _bulk_build(tree: QuadTree, P: np.ndarray) -> QuadTree:
     wsx = pts[:, 0] * counts
     wsy = pts[:, 1] * counts
     cur = np.zeros(len(pts), dtype=np.int64)
-    for _ in range(_MAX_DEPTH):
+    for lvl in range(_MAX_DEPTH):
         np.add.at(tree.cum, cur, w)
         np.add.at(tree.sx, cur, wsx)
         np.add.at(tree.sy, cur, wsy)
@@ -355,6 +369,19 @@ def _bulk_build(tree: QuadTree, P: np.ndarray) -> QuadTree:
         cur, pts = cur[keep], pts[keep]
         w, wsx, wsy = w[keep], wsx[keep], wsy[keep]
         if not len(cur):
+            break
+        if lvl == _MAX_DEPTH - 1:
+            # terminal depth: accumulate-only leaves (matching insert's
+            # terminal rule — no massless last-level subdivide).  Seat the
+            # lexicographically-first point of each survivor group, the
+            # order-independent counterpart of insert seating whichever
+            # point arrived first.
+            order = np.lexsort((pts[:, 1], pts[:, 0], cur))
+            sc, sp = cur[order], pts[order]
+            first = np.r_[True, sc[1:] != sc[:-1]]
+            tree.has_point[sc[first]] = True
+            tree.px[sc[first]] = sp[first, 0]
+            tree.py[sc[first]] = sp[first, 1]
             break
         # remaining nodes hold >= 2 distinct points: split and descend.
         # _children_for replicates insert's first-containing-child scan,
@@ -449,6 +476,12 @@ def _bulk_insert_weighted(
             coinc = (tree.px[on] == xs[occ]) & (tree.py[on] == ys[occ])
             done[occ[coinc]] = True
             split = occ[~coinc]
+            if len(split):
+                # terminal depth: accumulate only, never subdivide (same
+                # rule as insert/_insert_weighted/_bulk_build)
+                term = tree.depth[cur[split]] >= _MAX_DEPTH - 1
+                done[split[term]] = True
+                split = split[~term]
             if len(split):
                 snodes = cur[split]
                 ow = tree.cum[snodes] - ws[split]

@@ -26,13 +26,27 @@ its whitespace-normalized text, and token counts are conserved.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-EOW = "</w>"  # end-of-word marker, per the original BPE formulation
+# End-of-word marker.  The original BPE formulation uses the literal
+# '</w>', but that string CAN occur verbatim inside a whitespace-split
+# token ("foo</w>bar"), which would alias the marker during
+# detokenization and falsely fail the round-trip gate.  A newline cannot
+# appear in any token (tokens come from splitting on the Java \s class,
+# which includes \n), so it is a collision-free sentinel.
+EOW = "\n"
+
+# Java regex \s (what F.split uses in word_frequencies and in
+# q_bpe_check's normalization) is the ASCII class [ \t\n\x0B\f\r].  The
+# Python application side MUST split with the same rule — str.split()
+# splits on Unicode whitespace (\xa0 etc.) and would tokenize web text
+# differently from the trained word table.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def word_frequencies(
@@ -180,7 +194,10 @@ def bpe_tokenize(
         for pdf in it:
             n_words, n_tokens, previews, detoks = [], [], [], []
             for text in pdf[text_col]:
-                words = (text or "").lower().split()
+                # text is already lowercased Spark-side (same F.lower as
+                # word_frequencies); split with the Java \s mirror so the
+                # applied tokenization matches the trained word table.
+                words = [t for t in _ASCII_WS.split(text or "") if t]
                 toks: list[str] = []
                 for w in words:
                     enc = cache.get(w)
@@ -211,5 +228,6 @@ def bpe_tokenize(
     if with_detok:
         schema += ", detok string"
     return docs.select(
-        F.col(id_col).cast("long").alias(id_col), text_col
+        F.col(id_col).cast("long").alias(id_col),
+        F.lower(F.col(text_col)).alias(text_col),
     ).mapInPandas(tok, schema=schema)

@@ -173,16 +173,23 @@ def run(args: argparse.Namespace, spark=None) -> int:
                     "perplexity", 1.0 - args.perplexity_tail_pct / 100.0, 10000
                 ).alias("c")
             ).first()["c"]
-            keep = scored.where(F.col("perplexity") <= F.lit(float(cut))).select(
-                args.id_col
-            )
-            # empty docs have no LM score; they pass through (the quality
-            # stage downstream handles them) — hence the inner join on the
-            # scored survivors unioned with the unscored ids
-            unscored = docs.select(args.id_col).exceptAll(
-                scored.select(args.id_col)
-            )
-            docs = materialize(docs.join(keep.union(unscored), args.id_col))
+            if cut is None:
+                # no document produced a token (empty/whitespace corpus):
+                # percentile over zero scored rows is NULL — nothing to cut
+                pass
+            else:
+                keep = scored.where(
+                    F.col("perplexity") <= F.lit(float(cut))
+                ).select(args.id_col)
+                # empty docs have no LM score; they pass through (the
+                # quality stage downstream handles them) — hence the inner
+                # join on the scored survivors unioned with the unscored ids
+                unscored = docs.select(args.id_col).exceptAll(
+                    scored.select(args.id_col)
+                )
+                docs = materialize(
+                    docs.join(keep.union(unscored), args.id_col)
+                )
         if args.strip_dup_substrings > 0:
             from tsne_flink_spark.operators.optimize import materialize
             from tsne_flink_spark.pipeline.substr import exact_substring_dedup

@@ -69,9 +69,16 @@ def ngram_lm_scores(
 ) -> DataFrame:
     """(id, n_tokens, avg_logprob, perplexity) for every document with at
     least one token, under the corpus-trained add-k bigram LM."""
+    from tsne_flink_spark.operators.optimize import materialize
+
     events = _bigram_events(docs, text_col, id_col)
-    c2 = events.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("double").alias("c2")
+    # materialize the bigram counts: the vocab count below and the final
+    # scoring plan (two joins) would each otherwise re-run the full
+    # tokenize -> explode -> groupBy aggregation over the corpus
+    c2 = materialize(
+        events.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("double").alias("c2")
+        )
     )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = float(c2.select("w2").distinct().count())
@@ -113,6 +120,8 @@ def perplexity_buckets(
     cuts = scored.agg(
         F.percentile_approx("perplexity", qs, 10000).alias("c")
     ).first()["c"]
+    if cuts is None:  # zero scored docs: percentile over empty is NULL
+        return scored.withColumn("bucket", F.lit(0))
     bucket = F.lit(0)
     for c in cuts:
         bucket = bucket + (F.col("perplexity") > F.lit(float(c))).cast("int")

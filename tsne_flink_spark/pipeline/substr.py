@@ -36,12 +36,25 @@ that normalization).
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Java regex \s (what F.split uses) is the ASCII class [ \t\n\x0B\f\r]; the
+# cut stage MUST tokenize with the same rule, not Python str.split(), which
+# splits on Unicode whitespace (\xa0,  , ... — common in web text) and
+# would apply the Spark-computed span indices to the wrong tokens there.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_tokens(text: str | None) -> list[str]:
+    """Python-side mirror of ``_tokens``: split on the Java \\s class and
+    drop empties (matching F.split + the non-empty filter)."""
+    return [t for t in _ASCII_WS.split(text or "") if t]
 
 _SEP = ""
 
@@ -142,7 +155,7 @@ def exact_substring_dedup(
         for pdf in it:
             texts, n_spans, removed = [], [], []
             for text, hit in zip(pdf[text_col], pdf["__hits"]):
-                toks = (text or "").split()
+                toks = _py_tokens(text)
                 if hit is None or not len(hit):
                     texts.append(" ".join(toks))
                     n_spans.append(0)
