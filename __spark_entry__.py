@@ -1051,8 +1051,9 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer trained on the corpus (pipeline/bpe.py: one Spark
     word-count pass + driver merge loop over the capped word table) and
-    applied as a broadcast merge table.  The merge loop is not
-    SQL-expressible — rows-only, with q_bpe_check carrying the verified
+    applied as a broadcast merge table.  Deterministic (lexicographic tie
+    break), so it carries an EXACT DuckDB oracle: the full train+apply
+    unrolled into 64 SQL stages (_bpe_oracle_sql), plus q_bpe_check's
     round-trip invariants."""
     from tsne_flink_spark.pipeline.bpe import (
         bpe_tokenize,
@@ -1878,6 +1879,113 @@ def _lcg_bucket_sql_expr(buckets: int = 100) -> str:
     return lcg_bucket_sql("doc_id", buckets)
 
 
+def _bpe_oracle_sql(
+    n_merges: int = 64, max_words: int = 65536, preview: int = 30
+) -> str:
+    """Exact DuckDB oracle for ``bpe_tokens``: the whole BPE train+apply
+    replayed in unrolled SQL (like the bisection oracle), independent of
+    the Spark implementation.
+
+    Faithfulness argument, mirrored from pipeline/bpe.py:
+
+    - one training stage = count adjacent symbol pairs over the capped
+      word table (weighted by word frequency), pick the best (count desc,
+      then pair lexicographic — VARCHAR binary collation equals Python's
+      tuple compare for UTF-8), and merge its occurrences left-to-right
+      non-overlapping.  Only an a=a pair can have ADJACENT occurrences
+      (a run); keeping odd ranks within each consecutive-position run
+      reproduces the left-to-right scan (``aaaaa`` -> [aa, aa, a]).
+    - applying merges in TRAINING ORDER equals the greedy
+      lowest-rank-first applier (``encode_word``): any pair involving a
+      merged symbol necessarily ranks after every merge that constructs
+      that symbol, so rank-r occurrences can only be enabled by ranks
+      < r, which a rank-ordered replay has already applied.
+    - the apply stages run over ALL distinct words (train counts filter
+      on the capped subset via the ``cap`` flag), so encoding stays exact
+      even if the 65536-word cap ever binds.
+    - EOW = chr(10), matching bpe.EOW ("\\n" — no whitespace-split token
+      can contain it).
+
+    One stage = 4 materialized CTEs (lead view, best pair, merge starts,
+    rebuild); 64 stages run in ~4-5 s on DuckDB at sf0.1."""
+    parts = [f"""
+WITH dws AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS ws
+  FROM documents
+), wf AS MATERIALIZED (
+  SELECT word, n, rk <= {max_words} AS cap FROM (
+    SELECT word, count(*)::BIGINT AS n,
+           row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+    FROM (SELECT unnest(ws) AS word FROM dws)
+    GROUP BY word
+  )
+), s0 AS MATERIALIZED (
+  SELECT word, n, cap, generate_subscripts(syms, 1) - 1 AS i, unnest(syms) AS s
+  FROM (SELECT word, n, cap,
+               list_append(string_split(word, ''), chr(10)) AS syms
+        FROM wf)
+)"""]
+    for t in range(n_merges):
+        parts.append(f""", l{t} AS MATERIALIZED (
+  SELECT word, n, cap, i, s,
+         lead(s) OVER (PARTITION BY word ORDER BY i) AS nx
+  FROM s{t}
+), b{t} AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT s AS a, nx AS b, sum(n) AS cnt
+    FROM l{t} WHERE cap AND nx IS NOT NULL
+    GROUP BY s, nx
+  ) WHERE cnt >= 2 ORDER BY cnt DESC, a, b LIMIT 1
+), m{t} AS MATERIALIZED (
+  SELECT word, i FROM (
+    SELECT word, i,
+           row_number() OVER (
+             PARTITION BY word, i - rn ORDER BY i) AS run_rank
+    FROM (
+      SELECT l.word, l.i,
+             row_number() OVER (PARTITION BY l.word ORDER BY l.i) AS rn
+      FROM l{t} l JOIN b{t} ON l.s = b{t}.a AND l.nx = b{t}.b
+    )
+  ) WHERE run_rank % 2 = 1
+), s{t+1} AS MATERIALIZED (
+  SELECT word, n, cap,
+         row_number() OVER (PARTITION BY word ORDER BY i) - 1 AS i, s
+  FROM (
+    SELECT word, n, cap, i,
+           CASE WHEN m THEN s || nx ELSE s END AS s,
+           lag(m, 1, FALSE) OVER (PARTITION BY word ORDER BY i) AS pm
+    FROM (
+      SELECT l.word, l.n, l.cap, l.i, l.s, l.nx,
+             mm.word IS NOT NULL AS m
+      FROM l{t} l LEFT JOIN m{t} mm ON mm.word = l.word AND mm.i = l.i
+    )
+  ) WHERE NOT pm
+)""")
+    n = n_merges
+    parts.append(f""", enc AS MATERIALIZED (
+  SELECT word, list(s ORDER BY i) AS toks, count(*)::BIGINT AS n_tok
+  FROM s{n} GROUP BY word
+), docw AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+  FROM dws
+), per_doc AS (
+  SELECT d.doc_id, count(*)::BIGINT AS n_words,
+         sum(e.n_tok)::BIGINT AS n_tokens,
+         flatten(list(e.toks ORDER BY d.pos)) AS all_toks
+  FROM docw d JOIN enc e ON e.word = d.w
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_words, n_tokens,
+       array_to_string(all_toks[1:{preview}], '|') AS tokens_preview
+FROM per_doc
+UNION ALL
+SELECT doc_id, 0::BIGINT, 0::BIGINT, ''
+FROM dws WHERE len(ws) = 0""")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     _LCG_BUCKET_SQL = _lcg_bucket_sql_expr()
     return {
@@ -1950,6 +2058,7 @@ SELECT CAST(0 AS BIGINT) AS bad_groups
         "approx_quantile_check": """
 SELECT CAST(0 AS BIGINT) AS rank_bound_violations
 """,
+        "bpe_tokens": _bpe_oracle_sql(),
         "bpe_tokens_check": """
 SELECT CAST(0 AS BIGINT) AS row_count_delta,
        CAST(0 AS BIGINT) AS detok_mismatches,
