@@ -1574,6 +1574,100 @@ def q_tsne_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c4_augment(docs: DataFrame) -> DataFrame:
+    """Deterministic line/punctuation structure for the single-line
+    synthetic documents so the C4 rules have real work (the augment_lines
+    convention; mirrored verbatim in _C4_AUG_SQL).  Per doc: the raw text
+    (no terminal punctuation -> line cut), a 6-line body (3 lines on
+    doc_id % 11 == 0, forcing the too-few-sentences kill), and one
+    rule-triggering extra line by doc_id % 7."""
+    i = F.col("doc_id")
+    body_lines = [
+        F.concat(
+            F.lit(f"body sentence {k} of document "),
+            i.cast("string"),
+            F.lit(" reads fine."),
+        )
+        for k in range(1, 7)
+    ]
+    b6 = F.concat_ws("\n", *body_lines)
+    b3 = F.concat_ws("\n", *body_lines[:3])
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(i % 11 == 0, b3).otherwise(b6),
+            F.when(i % 7 == 0, F.lit("lorem ipsum dolor sit amet.")),
+            F.when(i % 7 == 1, F.lit("var config = { debug: true };")),
+            F.when(i % 7 == 2, F.lit("please enable javascript to continue.")),
+            F.when(i % 7 == 3, F.lit("too shorty.")),
+            F.when(
+                i % 7 == 4,
+                F.lit("this line has no terminal punctuation at all"),
+            ),
+        ).alias("text"),
+    )
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page/line cleaning (Raffel et al. 2020 §2.2; pipeline/quality.
+    c4_line_filter): terminal-punctuation + >= 3 word + no-javascript line
+    rule, lorem-ipsum / curly-brace / too-few-sentences page kills.  Pure
+    Column narrow map; exact DuckDB oracle over the same deterministic
+    augmentation."""
+    from tsne_flink_spark.pipeline.quality import c4_line_filter
+
+    docs = _c4_augment(_t(spark, sf_dir, "documents"))
+    return c4_line_filter(docs).select(
+        "doc_id", "text", "n_lines", "n_kept_lines", "killed", "kill_reason"
+    )
+
+
+def _gopher_augment(docs: DataFrame) -> DataFrame:
+    """Deterministic Gopher-rule load (mirrored in _GOPHER_AUG_SQL):
+    stop-word boost on doc_id % 3 != 2, hash-tag symbol load on % 7 == 0,
+    bullet lines on % 5 == 0, an ellipsis teaser on % 11 == 0."""
+    i = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.when(
+                    i % 3 != 2,
+                    F.lit("of and that have with plenty more words to read"),
+                ),
+                F.when(
+                    i % 7 == 0,
+                    F.lit("#one #two #three #four #five #six #seven #eight"),
+                ),
+            ),
+            F.when(
+                i % 5 == 0,
+                F.lit(
+                    "- bullet item listed here\n- another bullet item here"
+                ),
+            ),
+            F.when(i % 11 == 0, F.lit("click to read the whole story...")),
+        ).alias("text"),
+    )
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality heuristics (Rae et al. 2021 §A1.1; pipeline/quality.
+    gopher_quality): word-count bounds, mean word length, symbol ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, stop-word
+    presence, and the all-rules pass verdict.  Pure Column narrow map;
+    exact DuckDB oracle."""
+    from tsne_flink_spark.pipeline.quality import gopher_quality
+
+    docs = _gopher_augment(_t(spark, sf_dir, "documents"))
+    return gopher_quality(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query at sf0.001: the full t-SNE pipeline."""
     return q_tsne_embedding(spark, "/root/testdata/sf0.001")
@@ -1676,6 +1770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_order_asof": q_event_order_asof,
         "session_overlap": q_session_overlap,
         "token_counts": q_token_counts,
+        # round-8 additions (below the window this round; rotate in next)
+        "c4_clean": q_c4_clean,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -1877,6 +1974,115 @@ def _lcg_bucket_sql_expr(buckets: int = 100) -> str:
     from tsne_flink_spark.pipeline.curation import lcg_bucket_sql
 
     return lcg_bucket_sql("doc_id", buckets)
+
+
+def _c4_body_sql(n: int) -> str:
+    lines = [
+        f"'body sentence {k} of document ' || doc_id::VARCHAR || ' reads fine.'"
+        for k in range(1, n + 1)
+    ]
+    return "concat_ws(chr(10), " + ", ".join(lines) + ")"
+
+
+# SQL twin of _c4_augment (same moduli, same literals)
+_C4_AUG_SQL = f"""
+SELECT doc_id, concat_ws(chr(10),
+  text,
+  CASE WHEN doc_id % 11 = 0 THEN {_c4_body_sql(3)}
+       ELSE {_c4_body_sql(6)} END,
+  CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+  CASE WHEN doc_id % 7 = 1 THEN 'var config = {{ debug: true }};' END,
+  CASE WHEN doc_id % 7 = 2 THEN 'please enable javascript to continue.' END,
+  CASE WHEN doc_id % 7 = 3 THEN 'too shorty.' END,
+  CASE WHEN doc_id % 7 = 4
+       THEN 'this line has no terminal punctuation at all' END
+) AS text FROM documents
+"""
+
+_C4_ORACLE = f"""
+WITH aug AS ({_C4_AUG_SQL}
+), feat AS (
+  SELECT doc_id, text,
+    string_split(text, chr(10)) AS lines,
+    list_filter(string_split(text, chr(10)),
+      l -> regexp_matches(l, '[.!?"”]$')
+           AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                               w -> w <> '')) >= 3
+           AND NOT contains(lower(l), 'javascript')) AS kept,
+    contains(lower(text), 'lorem ipsum') AS lorem,
+    contains(text, '{{') AS brace
+  FROM aug
+)
+SELECT doc_id,
+  array_to_string(kept, chr(10)) AS text,
+  len(lines)::BIGINT AS n_lines,
+  len(kept)::BIGINT AS n_kept_lines,
+  (lorem OR brace OR len(kept) < 5) AS killed,
+  CASE WHEN lorem THEN 'lorem_ipsum'
+       WHEN brace THEN 'curly_brace'
+       WHEN len(kept) < 5 THEN 'too_few_sentences'
+       ELSE '' END AS kill_reason
+FROM feat
+"""
+
+# SQL twin of _gopher_augment
+_GOPHER_AUG_SQL = """
+SELECT doc_id, concat_ws(chr(10),
+  concat_ws(' ',
+    text,
+    CASE WHEN doc_id % 3 <> 2
+         THEN 'of and that have with plenty more words to read' END,
+    CASE WHEN doc_id % 7 = 0
+         THEN '#one #two #three #four #five #six #seven #eight' END),
+  CASE WHEN doc_id % 5 = 0
+       THEN '- bullet item listed here' || chr(10)
+            || '- another bullet item here' END,
+  CASE WHEN doc_id % 11 = 0 THEN 'click to read the whole story...' END
+) AS text FROM documents
+"""
+
+def _gopher_oracle_sql() -> str:
+    from tsne_flink_spark.pipeline.quality import GOPHER_STOPS
+
+    stops = " + ".join(
+        f"list_contains(lows, '{s}')::BIGINT" for s in GOPHER_STOPS
+    )
+    return f"""
+WITH aug AS ({_GOPHER_AUG_SQL}
+), feat AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws,
+    string_split(text, chr(10)) AS lines,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g')))
+      / 3.0 AS n_ell
+  FROM aug
+), m AS (
+  SELECT doc_id, ws,
+    list_transform(ws, w -> lower(w)) AS lows,
+    len(ws)::BIGINT AS n_words,
+    round(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)::DOUBLE
+          / greatest(len(ws), 1), 6) AS mean_word_len,
+    round((n_hash + n_ell) / greatest(len(ws), 1), 6) AS symbol_word_ratio,
+    round(len(list_filter(lines,
+                          l -> regexp_matches(l, '^\\s*[-*•‣▪]')))::DOUBLE
+          / greatest(len(lines), 1), 6) AS bullet_line_frac,
+    round(len(list_filter(lines,
+                          l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))::DOUBLE
+          / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+    round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+          / greatest(len(ws), 1), 6) AS alpha_word_frac
+  FROM feat
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+  ellipsis_line_frac, alpha_word_frac,
+  ({stops})::BIGINT AS n_stop_hits,
+  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+   AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+   AND ({stops}) >= 2) AS passed
+FROM m
+"""
 
 
 def _bpe_oracle_sql(
@@ -3047,4 +3253,6 @@ SELECT source, n_docs, n_tokens,
        round(weight / max(weight) OVER (), 6) AS sample_rate
 FROM wt
 """,
+        "c4_clean": _C4_ORACLE,
+        "gopher_quality": _gopher_oracle_sql(),
     }

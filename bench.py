@@ -118,6 +118,8 @@ def main() -> None:
         "ann_ivf",
         "sliding_user_activity",
         "quality_scores",
+        "c4_clean",
+        "gopher_quality",
         "profile_lineitem",
         "source_stats",
         "multimodal_features",

@@ -1,0 +1,97 @@
+"""C4 and Gopher reference-rule filters (pipeline/quality.py) against
+hand-computed expectations from the published rule sets."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def c4_docs(spark):
+    good = "\n".join(
+        f"this is a perfectly fine sentence number {i}." for i in range(6)
+    )
+    rows = [
+        (0, good),                                     # clean page
+        (1, good + "\nlorem ipsum dolor sit amet."),   # lorem kill
+        (2, good + "\nfunction() { return 1; }"),      # brace kill
+        (3, "a short line.\nno punct here at all\nthis is ok fine."),  # too few kept
+        (4, good + "\nenable javascript to view this page."),  # js line cut
+        (5, good + "\ntiny one."),                     # <3 words line cut
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_c4_line_and_page_rules(spark, c4_docs):
+    from tsne_flink_spark.pipeline.quality import c4_line_filter
+
+    out = {r["doc_id"]: r for r in c4_line_filter(c4_docs).collect()}
+    assert not out[0]["killed"] and out[0]["kill_reason"] == ""
+    assert out[0]["n_kept_lines"] == 6
+    assert out[1]["killed"] and out[1]["kill_reason"] == "lorem_ipsum"
+    assert out[2]["killed"] and out[2]["kill_reason"] == "curly_brace"
+    assert out[3]["killed"] and out[3]["kill_reason"] == "too_few_sentences"
+    assert out[3]["n_kept_lines"] == 2  # 'no punct here' dropped
+    # the javascript line is cut but the page survives (6 good lines)
+    assert not out[4]["killed"]
+    assert out[4]["n_kept_lines"] == 6
+    assert "javascript" not in out[4]["text"]
+    # a 2-word line fails the >= 3 words rule
+    assert out[5]["n_kept_lines"] == 6
+    assert "tiny one." not in out[5]["text"]
+
+
+def test_c4_terminal_punctuation_variants(spark):
+    from tsne_flink_spark.pipeline.quality import c4_line_filter
+
+    base = "\n".join(f"pad sentence number {i} is fine." for i in range(5))
+    rows = [
+        (0, base + '\nhe said "stop right there."'),
+        (1, base + "\nis this a question from me?"),
+        (2, base + "\nwhat an exciting exclamation line!"),
+        (3, base + "\ntrailing comma does not count,"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    assert out[0]["n_kept_lines"] == 6
+    assert out[1]["n_kept_lines"] == 6
+    assert out[2]["n_kept_lines"] == 6
+    assert out[3]["n_kept_lines"] == 5  # comma line dropped
+
+
+def test_gopher_rules(spark):
+    from tsne_flink_spark.pipeline.quality import gopher_quality
+
+    fluent = " ".join(
+        ["the quick brown fox jumps over and over that lazy dog to be "
+         "seen with friends of mine"] * 4
+    )
+    rows = [
+        (0, fluent),                                   # passes everything
+        (1, "word " * 10),                             # too few words
+        (2, fluent + " " + "#tag " * 40),              # symbol ratio blown
+        (3, "\n".join(["- bullet item for all"] * 8)), # 100% bullets
+        (4, " ".join(["12345 67890"] * 40)),           # no alpha words
+        (5, ""),                                       # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert out[0]["passed"] and out[0]["n_stop_hits"] >= 2
+    assert not out[1]["passed"] and out[1]["n_words"] == 10
+    assert not out[2]["passed"]
+    assert out[2]["symbol_word_ratio"] > 0.1
+    assert not out[3]["passed"] and out[3]["bullet_line_frac"] == 1.0
+    assert not out[4]["passed"] and out[4]["alpha_word_frac"] == 0.0
+    assert not out[5]["passed"] and out[5]["n_words"] == 0
+
+
+def test_gopher_ellipsis_lines(spark):
+    from tsne_flink_spark.pipeline.quality import gopher_quality
+
+    body = "the fine words of and that to be have with " * 8
+    rows = [
+        (0, "\n".join([body] + ["click to read more..."] * 9)),
+        (1, "\n".join([body] * 9 + ["one trailing teaser…"])),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert out[0]["ellipsis_line_frac"] == 0.9 and not out[0]["passed"]
+    assert out[1]["ellipsis_line_frac"] == 0.1 and out[1]["passed"]

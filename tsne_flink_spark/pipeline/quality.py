@@ -1,0 +1,159 @@
+"""Reference-rule document quality filters: C4 and Gopher.
+
+Two canonical LLM-corpus cleaning rule sets, implemented as pure Column
+expressions (narrow maps — no shuffle, no Python, embarrassingly parallel
+at any corpus size) with exact DuckDB oracles:
+
+- :func:`c4_line_filter` — the C4 line/page cleaning rules (Raffel et
+  al., "Exploring the Limits of Transfer Learning with a Unified
+  Text-to-Text Transformer", JMLR 2020, §2.2): keep lines ending in
+  terminal punctuation with at least ``min_words`` words and no
+  "javascript"; kill pages containing "lorem ipsum" or a curly brace, or
+  with fewer than ``min_sentences`` kept lines (the line-as-sentence
+  proxy; C4 counts sentences, which on line-structured web text is the
+  same signal).
+- :func:`gopher_quality` — the Gopher quality heuristics (Rae et al.,
+  "Scaling Language Models: Methods, Analysis & Insights from Training
+  Gopher", 2021, §A1.1): word-count bounds, mean word length band,
+  symbol-to-word ratio, bullet/ellipsis line fractions,
+  alphabetic-word fraction, and a minimum number of distinct common
+  English stop words.
+
+Both return every input row annotated (never silently dropped) so the
+caller chooses filter vs audit mode — the same kill-set convention as
+pipeline/curation.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Gopher's "at least 2 of" stop-word list (Rae et al. A1.1)
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_TERMINAL_RE = r'[.!?"”]$'
+_BULLET_RE = r"^\s*[-*•‣▪]"
+_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+
+
+def _words(t: Column) -> Column:
+    return F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """Every input row with the C4-cleaned text plus audit columns.
+
+    Line rule (kept iff ALL hold): ends in terminal punctuation
+    (. ! ? " ”), has >= ``min_words`` whitespace words, does not contain
+    "javascript" (case-insensitive).  Page rules (killed iff ANY):
+    contains "lorem ipsum" (case-insensitive), contains '{', or keeps
+    fewer than ``min_sentences`` lines.  kill_reason is the first
+    matching rule in that order ('' when kept).
+
+    Output: all input columns with ``text_col`` rewritten to the kept
+    lines joined by newline, plus n_lines, n_kept_lines, killed,
+    kill_reason."""
+    raw = F.col(text_col)
+    lines = F.split(raw, "\n")
+    kept = F.filter(
+        lines,
+        lambda t: t.rlike(_TERMINAL_RE)
+        & (F.size(_words(t)) >= F.lit(min_words))
+        & ~F.lower(t).contains("javascript"),
+    )
+    lorem = F.lower(raw).contains("lorem ipsum")
+    brace = raw.contains("{")
+    few = F.size(kept) < F.lit(min_sentences)
+    reason = (
+        F.when(lorem, F.lit("lorem_ipsum"))
+        .when(brace, F.lit("curly_brace"))
+        .when(few, F.lit("too_few_sentences"))
+        .otherwise(F.lit(""))
+    )
+    others = [c for c in docs.columns if c != text_col]
+    return docs.select(
+        *others,
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        (lorem | brace | few).alias("killed"),
+        reason.alias("kill_reason"),
+    )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-document Gopher quality metrics and the pass verdict.
+
+    Rules (ALL must hold to pass): min_words <= n_words <= max_words;
+    3 <= mean word length <= 10; (count('#') + count('...')) / n_words
+    <= 0.1; <= 90% of lines start with a bullet; <= 30% of lines end
+    with an ellipsis; >= 80% of words contain an alphabetic character;
+    >= 2 distinct Gopher stop words present as words.
+
+    Ratio columns are rounded to 6 places (hash-stable across engines);
+    the verdict uses the same rounded values so the two agree."""
+    raw = F.col(text_col)
+    lines = F.split(raw, "\n")
+    words = _words(raw)
+    n_words = F.size(words).cast("long")
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    mean_wlen = F.round(
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        )
+        / nw,
+        6,
+    )
+    n_hash = F.length(raw) - F.length(F.regexp_replace(raw, "#", ""))
+    n_ellipsis = (
+        F.length(raw) - F.length(F.regexp_replace(raw, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = F.round((n_hash + n_ellipsis) / nw, 6)
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda t: t.rlike(_BULLET_RE))) / nl, 6
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda t: t.rlike(_ELLIPSIS_RE))) / nl, 6
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / nw, 6
+    )
+    low = F.transform(words, lambda w: F.lower(w))
+    stop_hits = sum(
+        (F.array_contains(low, s).cast("long") for s in GOPHER_STOPS),
+        F.lit(0).cast("long"),
+    )
+    out = docs.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+    )
+    passed = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_stop_hits") >= 2)
+    )
+    return out.withColumn("passed", passed)
