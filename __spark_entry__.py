@@ -1656,6 +1656,19 @@ def _gopher_augment(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (pipeline/sketches.py): terms with exact
+    count n satisfying n*k > N, found via per-partition k-counter
+    summaries + broadcast exact confirmation — the shuffle carries
+    candidate occurrences, never the whole vocabulary.  Exact output
+    (the sketch only accelerates), so it carries an exact DuckDB
+    oracle with the same integer threshold arithmetic."""
+    from tsne_flink_spark.pipeline.sketches import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return heavy_hitters(docs, k=50)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality heuristics (Rae et al. 2021 §A1.1; pipeline/quality.
     gopher_quality): word-count bounds, mean word length, symbol ratio,
@@ -1773,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 additions (below the window this round; rotate in next)
         "c4_clean": q_c4_clean,
         "gopher_quality": q_gopher_quality,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -3255,4 +3269,14 @@ FROM wt
 """,
         "c4_clean": _C4_ORACLE,
         "gopher_quality": _gopher_oracle_sql(),
+        "heavy_hitters": """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), tot AS (SELECT count(*)::BIGINT AS n FROM toks)
+SELECT term, count(*)::BIGINT AS n
+FROM toks GROUP BY term
+HAVING count(*) * 50 > (SELECT n FROM tot)
+""",
     }

@@ -120,6 +120,7 @@ def main() -> None:
         "quality_scores",
         "c4_clean",
         "gopher_quality",
+        "heavy_hitters",
         "profile_lineitem",
         "source_stats",
         "multimodal_features",

@@ -1,0 +1,81 @@
+"""Misra-Gries heavy hitters (pipeline/sketches.py): the two-phase
+candidate + exact-confirm pipeline must equal the brute-force answer on
+any partitioning, and the MG compression must honor its guarantee."""
+
+import numpy as np
+import pytest
+
+
+def _brute(rows, k):
+    from collections import Counter
+
+    c = Counter()
+    for _, text in rows:
+        c.update(text.lower().split())
+    n = sum(c.values())
+    return {t: m for t, m in c.items() if m * k > n}
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_heavy_hitters_exact_vs_brute(spark, parts):
+    from tsne_flink_spark.pipeline.sketches import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for d in range(120):
+        words = list(rng.choice(vocab, 30))
+        # plant genuine heavy hitters
+        words += ["hot"] * 20 + (["warm"] * 8 if d % 2 == 0 else [])
+        rows.append((d, " ".join(words)))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).repartition(parts)
+    for k in (10, 50):
+        got = {r["term"]: r["n"] for r in heavy_hitters(docs, k=k).collect()}
+        assert got == _brute(rows, k), k
+
+
+def test_heavy_hitters_boundary_is_strict(spark):
+    """n * k == N must NOT qualify (strict >, integer arithmetic)."""
+    from tsne_flink_spark.pipeline.sketches import heavy_hitters
+
+    # 10 tokens total, k=5: threshold is n*5 > 10, i.e. n >= 3
+    rows = [(0, "a a b b c c d d e f")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert heavy_hitters(docs, k=5).collect() == []
+    rows = [(0, "a a a b b c c d e f")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["term"]: r["n"] for r in heavy_hitters(docs, k=5).collect()}
+    assert got == {"a": 3}
+
+
+def test_mg_compress_guarantee():
+    """Any term with count > N/k survives a full MG pass regardless of
+    interleaving (the pigeonhole half of the module-doc proof)."""
+    from tsne_flink_spark.pipeline.sketches import _mg_compress
+
+    rng = np.random.default_rng(3)
+    k = 8
+    stream = list(rng.choice([f"t{i}" for i in range(100)], 3000))
+    stream += ["H"] * 500  # 500 > 3500/8
+    rng.shuffle(stream)
+    counts: dict = {}
+    for i in range(0, len(stream), 97):  # uneven batches
+        batch = stream[i : i + 97]
+        for t in batch:
+            counts[t] = counts.get(t, 0) + 1
+        counts = _mg_compress(counts, k)
+    assert "H" in counts
+    assert len(counts) <= k
+
+
+def test_heavy_hitters_empty_and_unicode(spark):
+    from tsne_flink_spark.pipeline.sketches import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "é é é é ok")],
+        "doc_id bigint, text string",
+    )
+    got = {r["term"]: r["n"] for r in heavy_hitters(docs, k=2).collect()}
+    assert got == {"é": 4}  # 4*2 > 5

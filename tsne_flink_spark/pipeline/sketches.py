@@ -1,0 +1,98 @@
+"""Frequency sketches: Misra-Gries heavy hitters with exact verification.
+
+The 100-TB problem: "which terms appear more than N/k times?" over a
+web-scale corpus.  A plain ``explode -> groupBy(term) -> count`` shuffles
+the ENTIRE vocabulary (billions of keys, most of them singletons) just to
+discard everything below the threshold.  The classic two-phase answer:
+
+1. **candidate generation** (Misra & Gries 1982): one pass per partition
+   with k counters.  Guarantee: any term with partition-local count
+   > N_p / k survives the partition's summary; by pigeonhole, any term
+   with GLOBAL count > N / k exceeds the local threshold in at least one
+   partition, so the union of per-partition survivors is a superset of
+   the true heavy hitters.  The summary is <= k terms per partition —
+   broadcastable no matter how big the corpus.
+2. **exact confirmation**: broadcast-semi-join the candidate set against
+   the token stream and count ONLY those terms exactly, then apply the
+   threshold.  The shuffle carries candidate occurrences, not the
+   vocabulary.
+
+Because phase 2 is exact over a deterministic superset, the final output
+(term, n) with n * k > N is *independent of partitioning* and carries an
+exact DuckDB oracle — the sketch accelerates, never approximates.
+
+The per-partition pass uses the batched Misra-Gries variant: merge an
+Arrow batch's value_counts into the counter map, and when it exceeds k
+entries subtract the (k+1)-th largest count from everything and drop the
+non-positives.  Each subtraction of m removes m * (k+1) stream mass, so
+total decrement per term <= N_p / (k+1) — the survival guarantee holds.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsne_flink_spark.pipeline.text import tokenize
+
+
+def _mg_compress(counts: dict, k: int) -> dict:
+    """Batched Misra-Gries compression to at most k counters."""
+    if len(counts) <= k:
+        return counts
+    vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    # subtract the (k+1)-th largest value; strictly larger counters survive
+    m = np.partition(vals, len(vals) - (k + 1))[len(vals) - (k + 1)]
+    return {t: c - m for t, c in counts.items() if c > m}
+
+
+def mg_partition_candidates(k: int):
+    """mapInPandas function: per-partition Misra-Gries survivors (<= k
+    term rows per partition)."""
+
+    def mg(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        for pdf in it:
+            vc = pdf["term"].value_counts()
+            for t, c in vc.items():
+                counts[t] = counts.get(t, 0) + int(c)
+            counts = _mg_compress(counts, k)
+        yield pd.DataFrame({"term": list(counts.keys())})
+
+    return mg
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(term, n) for every lowercased whitespace term with EXACT corpus
+    count n satisfying n * k > N (N = total token count) — the classic
+    phi = 1/k heavy-hitters set, exact by construction (see module doc).
+
+    The threshold comparison is kept in integer arithmetic (n * k > N,
+    never n > N/k in floats) so the boundary cannot flip across engines.
+    """
+    spark = docs.sparkSession
+    spread = docs.select(id_col, text_col).repartition(
+        spark.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    toks = spread.select(
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("term")
+    )
+    n_total = toks.count()
+    cands = toks.mapInPandas(
+        mg_partition_candidates(k), schema="term string"
+    ).distinct()
+    return (
+        toks.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") * F.lit(k) > F.lit(n_total))
+    )
