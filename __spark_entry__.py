@@ -1656,6 +1656,23 @@ def _gopher_augment(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from a built inverted index (sources/index.py): the
+    tokenize-once / query-many retrieval path.  Numerically identical to
+    q_bm25_scores by construction, so it shares its exact DuckDB oracle;
+    postings are chunk-sharded (max_postings) so a stop word's postings
+    can never exceed one row at corpus scale."""
+    from tsne_flink_spark.sources.index import (
+        bm25_from_index,
+        build_inverted_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index, doclens = build_inverted_index(docs)
+    out = bm25_from_index(index, doclens, ["join", "window", "stream"])
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy hitters (pipeline/sketches.py): terms with exact
     count n satisfying n*k > N, found via per-partition k-counter
@@ -1787,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "gopher_quality": q_gopher_quality,
         "heavy_hitters": q_heavy_hitters,
+        "bm25_index": q_bm25_index,
     }
 
 
@@ -1988,6 +2006,39 @@ def _lcg_bucket_sql_expr(buckets: int = 100) -> str:
     from tsne_flink_spark.pipeline.curation import lcg_bucket_sql
 
     return lcg_bucket_sql("doc_id", buckets)
+
+
+# Shared by bm25_scores (direct scorer) and bm25_index (index-served):
+# the two Spark implementations are numerically identical by construction
+# (tests/test_index.py::test_bm25_from_index_equals_direct), so they carry
+# the SAME exact oracle.
+_BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toks
+), words AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+), q AS (
+  SELECT unnest(['join', 'window', 'stream']) AS term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM words WHERE term IN (SELECT term FROM q) GROUP BY term
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+  FROM words WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+), contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) AS c
+  FROM tf JOIN dfreq d USING (term), stats s
+)
+SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id
+"""
 
 
 def _c4_body_sql(n: int) -> str:
@@ -2538,33 +2589,8 @@ WITH ranked AS (
 SELECT doc_id, (r % 8)::BIGINT AS shard, (r // 8)::BIGINT AS rank_in_shard
 FROM ranked
 """,
-        "bm25_scores": """
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     t -> t <> '') AS t
-  FROM documents
-), stats AS (
-  SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toks
-), words AS (
-  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
-), q AS (
-  SELECT unnest(['join', 'window', 'stream']) AS term
-), dfreq AS (
-  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
-  FROM words WHERE term IN (SELECT term FROM q) GROUP BY term
-), tf AS (
-  SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(dl) AS dl
-  FROM words WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
-), contrib AS (
-  SELECT tf.doc_id,
-         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-           * (tf.tf * 2.2)
-           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) AS c
-  FROM tf JOIN dfreq d USING (term), stats s
-)
-SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id
-""",
+        "bm25_scores": _BM25_ORACLE,
+        "bm25_index": _BM25_ORACLE,
         "chunk_documents": """
 WITH toks AS (
   SELECT doc_id,

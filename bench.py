@@ -109,6 +109,7 @@ def main() -> None:
         "curation_pipeline",
         "tfidf_top_terms",
         "bm25_scores",
+        "bm25_index",
         "lm_perplexity",
         "bpe_tokens",
         "embedding_dedup",

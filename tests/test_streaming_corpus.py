@@ -109,3 +109,69 @@ def test_streaming_ingestion_incremental_dedup(spark, tmp_path):
         assert 10 not in got
     finally:
         q.stop()
+
+
+def test_streaming_quality_monitor(spark, tmp_path):
+    """Corpus-quality monitoring on ingestion: the C4 filter is a pure
+    Column narrow map, so it runs UNCHANGED on a streaming frame; kill
+    reasons aggregate per micro-batch into an append-mode parquet audit
+    trail (the shape of a production data-quality monitor)."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.quality import c4_line_filter
+
+    in_dir = tmp_path / "incoming_q"
+    out_dir = str(tmp_path / "quality_audit")
+    ckpt = str(tmp_path / "ckpt_q")
+    os.makedirs(in_dir)
+
+    good = "\n".join(
+        f"this is a perfectly fine sentence number {k}." for k in range(6)
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(in_dir)
+    )
+    audited = c4_line_filter(stream).select(
+        "doc_id", "killed", "kill_reason"
+    )
+    assert audited.isStreaming
+
+    q = (
+        audited.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        _write_jsonl(
+            str(in_dir / "q1.jsonl"),
+            [
+                {"doc_id": 1, "text": good},
+                {"doc_id": 2, "text": good + "\nlorem ipsum dolor sit amet."},
+            ],
+        )
+        time.sleep(3)
+        _write_jsonl(
+            str(in_dir / "q2.jsonl"),
+            [{"doc_id": 3, "text": "page full of { markup }."}],
+        )
+        deadline = time.time() + 60
+        rows = {}
+        while time.time() < deadline and len(rows) < 3:
+            q.processAllAvailable()
+            try:
+                rows = {
+                    r["doc_id"]: r
+                    for r in spark.read.parquet(out_dir).collect()
+                }
+            except Exception:
+                rows = {}
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(rows) == 3
+    assert not rows[1]["killed"]
+    assert rows[2]["kill_reason"] == "lorem_ipsum"
+    assert rows[3]["kill_reason"] == "curly_brace"

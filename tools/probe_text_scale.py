@@ -95,9 +95,28 @@ def main():
     out["chunk_rows"] = n_ch
     assert n_ch >= n  # every doc yields at least one chunk
 
+    from tsne_flink_spark.pipeline.bpe import (
+        bpe_tokenize,
+        train_bpe,
+        word_frequencies,
+    )
+
+    t0 = time.time()
+    merges = train_bpe(word_frequencies(docs), n_merges=64)
+    bp = bpe_tokenize(docs, merges)
+    n_bp = bp.count()
+    out["bpe_train_apply_sec"] = round(time.time() - t0, 1)
+    out["bpe_rows"] = n_bp
+    assert n_bp == n, (n_bp, n)
+
     print(json.dumps(out))
     # straggler ceilings: B17-class serialization shows up as minutes
-    for k in ("bm25_hotkey_sec", "lm_perplexity_sec", "chunk_documents_sec"):
+    for k in (
+        "bm25_hotkey_sec",
+        "lm_perplexity_sec",
+        "chunk_documents_sec",
+        "bpe_train_apply_sec",
+    ):
         assert out[k] < 300, (k, out[k])
 
 
