@@ -1656,6 +1656,42 @@ def _gopher_augment(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_compression_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the compression-ratio quality signal
+    (pipeline/quality.compression_ratio; zlib output is not identical
+    across zlib builds, so the signal is invariant-gated, oracle:
+    constant zero row): one row out per row in; 0 < ratio <= 1.5 for
+    every non-empty doc; and the SAME text repeated 8x must compress
+    strictly better (ratio_rep < ratio) for every doc with >= 20 bytes —
+    the monotonicity that makes the signal a repetition detector."""
+    from tsne_flink_spark.pipeline.quality import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    n_in = docs.count()
+    base = compression_ratio(docs)
+    rep = compression_ratio(
+        docs.select(
+            "doc_id", F.repeat(F.concat(F.col("text"), F.lit(" ")), 8).alias("text")
+        )
+    ).select("doc_id", F.col("ratio").alias("ratio_rep"))
+    j = base.join(rep, "doc_id")
+    return j.agg(
+        (F.count(F.lit(1)) - F.lit(n_in)).cast("long").alias("row_count_delta"),
+        F.sum(
+            (
+                (F.col("n_bytes") > 0)
+                & (~F.col("ratio").between(1e-9, 1.5))
+            ).cast("long")
+        ).alias("ratio_range_violations"),
+        F.sum(
+            (
+                (F.col("n_bytes") >= 20)
+                & (F.col("ratio_rep") >= F.col("ratio"))
+            ).cast("long")
+        ).alias("repetition_monotonicity_violations"),
+    )
+
+
 def q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 served from a built inverted index (sources/index.py): the
     tokenize-once / query-many retrieval path.  Numerically identical to
@@ -1805,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "heavy_hitters": q_heavy_hitters,
         "bm25_index": q_bm25_index,
+        "compression_check": q_compression_check,
     }
 
 
@@ -2591,6 +2628,11 @@ FROM ranked
 """,
         "bm25_scores": _BM25_ORACLE,
         "bm25_index": _BM25_ORACLE,
+        "compression_check": """
+SELECT CAST(0 AS BIGINT) AS row_count_delta,
+       CAST(0 AS BIGINT) AS ratio_range_violations,
+       CAST(0 AS BIGINT) AS repetition_monotonicity_violations
+""",
         "chunk_documents": """
 WITH toks AS (
   SELECT doc_id,

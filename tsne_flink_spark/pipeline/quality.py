@@ -88,6 +88,52 @@ def c4_line_filter(
     )
 
 
+def compression_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """(id, n_bytes, n_compressed, ratio) per document — the
+    compression-ratio quality signal (e.g. RefinedWeb; MassiveText's
+    repetition filters approximate the same thing): templated/repetitive
+    text compresses far better than natural prose, so a LOW ratio flags
+    boilerplate and a ratio near/above 1 flags high-entropy garble.
+
+    zlib at a fixed level is deterministic for a given library build, but
+    NOT across zlib builds — so this operator is gate-checked by
+    invariants (q_compression_check), not a value hash.  Arrow-batched
+    mapInPandas; one narrow pass, no shuffle."""
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    def comp(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            nb, nc = [], []
+            for text in pdf[text_col]:
+                raw = (text or "").encode("utf-8")
+                nb.append(len(raw))
+                nc.append(len(zlib.compress(raw, level)))
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                    "n_compressed": pd.Series(nc, dtype="int64"),
+                }
+            )
+            out["ratio"] = out["n_compressed"] / out["n_bytes"].clip(lower=1)
+            yield out
+
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col), text_col
+    ).mapInPandas(
+        comp,
+        schema=f"{id_col} long, n_bytes long, n_compressed long, ratio double",
+    )
+
+
 def gopher_quality(
     docs: DataFrame,
     id_col: str = "doc_id",
