@@ -1656,6 +1656,22 @@ def _gopher_augment(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the exact near-dup similarity graph (operators/
+    graph.pagerank on ngram_jaccard_pairs edges): centrality of template
+    families — the graph-analytics rank a curation pipeline weighs when
+    choosing cluster representatives.  10 power iterations, damping
+    0.85; exact DuckDB oracle unrolls the same iterations over the same
+    pair-mining CTE (_pagerank_oracle_sql)."""
+    from tsne_flink_spark.operators.graph import pagerank
+    from tsne_flink_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
+    out = pagerank(edges, iters=10, damping=0.85)
+    return out.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_compression_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified invariants for the compression-ratio quality signal
     (pipeline/quality.compression_ratio; zlib output is not identical
@@ -1842,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "bm25_index": q_bm25_index,
         "compression_check": q_compression_check,
+        "dup_pagerank": q_dup_pagerank,
     }
 
 
@@ -2043,6 +2060,66 @@ def _lcg_bucket_sql_expr(buckets: int = 100) -> str:
     from tsne_flink_spark.pipeline.curation import lcg_bucket_sql
 
     return lcg_bucket_sql("doc_id", buckets)
+
+
+def _pagerank_oracle_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """Exact oracle for ``dup_pagerank``: the ngram-Jaccard pair miner
+    (same CTE as the ngram_jaccard_pairs oracle) feeding ``iters``
+    unrolled synchronous power iterations.  The symmetrized edge set has
+    no dangling nodes (every endpoint has an out-edge), matching the
+    undirected Spark path where the dangling term is identically 0."""
+    parts = [f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ltok
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(ltok) - 1, 1) + 1),
+           i -> array_to_string(list_slice(ltok, i, i + 1), ' ')
+         )) AS grams
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), cands AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), pairs AS MATERIALIZED (
+  SELECT c.a, c.b
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b
+  WHERE len(list_intersect(sa.grams, sb.grams))
+        / greatest(len(list_distinct(list_concat(sa.grams, sb.grams))), 1)
+        >= 0.5
+), edges AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM pairs
+  UNION
+  SELECT b AS s, a AS d FROM pairs
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT s AS id FROM edges
+), deg AS MATERIALIZED (
+  SELECT s, count(*)::DOUBLE AS dg FROM edges GROUP BY s
+), r0 AS MATERIALIZED (
+  SELECT id, 1.0::DOUBLE AS rank FROM nodes
+)"""]
+    for t in range(iters):
+        parts.append(f""", r{t+1} AS MATERIALIZED (
+  SELECT n.id,
+         {1.0 - damping!r} + {damping!r} * coalesce(c.inr, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS id, sum(r.rank / dg.dg) AS inr
+    FROM edges e
+    JOIN r{t} r ON r.id = e.s
+    JOIN deg dg ON dg.s = e.s
+    GROUP BY e.d
+  ) c ON c.id = n.id
+)""")
+    parts.append(f"""
+SELECT id, round(rank, 6) AS rank FROM r{iters}""")
+    return "".join(parts)
 
 
 # Shared by bm25_scores (direct scorer) and bm25_index (index-served):
@@ -3335,6 +3412,7 @@ SELECT source, n_docs, n_tokens,
        round(weight / max(weight) OVER (), 6) AS sample_rate
 FROM wt
 """,
+        "dup_pagerank": _pagerank_oracle_sql(),
         "c4_clean": _C4_ORACLE,
         "gopher_quality": _gopher_oracle_sql(),
         "heavy_hitters": """

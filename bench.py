@@ -106,6 +106,7 @@ def main() -> None:
         # generated-code cache (measured 72 s cold-first vs 10 s after a
         # warm miner run at sf0.1)
         "dup_clusters",
+        "dup_pagerank",
         "curation_pipeline",
         "tfidf_top_terms",
         "bm25_scores",

@@ -1,0 +1,76 @@
+"""PageRank (operators/graph.py) against a pure-python power iteration
+on hand-built graphs, including dangling nodes and disconnected parts."""
+
+import numpy as np
+import pytest
+
+
+def _ref_pagerank(edges, n_ids, iters=10, d=0.85, undirected=True):
+    """Dense numpy reference with the same conventions (mass = N)."""
+    ids = sorted(n_ids)
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    es = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        es.add((a, b))
+        if undirected:
+            es.add((b, a))
+    for a, b in es:
+        A[idx[b], idx[a]] = 1.0
+    deg = A.sum(axis=0)
+    r = np.ones(n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        nz = deg > 0
+        contrib += A[:, nz] @ (r[nz] / deg[nz])
+        dangling = r[~nz].sum()
+        r = (1 - d) + d * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in ids}
+
+
+def test_pagerank_matches_reference_undirected(spark):
+    from tsne_flink_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11)]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {r["id"]: r["rank"] for r in pagerank(df).collect()}
+    ids = {x for e in edges for x in e}
+    want = _ref_pagerank(edges, ids)
+    assert set(got) == ids
+    for v in ids:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    # hub 3 outranks leaf 4; total mass conserved at N
+    assert got[3] > got[4]
+    assert sum(got.values()) == pytest.approx(len(ids), abs=1e-6)
+
+
+def test_pagerank_directed_with_dangling(spark):
+    from tsne_flink_spark.operators.graph import pagerank
+
+    # 3 is a dangling sink: its mass must redistribute, not vanish
+    edges = [(1, 3), (2, 3), (1, 2)]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, undirected=False).collect()
+    }
+    want = _ref_pagerank(edges, {1, 2, 3}, undirected=False)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    assert got[3] > got[2] > got[1]  # sink collects, source teleports only
+    assert sum(got.values()) == pytest.approx(3.0, abs=1e-6)
+
+
+def test_pagerank_duplicate_and_self_edges_ignored(spark):
+    from tsne_flink_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1), (1, 1)], "a bigint, b bigint"
+    )
+    got = {r["id"]: r["rank"] for r in pagerank(df).collect()}
+    # symmetric 2-node graph: uniform ranks
+    assert got[1] == pytest.approx(1.0, abs=1e-12)
+    assert got[2] == pytest.approx(1.0, abs=1e-12)

@@ -104,3 +104,80 @@ def connected_components(
         f"connected_components did not converge in {max_rounds} rounds "
         "(log2(diameter) rounds expected; is the edge set adversarial?)"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    iters: int = 10,
+    damping: float = 0.85,
+    undirected: bool = True,
+) -> DataFrame:
+    """(id, rank) after ``iters`` synchronous power iterations of
+    PageRank (Brin & Page 1998) with uniform teleport.
+
+    In a curation pipeline this ranks the near-dup similarity graph
+    (centrality of a template family) or a URL/domain link graph (the
+    domain-quality prior CommonCrawl-derived corpora weight by).
+
+    Dataflow per iteration: one equi-join of ranks onto the out-edge
+    list + one groupBy(dst) sum — O(|E|) shuffled rows, AQE-handled
+    skew for celebrity nodes, the 1-row dangling-mass aggregate on the
+    driver.  Deterministic up to float-sum order; the DuckDB oracle
+    unrolls the same iterations (__spark_entry__._pagerank_oracle_sql).
+
+    Dangling nodes (no out-edges — only possible when ``undirected``
+    is False) redistribute their mass uniformly, the standard
+    stochastic-matrix completion.  Ranks sum to the node count (the
+    "rank mass = N" convention, so an isolated graph's uniform rank
+    is 1.0 per node)."""
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if undirected:
+        e = e.union(
+            edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d"))
+        )
+    e = materialize(e.where(F.col("__s") != F.col("__d")).distinct())
+    nodes = materialize(
+        e.select(F.col("__s").alias("id"))
+        .union(e.select(F.col("__d").alias("id")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("rank"))
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).cast("double").alias("__deg"))
+    out_e = materialize(e.join(deg, "__s"))
+
+    ranks = materialize(nodes.select("id", F.lit(1.0).alias("rank")))
+    for _ in range(iters):
+        contrib = (
+            out_e.join(ranks.select(F.col("id").alias("__s"), "rank"), "__s")
+            .select(
+                F.col("__d").alias("id"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(
+                deg.select(F.col("__s").alias("id")), "id", "left_anti"
+            )
+            .agg(F.sum("rank").alias("m"))
+            .first()["m"]
+            or 0.0
+        )
+        ranks = materialize(
+            nodes.join(contrib, "id", "left").select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__in"), F.lit(0.0))
+                       + F.lit(float(dangling) / n))
+                ).alias("rank"),
+            )
+        )
+    return ranks
