@@ -95,3 +95,46 @@ def test_read_warc_end_to_end(spark, tmp_path, gz):
     assert texts["http://a.example/1"] == "hello web page one with words"
     ids = [r["doc_id"] for r in docs]
     assert len(set(ids)) == 2  # deterministic distinct identities
+
+
+def test_extract_links_and_domain_pagerank_chain(spark, tmp_path):
+    """The full raw-web chain: WARC records -> documents -> href
+    extraction -> domain edges -> PageRank.  The hub domain every page
+    links to must outrank the leaves."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.operators.graph import pagerank
+    from tsne_flink_spark.sources.warc import (
+        extract_links,
+        read_warc,
+        warc_to_documents,
+    )
+
+    pages = [
+        ("http://a.example/", b'<a href="http://hub.example/x">hub</a> '
+                              b'<a href="http://b.example/y">b</a>'),
+        ("http://b.example/", b"<A HREF='http://hub.example/z'>hub</A>"),
+        ("http://c.example/", b'<a href="http://hub.example/">hub</a>'),
+    ]
+    out = b""
+    for uri, body in pages:
+        out += _record("response", uri, body, ctype="text/html")
+    path = tmp_path / "links.warc"
+    path.write_bytes(out)
+
+    docs = warc_to_documents(read_warc(spark, str(path)))
+    links = extract_links(docs.withColumnRenamed("doc_id", "doc_id"))
+    assert links.count() == 4  # both quote styles, case-insensitive
+
+    dom = F.regexp_extract(F.col("href"), r"https?://([^/]+)", 1)
+    src_dom = F.regexp_extract(F.col("url"), r"https?://([^/]+)", 1)
+    edges = (
+        links.join(docs.select("doc_id", "url"), "doc_id")
+        .select(src_dom.alias("a"), dom.alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    ranks = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, undirected=False, iters=10).collect()
+    }
+    assert ranks["hub.example"] == max(ranks.values())

@@ -136,3 +136,23 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
         F.col("target_uri").alias("url"),
         F.decode(F.col("payload"), "UTF-8").alias("text"),
     )
+
+
+_HREF_RE = r"""(?i)href\s*=\s*["']([^"'<>\s]+)["']"""
+
+
+def extract_links(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, href) — one row per href attribute in the document's markup
+    (quoted values only, the overwhelmingly dominant form).  Pure Column
+    regexp_extract_all + explode: narrow, no Python.  Feeding these into
+    operators/graph.pagerank (grouped to the domain level via
+    pipeline/scrub.canonical_url) is the WARC -> link graph -> centrality
+    chain a domain-quality prior is built from."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_HREF_RE), 1)
+        ).alias("href"),
+    )
