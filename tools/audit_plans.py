@@ -55,6 +55,11 @@ AUDITED = [
     "promo_revenue_monthly",
     "token_histogram",
     "lang_source_matrix",
+    "c4_clean",
+    "gopher_quality",
+    "heavy_hitters",
+    "bm25_index",
+    "dup_pagerank",
 ]
 
 
