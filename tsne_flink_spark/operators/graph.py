@@ -150,7 +150,7 @@ def pagerank(
     out_e = materialize(e.join(deg, "__s"))
 
     ranks = materialize(nodes.select("id", F.lit(1.0).alias("rank")))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             out_e.join(ranks.select(F.col("id").alias("__s"), "rank"), "__s")
             .select(
@@ -160,24 +160,36 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("__c").alias("__in"))
         )
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = (
-            ranks.join(
-                deg.select(F.col("__s").alias("id")), "id", "left_anti"
+        # dangling mass: rank held by nodes with no out-edges.  A
+        # symmetrized graph has none — skip the per-iteration driver
+        # action entirely (it was the dominant cost on small graphs:
+        # one extra job + round-trip per iteration for a constant 0).
+        if undirected:
+            dangling = 0.0
+        else:
+            dangling = (
+                ranks.join(
+                    deg.select(F.col("__s").alias("id")), "id", "left_anti"
+                )
+                .agg(F.sum("rank").alias("m"))
+                .first()["m"]
+                or 0.0
             )
-            .agg(F.sum("rank").alias("m"))
-            .first()["m"]
-            or 0.0
+        ranks = nodes.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping)
+                * (F.coalesce(F.col("__in"), F.lit(0.0))
+                   + F.lit(float(dangling) / n))
+            ).alias("rank"),
         )
-        ranks = materialize(
-            nodes.join(contrib, "id", "left").select(
-                "id",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("__in"), F.lit(0.0))
-                       + F.lit(float(dangling) / n))
-                ).alias("rank"),
-            )
-        )
+        # checkpoint on a cadence, not every round: each iteration
+        # references the previous ranks exactly once, so the
+        # un-truncated lineage is a CHAIN (no recompute diamond) and a
+        # handful of chained joins costs Catalyst nothing — but the
+        # directed path's dangling action, and unbounded growth, still
+        # need periodic truncation
+        if (not undirected) or it % 4 == 3 or it == iters - 1:
+            ranks = materialize(ranks)
     return ranks
