@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1656,6 +1657,56 @@ def _gopher_augment(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity split (pipeline/lm.
+    perplexity_buckets): corpus-LM perplexity bucketed by GK-sketch
+    tertile boundaries.  The GK boundaries are deterministic for fixed
+    data but not reproducible in DuckDB — rows-only, with
+    q_perplexity_buckets_check carrying the verified invariants."""
+    from tsne_flink_spark.pipeline.lm import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    out = perplexity_buckets(docs, n_buckets=3)
+    return out.select("doc_id", "n_tokens", "bucket")
+
+
+def q_perplexity_buckets_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the perplexity split (oracle: constant
+    zero row): one row per scored doc; buckets within [0, 2] and all
+    three populated (>= N/10 each on this corpus); and threshold
+    consistency — the max perplexity of bucket i is strictly below the
+    min of bucket i+1 (bucket = count of boundaries exceeded is monotone
+    in perplexity, so ranges can never interleave)."""
+    from tsne_flink_spark.pipeline.lm import ngram_lm_scores, perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    n_scored = ngram_lm_scores(docs).count()
+    out = perplexity_buckets(docs, n_buckets=3)
+    per_bucket = out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("perplexity").alias("lo"),
+        F.max("perplexity").alias("hi"),
+    )
+    w = Window.orderBy("bucket")
+    ordered = per_bucket.select(
+        "bucket", "n", "lo", "hi", F.lag("hi").over(w).alias("prev_hi")
+    )
+    return ordered.agg(
+        (F.sum("n") - F.lit(n_scored)).cast("long").alias("row_count_delta"),
+        F.sum(
+            (~F.col("bucket").between(0, 2)).cast("long")
+        ).alias("bucket_range_violations"),
+        (F.lit(3) - F.count(F.lit(1))).cast("long").alias("missing_buckets"),
+        F.sum(
+            (F.col("n") < F.lit(n_scored) / 10).cast("long")
+        ).alias("undersized_buckets"),
+        F.sum(
+            (F.col("prev_hi").isNotNull() & (F.col("prev_hi") >= F.col("lo")))
+            .cast("long")
+        ).alias("threshold_order_violations"),
+    )
+
+
 def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the exact near-dup similarity graph (operators/
     graph.pagerank on ngram_jaccard_pairs edges): centrality of template
@@ -1859,6 +1910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index": q_bm25_index,
         "compression_check": q_compression_check,
         "dup_pagerank": q_dup_pagerank,
+        "perplexity_buckets": q_perplexity_buckets,
+        "perplexity_buckets_check": q_perplexity_buckets_check,
     }
 
 
@@ -3413,6 +3466,13 @@ SELECT source, n_docs, n_tokens,
 FROM wt
 """,
         "dup_pagerank": _pagerank_oracle_sql(),
+        "perplexity_buckets_check": """
+SELECT CAST(0 AS BIGINT) AS row_count_delta,
+       CAST(0 AS BIGINT) AS bucket_range_violations,
+       CAST(0 AS BIGINT) AS missing_buckets,
+       CAST(0 AS BIGINT) AS undersized_buckets,
+       CAST(0 AS BIGINT) AS threshold_order_violations
+""",
         "c4_clean": _C4_ORACLE,
         "gopher_quality": _gopher_oracle_sql(),
         "heavy_hitters": """
