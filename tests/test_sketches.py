@@ -79,3 +79,64 @@ def test_heavy_hitters_empty_and_unicode(spark):
     )
     got = {r["term"]: r["n"] for r in heavy_hitters(docs, k=2).collect()}
     assert got == {"é": 4}  # 4*2 > 5
+
+
+def test_streaming_heavy_hitters_state_merge(spark, tmp_path):
+    """Micro-batch MG merge: a term heavy across batches (never dominant
+    within one) must survive in the persisted summary; per-state row
+    budget stays <= k."""
+    import json
+    import os
+    import time
+
+    from tsne_flink_spark.pipeline.sketches import streaming_heavy_hitters
+
+    in_dir = tmp_path / "docs_in"
+    state_dir = str(tmp_path / "hh_state")
+    os.makedirs(in_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(in_dir)
+    )
+    q = streaming_heavy_hitters(
+        stream, state_dir, k=8,
+        checkpoint_dir=str(tmp_path / "ckpt_hh"),
+    )
+
+    def write_batch(name, rows):
+        with open(in_dir / name, "w") as f:
+            for i, text in rows:
+                f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+
+    try:
+        rng_words = [f"w{i}" for i in range(40)]
+        write_batch(
+            "b1.jsonl",
+            [(i, " ".join(rng_words[i % 40 : i % 40 + 6]) + " hot hot")
+             for i in range(20)],
+        )
+        q.processAllAvailable()
+        write_batch(
+            "b2.jsonl",
+            [(100 + i, " ".join(rng_words[(7 * i) % 40 : (7 * i) % 40 + 6])
+              + " hot hot hot")
+             for i in range(20)],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("batch=")
+    )
+    assert len(batches) >= 2
+    final = {
+        r["term"]: r["n"]
+        for r in spark.read.parquet(
+            f"{state_dir}/batch={batches[-1]}"
+        ).collect()
+    }
+    assert len(final) <= 8
+    assert "hot" in final  # 100 occurrences across batches, the global max

@@ -96,3 +96,85 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .where(F.col("n") * F.lit(k) > F.lit(n_total))
     )
+
+
+def merge_heavy_hitter_state(
+    prev_state: DataFrame | None,
+    batch_counts: DataFrame,
+    k: int,
+) -> DataFrame:
+    """One distributed Misra-Gries merge step: sum the previous summary
+    with a batch's exact term counts, then compress to <= k counters by
+    subtracting the (k+1)-th largest count (the batched MG rule — the
+    survival guarantee composes across merges because each compression
+    still retires >= (k+1) units of stream mass per unit subtracted)."""
+    merged = (
+        batch_counts
+        if prev_state is None
+        else prev_state.unionByName(batch_counts)
+    ).groupBy("term").agg(F.sum("n").cast("long").alias("n"))
+    top = merged.orderBy(F.col("n").desc(), F.col("term")).limit(k + 1)
+    rows = top.collect()
+    if len(rows) <= k:
+        return merged
+    m = rows[k]["n"]
+    return merged.select("term", (F.col("n") - F.lit(m)).alias("n")).where(
+        F.col("n") > 0
+    )
+
+
+def streaming_heavy_hitters(
+    stream_docs: DataFrame,
+    state_dir: str,
+    k: int = 50,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int = 1,
+):
+    """Continuous heavy-hitter tracking over a streaming corpus: each
+    micro-batch's exact term counts are MG-merged into a persisted
+    summary (parquet under ``state_dir/batch=<id>``).
+
+    Idempotent under micro-batch replay: batch N's state is a pure
+    function of state N-1 and batch N's data, written to batch N's own
+    directory — a reprocessed batch overwrites its own output, never
+    double-counts.  The latest directory is the current summary; it is a
+    candidate SUPERSET of the true heavy hitters of everything ingested
+    (confirm exactly against an archive with :func:`heavy_hitters`'s
+    broadcast-join phase when precision matters).
+
+    Returns the StreamingQuery."""
+    import os as _os
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = (
+            batch_df.select(
+                F.explode(tokenize(F.lower(F.col(text_col)))).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        prev = None
+        if _os.path.isdir(state_dir):
+            done = sorted(
+                int(d.split("=", 1)[1])
+                for d in _os.listdir(state_dir)
+                if d.startswith("batch=") and d.split("=", 1)[1].isdigit()
+                and int(d.split("=", 1)[1]) < batch_id
+            )
+            if done:
+                prev = spark.read.parquet(
+                    f"{state_dir}/batch={done[-1]}"
+                )
+        state = merge_heavy_hitter_state(prev, counts, k)
+        state.write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}"
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(step).trigger(
+        processingTime=f"{trigger_seconds} seconds"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
