@@ -1657,6 +1657,67 @@ def _gopher_augment(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: three-table join with a
+    market-segment filter pushed to the customer scan and date-range
+    filters pushed to orders/lineitem, top-10 unshipped orders by
+    revenue.  AQE broadcasts the filtered customer side.  Date FILTERS
+    compare native timestamp_ntz values (wall-clock in both engines) so
+    they push into the parquet scan for row-group skipping
+    (`PushedFilters: LessThan(o_orderdate, ...)`); date OUTPUT goes
+    through yyyy-MM-dd strings per repo convention.  Exact oracle."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority count: EXISTS semi-join (orders
+    having at least one late lineitem) — the left-semi join pattern the
+    relational surface was missing.  Exact DuckDB oracle."""
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp_ntz"),
+            F.lit("1996-12-31").cast("timestamp_ntz"),
+        )
+    )
+    late = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-06-30").cast("timestamp_ntz")
+    )
+    return (
+        orders.join(
+            late,
+            orders["o_orderkey"] == late["l_orderkey"],
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail perplexity split (pipeline/lm.
     perplexity_buckets): corpus-LM perplexity bucketed by GK-sketch
@@ -1910,6 +1971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index": q_bm25_index,
         "compression_check": q_compression_check,
         "dup_pagerank": q_dup_pagerank,
+        "shipping_priority": q_shipping_priority,
+        "order_priority": q_order_priority,
         "perplexity_buckets": q_perplexity_buckets,
         "perplexity_buckets_check": q_perplexity_buckets_check,
     }
@@ -3466,6 +3529,33 @@ SELECT source, n_docs, n_tokens,
 FROM wt
 """,
         "dup_pagerank": _pagerank_oracle_sql(),
+        "shipping_priority": """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND strftime(o_orderdate, '%Y-%m-%d') < '1998-01-01'
+  AND strftime(l_shipdate, '%Y-%m-%d') > '1998-01-01'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+        "order_priority": """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE strftime(o_orderdate, '%Y-%m-%d') BETWEEN '1996-01-01' AND '1996-12-31'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND strftime(l.l_shipdate, '%Y-%m-%d') > '1997-06-30'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
         "perplexity_buckets_check": """
 SELECT CAST(0 AS BIGINT) AS row_count_delta,
        CAST(0 AS BIGINT) AS bucket_range_violations,

@@ -62,6 +62,8 @@ def main() -> None:
         "pricing_summary",
         "top_revenue_orders",
         "promo_revenue_monthly",
+        "shipping_priority",
+        "order_priority",
         "regional_revenue",
         "grouped_topk_orders",
         "global_aggregates",
