@@ -875,3 +875,47 @@ def test_curate_cli_perplexity_tail_cut_tokenless_corpus(spark, tmp_path):
         spark=spark,
     )
     assert rc == 0
+
+
+def test_curate_cli_c4_and_gopher_stages(spark, tmp_path):
+    """--c4-clean strips non-sentence lines and kills lorem/brace pages;
+    --gopher-filter drops documents failing the Gopher heuristics."""
+    from tsne_flink_spark.pipeline.curate_cli import main
+
+    vocab = {
+        1: "alpha bravo charlie delta echo foxtrot golf hotel".split(),
+        2: "india juliet kilo lima mike november oscar papa".split(),
+        3: "quebec romeo sierra tango uniform victor whiskey xray".split(),
+    }
+
+    def body(d):
+        # disjoint vocabularies: near-dup stages must keep them all apart
+        ws = vocab[d]
+        return "\n".join(
+            "the " + " ".join(ws[(k + j) % 8] for j in range(6))
+            + f" line {k} of that have with story ends well."
+            for k in range(6)
+        )
+
+    rows = [
+        (1, body(1) + "\nthis line has no punctuation at all", "en"),
+        (2, body(2) + "\nlorem ipsum dolor sit amet.", "en"),  # C4 kill
+        (3, body(3), "en"),
+        (4, "tiny doc.", "en"),                                 # gopher kill
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    src = str(tmp_path / "docs_c4.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "c4_clean_out")
+    rc = main(
+        ["--input", src, "--output", out, "--mode", "filter",
+         "--rate", "en=100", "--default-rate", "100", "--quality-min", "0.0",
+         "--c4-clean", "--gopher-filter"],
+        spark=spark,
+    )
+    assert rc == 0
+    kept = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert 2 not in kept          # lorem ipsum page killed by C4
+    assert 4 not in kept          # too-few-words doc killed by Gopher
+    assert 1 in kept and 3 in kept
+    assert "no punctuation" not in kept[1]["text"]  # line stripped by C4

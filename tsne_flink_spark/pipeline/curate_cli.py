@@ -78,6 +78,23 @@ def build_parser() -> argparse.ArgumentParser:
         "percentile_approx — no global sort",
     )
     p.add_argument(
+        "--c4-clean",
+        action="store_true",
+        help="apply the C4 line/page rules BEFORE the pipeline runs "
+        "(Raffel et al. 2020 §2.2): keep terminal-punctuation lines with "
+        ">= 3 words and no 'javascript'; drop pages with lorem ipsum, a "
+        "curly brace, or < 5 kept lines — dedup/quality then see the "
+        "cleaned text",
+    )
+    p.add_argument(
+        "--gopher-filter",
+        action="store_true",
+        help="drop documents failing the Gopher quality heuristics "
+        "BEFORE the pipeline runs (Rae et al. 2021 §A1.1: word-count "
+        "bounds, mean word length, symbol ratio, bullet/ellipsis lines, "
+        "alphabetic-word fraction, stop-word presence)",
+    )
+    p.add_argument(
         "--redact-pii",
         action="store_true",
         help="replace emails/phones/IPv4s with typed placeholders in the "
@@ -190,6 +207,26 @@ def run(args: argparse.Namespace, spark=None) -> int:
                 docs = materialize(
                     docs.join(keep.union(unscored), args.id_col)
                 )
+        if args.c4_clean:
+            from tsne_flink_spark.operators.optimize import materialize
+            from tsne_flink_spark.pipeline.quality import c4_line_filter
+
+            cleaned = c4_line_filter(
+                docs, id_col=args.id_col, text_col=args.text_col
+            )
+            docs = materialize(
+                cleaned.where(~cleaned["killed"]).drop(
+                    "n_lines", "n_kept_lines", "killed", "kill_reason"
+                )
+            )
+        if args.gopher_filter:
+            from tsne_flink_spark.operators.optimize import materialize
+            from tsne_flink_spark.pipeline.quality import gopher_quality
+
+            keep = gopher_quality(
+                docs, id_col=args.id_col, text_col=args.text_col
+            ).where("passed").select(args.id_col)
+            docs = materialize(docs.join(keep, args.id_col))
         if args.strip_dup_substrings > 0:
             from tsne_flink_spark.operators.optimize import materialize
             from tsne_flink_spark.pipeline.substr import exact_substring_dedup
