@@ -1657,6 +1657,37 @@ def _gopher_augment(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-line repetition signals (pipeline/quality.
+    line_repetition) over deterministically line-structured documents:
+    every doc gets its 4-line body, docs with doc_id % 3 == 0 repeat the
+    first body line twice more (the duplicate-line load).  Exact DuckDB
+    oracle over the same augmentation."""
+    from tsne_flink_spark.pipeline.quality import line_repetition
+
+    i = F.col("doc_id")
+    first = F.concat(
+        F.lit("repeated promo line for document group "),
+        (i % 7).cast("string"),
+    )
+    body = [
+        F.concat(
+            F.lit(f"body line {k} of document "), i.cast("string")
+        )
+        for k in range(1, 5)
+    ]
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            *body,
+            F.when(i % 3 == 0, F.concat_ws("\n", first, first)),
+        ).alias("text"),
+    )
+    return line_repetition(docs)
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style shipping priority: three-table join with a
     market-segment filter pushed to the customer scan and date-range
@@ -1973,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_pagerank": q_dup_pagerank,
         "shipping_priority": q_shipping_priority,
         "order_priority": q_order_priority,
+        "line_repetition": q_line_repetition,
         "perplexity_buckets": q_perplexity_buckets,
         "perplexity_buckets_check": q_perplexity_buckets_check,
     }
@@ -3529,6 +3561,37 @@ SELECT source, n_docs, n_tokens,
 FROM wt
 """,
         "dup_pagerank": _pagerank_oracle_sql(),
+        "line_repetition": """
+WITH aug AS (
+  SELECT doc_id, concat_ws(chr(10),
+    text,
+    'body line 1 of document ' || doc_id::VARCHAR,
+    'body line 2 of document ' || doc_id::VARCHAR,
+    'body line 3 of document ' || doc_id::VARCHAR,
+    'body line 4 of document ' || doc_id::VARCHAR,
+    CASE WHEN doc_id % 3 = 0 THEN
+      'repeated promo line for document group ' || (doc_id % 7)::VARCHAR
+      || chr(10) ||
+      'repeated promo line for document group ' || (doc_id % 7)::VARCHAR
+    END
+  ) AS text FROM documents
+), feat AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         list_distinct(string_split(text, chr(10))) AS dl
+  FROM aug
+)
+SELECT doc_id,
+  len(lines)::BIGINT AS n_lines,
+  (len(lines) - len(dl))::BIGINT AS n_dup_lines,
+  round((len(lines) - len(dl)) / greatest(len(lines), 1), 6) AS dup_line_frac,
+  round(
+    (coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+     - coalesce(list_sum(list_transform(dl, l -> length(l))), 0))
+    / greatest(coalesce(list_sum(list_transform(lines, l -> length(l))), 0), 1),
+    6) AS dup_line_char_frac
+FROM feat
+""",
         "shipping_priority": """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,

@@ -85,6 +85,7 @@ def main() -> None:
         "language_id",
         "language_id_ngram",
         "repetition_stats",
+        "line_repetition",
         "token_histogram",
         "lang_source_matrix",
         "source_overlap",

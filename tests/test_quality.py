@@ -95,3 +95,23 @@ def test_gopher_ellipsis_lines(spark):
     out = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
     assert out[0]["ellipsis_line_frac"] == 0.9 and not out[0]["passed"]
     assert out[1]["ellipsis_line_frac"] == 0.1 and out[1]["passed"]
+
+
+def test_line_repetition(spark):
+    from tsne_flink_spark.pipeline.quality import line_repetition
+
+    rows = [
+        (0, "a unique line\nanother unique line"),
+        (1, "promo\npromo\npromo\nbody text line"),
+        (2, "x"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in line_repetition(docs).collect()}
+    assert out[0]["n_dup_lines"] == 0 and out[0]["dup_line_frac"] == 0.0
+    # 3x 'promo': 2 of 4 occurrences are repeats; chars 10 of 29
+    assert out[1]["n_dup_lines"] == 2
+    assert out[1]["dup_line_frac"] == 0.5
+    assert out[1]["dup_line_char_frac"] == round(10 / 29, 6)
+    assert out[2]["n_lines"] == 1 and out[2]["dup_line_frac"] == 0.0
+    assert out[3]["n_lines"] == 1  # empty text is one empty line

@@ -88,6 +88,46 @@ def c4_line_filter(
     )
 
 
+def line_repetition(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher's duplicate-line repetition signals (Rae et al. 2021
+    §A1.1), the line-level complement of pipeline/text.repetition_stats'
+    token-level ones: per document,
+
+    - ``dup_line_frac``      — fraction of line OCCURRENCES that repeat
+                               an earlier line,
+    - ``dup_line_char_frac`` — fraction of line characters inside those
+                               repeated occurrences (Gopher kills docs
+                               above 0.3/0.2 respectively).
+
+    Pure array Column math (split -> distinct -> two aggregates): a
+    narrow map, no shuffle.  Ratios rounded to 6 (hash-stable)."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    nl = F.greatest(n_lines, F.lit(1)).cast("double")
+    distinct = F.array_distinct(lines)
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    distinct_chars = F.aggregate(
+        distinct, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    return docs.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        (n_lines - F.size(distinct)).cast("long").alias("n_dup_lines"),
+        F.round((n_lines - F.size(distinct)) / nl, 6).alias("dup_line_frac"),
+        F.round(
+            (total_chars - distinct_chars)
+            / F.greatest(total_chars, F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+
 def compression_ratio(
     docs: DataFrame,
     id_col: str = "doc_id",
