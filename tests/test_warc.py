@@ -138,3 +138,28 @@ def test_extract_links_and_domain_pagerank_chain(spark, tmp_path):
         for r in pagerank(edges, undirected=False, iters=10).collect()
     }
     assert ranks["hub.example"] == max(ranks.values())
+
+
+def test_parse_warc_truncated_and_malformed():
+    """Framing robustness: truncated payloads and non-WARC garbage stop
+    the record walk cleanly instead of raising or looping."""
+    from tsne_flink_spark.sources.warc import parse_warc_records
+
+    good = _record("conversion", "http://x.example/", b"body words here")
+    # truncated: header claims more bytes than present
+    trunc = (
+        "WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 5000\r\n\r\n"
+    ).encode() + b"short"
+    recs = list(parse_warc_records(good + trunc))
+    # the good record parses; the truncated one yields its partial payload
+    assert len(recs) == 2
+    assert recs[0][2] == b"body words here"
+    assert recs[1][2] == b"short"
+    # garbage prefix: not a WARC version line -> no records, no exception
+    assert list(parse_warc_records(b"HTTP/1.1 200 OK\r\n\r\nnope")) == []
+    # bad Content-Length value -> zero-length payload, walk continues
+    bad_len = (
+        "WARC/1.0\r\nWARC-Type: x\r\nContent-Length: abc\r\n\r\n"
+    ).encode() + b"\r\n\r\n" + good
+    recs = list(parse_warc_records(bad_len))
+    assert len(recs) == 2 and recs[1][2] == b"body words here"
