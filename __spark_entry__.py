@@ -1657,6 +1657,27 @@ def _gopher_augment(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue matrix via PIVOT (the one reshaping operator the
+    surface had not exercised): ship-month rows x return-flag columns,
+    explicit pivot values so the plan is a single pass (no distinct-scan
+    for the column set).  Exact DuckDB oracle via conditional
+    aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    month = F.date_format(
+        F.expr("convert_timezone(current_timezone(), 'UTC', l_shipdate)"),
+        "yyyy-MM",
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(month.between("1996-01", "1996-12"))
+        .groupBy(month.alias("month"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum(rev), 4))
+        .orderBy("month")
+    )
+
+
 def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate-line repetition signals (pipeline/quality.
     line_repetition) over deterministically line-structured documents:
@@ -2005,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "order_priority": q_order_priority,
         "line_repetition": q_line_repetition,
+        "revenue_pivot": q_revenue_pivot,
         "perplexity_buckets": q_perplexity_buckets,
         "perplexity_buckets_check": q_perplexity_buckets_check,
     }
@@ -3561,6 +3583,19 @@ SELECT source, n_docs, n_tokens,
 FROM wt
 """,
         "dup_pagerank": _pagerank_oracle_sql(),
+        "revenue_pivot": """
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       round(sum(CASE WHEN l_returnflag = 'A'
+                      THEN l_extendedprice * (1 - l_discount) END), 4) AS "A",
+       round(sum(CASE WHEN l_returnflag = 'N'
+                      THEN l_extendedprice * (1 - l_discount) END), 4) AS "N",
+       round(sum(CASE WHEN l_returnflag = 'R'
+                      THEN l_extendedprice * (1 - l_discount) END), 4) AS "R"
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '1996-01' AND '1996-12'
+GROUP BY strftime(l_shipdate, '%Y-%m')
+ORDER BY month
+""",
         "line_repetition": """
 WITH aug AS (
   SELECT doc_id, concat_ws(chr(10),

@@ -62,6 +62,7 @@ def main() -> None:
         "pricing_summary",
         "top_revenue_orders",
         "promo_revenue_monthly",
+        "revenue_pivot",
         "shipping_priority",
         "order_priority",
         "regional_revenue",
