@@ -215,49 +215,58 @@ def winnow_fingerprints(
     """
     if mod * (base + 1) >= 2**63:
         raise ValueError("mod * (base+1) must stay below 2^63 to avoid overflow")
-    empty = F.array().cast("array<long>")
 
-    def grams_of(cs: Column) -> Column:
-        return F.when(
-            F.size(cs) >= k,
-            F.transform(
-                F.sequence(F.lit(1), F.size(cs) - F.lit(k - 1)),
-                lambda i: F.aggregate(
-                    F.slice(cs, i, k),
-                    F.lit(0).cast("long"),
-                    lambda acc, c: (acc * F.lit(base) + c) % F.lit(mod),
-                ),
-            ),
-        ).otherwise(empty)
+    # Arrow-batched numpy kernel.  The original pure-Column form (nested
+    # sequence/transform/aggregate/slice HOFs over the char array) runs
+    # interpreted — ~1 ms/doc, the priciest text op in the suite.  The
+    # kernel computes BIT-IDENTICAL fingerprints (same left-fold Horner
+    # mod arithmetic, vectorized as k passes of h = (h*base + c[j:]) % m;
+    # same w-window min; same per-doc distinct) at a fraction of the
+    # cost, and uses true code points (utf-32 view == DuckDB's ord())
+    # where Java's empty-pattern split yields UTF-16 units on
+    # supplementary characters — strictly closer to the oracle.
+    import numpy as np
+    import pandas as pd
 
-    def fps_of(g: Column) -> Column:
-        return F.when(
-            F.size(g) >= w,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(g) - F.lit(w - 1)),
-                    lambda j: F.array_min(F.slice(g, j, w)),
-                )
-            ),
-        ).otherwise(empty)
+    from typing import Iterator
 
-    codes = F.transform(
-        F.split(F.col(text_col), ""), lambda c: F.ascii(c).cast("long")
-    )
-    # _let keeps codes and grams as bound lambda variables (one evaluation
-    # per row) — see _let's docstring for the CollapseProject O(L^3) trap
-    fps = _let(codes, lambda cs: _let(grams_of(cs), fps_of))
-    # spread raw rows before the heavy per-row expression: a single-file
-    # parquet input scans as ONE partition and a projection under a later
-    # repartition still executes in the scan stage (same trap dedup._spread
-    # documents); at 100 TB the scan splits naturally and this exchange is
-    # one narrow O(N) row shuffle
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in it:
+            ids, fps = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                t = text or ""
+                if len(t) < k:
+                    continue
+                c = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n_g = len(c) - k + 1
+                h = np.zeros(n_g, dtype=np.int64)
+                for j in range(k):
+                    h = (h * base + c[j : j + n_g]) % mod
+                if n_g < w:
+                    continue
+                mins = sliding_window_view(h, w).min(axis=1)
+                u = np.unique(mins)
+                ids.extend([rid] * len(u))
+                fps.extend(u.tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "fp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    # spread raw rows before the heavy per-row work: a single-file parquet
+    # input scans as ONE partition (same trap dedup._spread documents); at
+    # 100 TB the scan splits naturally and this exchange is one narrow
+    # O(N) row shuffle
     spread = docs.select(F.col(id_col), F.col(text_col)).repartition(
         docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
-    return spread.select(F.col(id_col), fps.alias("__fps")).select(
-        id_col, F.explode("__fps").alias("fp")
-    )
+    return spread.mapInPandas(kernel, schema=f"{id_col} long, fp long")
 
 
 def winnow_overlap_pairs(
