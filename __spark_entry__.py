@@ -1657,6 +1657,50 @@ def _gopher_augment(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_term_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency spectrum — the tokenizer-design input: how
+    many distinct terms sit in each power-of-2 frequency band and what
+    share of all token occurrences they cover, with the cumulative share
+    from the high-frequency end down.  One explode -> term groupBy ->
+    ~60-row band groupBy; the cumulative window runs over the tiny band
+    table only (never the vocabulary).  Exact DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term")
+    )
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bands = counts.groupBy(
+        F.length(F.bin(F.col("n"))).cast("int").alias("band")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("n_tokens").over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return bands.select(
+        "band",
+        "n_terms",
+        "n_tokens",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+        F.round(F.sum("n_tokens").over(w) / total, 6).alias(
+            "cum_share_from_top"
+        ),
+    ).orderBy(F.col("band").desc())
+
+
 def q_revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly revenue matrix via PIVOT (the one reshaping operator the
     surface had not exercised): ship-month rows x return-flag columns,
@@ -2027,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority": q_order_priority,
         "line_repetition": q_line_repetition,
         "revenue_pivot": q_revenue_pivot,
+        "term_frequency_spectrum": q_term_frequency_spectrum,
         "perplexity_buckets": q_perplexity_buckets,
         "perplexity_buckets_check": q_perplexity_buckets_check,
     }
@@ -3583,6 +3628,25 @@ SELECT source, n_docs, n_tokens,
 FROM wt
 """,
         "dup_pagerank": _pagerank_oracle_sql(),
+        "term_frequency_spectrum": """
+WITH counts AS (
+  SELECT term, count(*)::BIGINT AS n FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+  ) GROUP BY term
+), bands AS (
+  SELECT length(bin(n))::INT AS band,
+         count(*)::BIGINT AS n_terms,
+         sum(n)::BIGINT AS n_tokens
+  FROM counts GROUP BY 1
+)
+SELECT band, n_terms, n_tokens,
+       round(n_tokens / (sum(n_tokens) OVER ())::DOUBLE, 6) AS token_share,
+       round(sum(n_tokens) OVER (ORDER BY band DESC ROWS UNBOUNDED PRECEDING)
+             / (sum(n_tokens) OVER ())::DOUBLE, 6) AS cum_share_from_top
+FROM bands ORDER BY band DESC
+""",
         "revenue_pivot": """
 SELECT strftime(l_shipdate, '%Y-%m') AS month,
        round(sum(CASE WHEN l_returnflag = 'A'

@@ -88,6 +88,7 @@ def main() -> None:
         "repetition_stats",
         "line_repetition",
         "token_histogram",
+        "term_frequency_spectrum",
         "lang_source_matrix",
         "source_overlap",
         "stratified_sample",
