@@ -1120,6 +1120,25 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram perplexity (pipeline/lm.py,
+    interpolation=0.7): rare continuations judged against the add-k
+    unigram base instead of a uniform k-mass — the standard smoothing
+    upgrade over the pure add-k variant (q_lm_perplexity).  Exact DuckDB
+    oracle; same rounded-avg-logprob derivation convention."""
+    from tsne_flink_spark.pipeline.lm import ngram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_lm_scores(docs, interpolation=0.7)
+    alp = F.round("avg_logprob", 6)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        alp.alias("avg_logprob"),
+        F.round(F.exp(-alp), 4).alias("perplexity"),
+    )
+
+
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked-retrieval scores (pipeline/tfidf.py, Robertson/Sparck
     Jones with the Lucene idf) for a fixed 3-term query over every
@@ -2022,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "bm25_scores": q_bm25_scores,
         "lm_perplexity": q_lm_perplexity,
+        "lm_perplexity_interp": q_lm_perplexity_interp,
         "chunk_documents": q_chunk_documents,
         "dup_clusters": q_dup_clusters,
         # --- below the driver's 50-query window: green in CORRECTNESS_r07 ---
@@ -2966,6 +2986,40 @@ WITH toks AS (
          count(*)::BIGINT AS n_tokens,
          round(avg(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS alp
   FROM ev JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+  GROUP BY ev.doc_id
+)
+SELECT doc_id, n_tokens, alp AS avg_logprob,
+       round(exp(-alp), 4) AS perplexity
+FROM scored
+""",
+        "lm_perplexity_interp": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(t) + 1)) AS j, t
+  FROM toks WHERE len(t) >= 1
+), ev AS (
+  SELECT doc_id,
+         CASE WHEN j = 1 THEN '<s>' ELSE t[j - 1] END AS w1,
+         t[j] AS w2
+  FROM pos
+), c2 AS (
+  SELECT w1, w2, count(*)::DOUBLE AS c2 FROM ev GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1
+), uni AS (
+  SELECT w2, sum(c2) AS u FROM c2 GROUP BY w2
+), g AS (
+  SELECT count(DISTINCT w2)::DOUBLE AS v, sum(c2)::DOUBLE AS t FROM c2
+), scored AS (
+  SELECT ev.doc_id,
+         count(*)::BIGINT AS n_tokens,
+         round(avg(ln(0.7 * c2.c2 / c1.c1
+                      + 0.3 * (uni.u + 0.5) / (g.t + 0.5 * g.v))), 6) AS alp
+  FROM ev JOIN c2 USING (w1, w2) JOIN c1 USING (w1) JOIN uni USING (w2), g
   GROUP BY ev.doc_id
 )
 SELECT doc_id, n_tokens, alp AS avg_logprob,

@@ -117,6 +117,7 @@ def main() -> None:
         "bm25_scores",
         "bm25_index",
         "lm_perplexity",
+        "lm_perplexity_interp",
         "bpe_tokens",
         "embedding_dedup",
         "semantic_dedup",

@@ -76,3 +76,35 @@ def test_perplexity_buckets_are_threshold_consistent(spark, corpus):
     assert buckets == sorted(buckets)
     # the garbled doc lands in the top bucket
     assert next(r for r in rows if r["doc_id"] == 3)["bucket"] == max(buckets)
+
+
+def test_interpolated_lm_ranks_fluency(spark):
+    """Jelinek-Mercer interpolation must (a) keep per-doc probability
+    mass sane (logp < 0), (b) rank a garbled doc above a fluent one in
+    perplexity, and (c) differ from the pure add-k scores (it is a
+    different model)."""
+    from tsne_flink_spark.pipeline.lm import ngram_lm_scores
+
+    fluent = "the quick brown fox jumps over the lazy dog " * 6
+    # garble with BRANCHING transitions: under a self-trained JM model a
+    # singleton transition scores lam regardless of word rarity (see the
+    # ngram_lm_scores docstring), so the discriminative case needs w1
+    # continuations that actually branch
+    garble = "zq xv zq qq xv zz zq vx qq zq xv qq zz vx zq"
+    docs = spark.createDataFrame(
+        [(0, fluent), (1, garble), (2, fluent + " unique tail words")],
+        "doc_id bigint, text string",
+    )
+    interp = {
+        r["doc_id"]: r
+        for r in ngram_lm_scores(docs, interpolation=0.7).collect()
+    }
+    addk = {
+        r["doc_id"]: r for r in ngram_lm_scores(docs).collect()
+    }
+    assert all(r["avg_logprob"] < 0 for r in interp.values())
+    assert interp[1]["perplexity"] > interp[0]["perplexity"]
+    assert any(
+        abs(interp[d]["avg_logprob"] - addk[d]["avg_logprob"]) > 1e-9
+        for d in interp
+    )

@@ -66,9 +66,27 @@ def ngram_lm_scores(
     k: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    interpolation: float | None = None,
 ) -> DataFrame:
     """(id, n_tokens, avg_logprob, perplexity) for every document with at
-    least one token, under the corpus-trained add-k bigram LM."""
+    least one token, under the corpus-trained bigram LM.
+
+    ``interpolation=None`` (default): pure add-k bigram,
+    logp = ln((c2 + k) / (c1 + k*V)).
+
+    ``interpolation=lambda`` in (0, 1): Jelinek-Mercer interpolation with
+    an add-k unigram base — logp = ln(lam * c2/c1
+    + (1-lam) * (u(w2) + k) / (T + k*V)) where u is the predicted-token
+    unigram count and T the total event count.  The standard smoothing
+    upgrade: rare-continuation events are judged against the unigram
+    distribution instead of a uniform k-mass.  Self-training caveat
+    (inherent to JM, not this implementation): a SINGLETON transition
+    (c2 = c1 = 1) scores lam regardless of how rare its words are, so a
+    short garbled doc with all-unique bigrams can out-score fluent text
+    when the LM is fit on the scored corpus itself — the add-k variant's
+    uniform k*V floor is the sharper self-trained tail detector, which
+    is why it stays the default and the curate CLI's tail cut uses it.
+    Both variants are deterministic and carry exact DuckDB oracles."""
     from tsne_flink_spark.operators.optimize import materialize
 
     events = _bigram_events(docs, text_col, id_col)
@@ -82,13 +100,28 @@ def ngram_lm_scores(
     )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = float(c2.select("w2").distinct().count())
-    logp = F.log(
-        (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k * vocab))
-    )
+    scored = events.join(c2, ["w1", "w2"]).join(c1, "w1")
+    if interpolation is None:
+        logp = F.log(
+            (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k * vocab))
+        )
+    else:
+        lam = float(interpolation)
+        if not 0.0 < lam < 1.0:
+            raise ValueError(f"interpolation must be in (0, 1): {lam}")
+        uni = c2.groupBy("w2").agg(F.sum("c2").alias("u"))
+        total = float(
+            c2.agg(F.sum("c2").alias("t")).first()["t"] or 0.0
+        )
+        scored = scored.join(uni, "w2")
+        logp = F.log(
+            F.lit(lam) * F.col("c2") / F.col("c1")
+            + F.lit(1.0 - lam)
+            * (F.col("u") + F.lit(k))
+            / F.lit(total + k * vocab)
+        )
     return (
-        events.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
-        .groupBy(id_col)
+        scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.avg(logp).alias("avg_logprob"),
