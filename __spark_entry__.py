@@ -1676,6 +1676,40 @@ def _gopher_augment(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (pipeline/curation.corpus_diff): one
+    full-outer fingerprint join classifying every doc id as added /
+    removed / changed / unchanged.  The 'new' snapshot is derived
+    deterministically: doc_id % 13 == 0 removed, % 13 == 1 text-mutated,
+    and 100 synthetic ids appended.  Exact DuckDB oracle over the same
+    derivation."""
+    from tsne_flink_spark.pipeline.curation import corpus_diff
+
+    old = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    new = (
+        old.where(i % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                i % 13 == 1, F.concat(F.col("text"), F.lit(" mutated tail"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            spark.range(100).select(
+                (F.lit(90_000_000) + F.col("id")).alias("doc_id"),
+                F.concat(
+                    F.lit("brand new document number "),
+                    F.col("id").cast("string"),
+                ).alias("text"),
+            )
+        )
+    )
+    return corpus_diff(old, new)
+
+
 def q_term_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary frequency spectrum — the tokenizer-design input: how
     many distinct terms sit in each power-of-2 frequency band and what
@@ -2092,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_repetition": q_line_repetition,
         "revenue_pivot": q_revenue_pivot,
         "term_frequency_spectrum": q_term_frequency_spectrum,
+        "corpus_diff": q_corpus_diff,
         "perplexity_buckets": q_perplexity_buckets,
         "perplexity_buckets_check": q_perplexity_buckets_check,
     }
@@ -3682,6 +3717,30 @@ SELECT source, n_docs, n_tokens,
 FROM wt
 """,
         "dup_pagerank": _pagerank_oracle_sql(),
+        "corpus_diff": """
+WITH oldc AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+), newc AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(
+           CASE WHEN doc_id % 13 = 1 THEN text || ' mutated tail'
+                ELSE text END, '\\s+', ' ', 'g')))) AS fp
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT 90000000 + i AS doc_id,
+         md5(lower(trim(regexp_replace(
+           'brand new document number ' || i::VARCHAR, '\\s+', ' ', 'g'))))
+  FROM range(100) t(i)
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.fp IS NULL THEN 'added'
+       WHEN n.fp IS NULL THEN 'removed'
+       WHEN o.fp = n.fp THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM oldc o FULL OUTER JOIN newc n USING (doc_id)
+""",
         "term_frequency_spectrum": """
 WITH counts AS (
   SELECT term, count(*)::BIGINT AS n FROM (

@@ -102,6 +102,7 @@ def main() -> None:
         "exact_substr_dedup",
         "corpus_shards",
         "incremental_dedup",
+        "corpus_diff",
         "minhash_dedup",
         "simhash_dedup",
         "ngram_jaccard_pairs",

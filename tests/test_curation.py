@@ -919,3 +919,19 @@ def test_curate_cli_c4_and_gopher_stages(spark, tmp_path):
     assert 4 not in kept          # too-few-words doc killed by Gopher
     assert 1 in kept and 3 in kept
     assert "no punctuation" not in kept[1]["text"]  # line stripped by C4
+
+
+def test_corpus_diff(spark):
+    from tsne_flink_spark.pipeline.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text here"), (2, "will change"), (3, "will vanish")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same   TEXT here"),  # whitespace/case-normalized: unchanged
+         (2, "has changed"), (4, "brand new")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

@@ -518,3 +518,40 @@ def chunk_documents(
             F.concat_ws(" ", "__c").alias("chunk_text"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: one row per doc id in
+    either snapshot with status 'added' / 'removed' / 'changed' /
+    'unchanged' (changed = same id, different normalized-text md5 — the
+    exact-dedup fingerprint).
+
+    The ingestion regression check: diffing yesterday's curated corpus
+    against today's catches silent upstream rewrites (changed), loss
+    (removed), and unexpected growth (added) in ONE full-outer equi-join
+    on the id — O(N) shuffled rows on both sides, no text comparison
+    beyond the fingerprint column.
+    """
+    from tsne_flink_spark.pipeline.text import fingerprint
+
+    o = old.select(
+        F.col(id_col).alias("__id"),
+        fingerprint(F.col(text_col)).alias("__fp_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"),
+        fingerprint(F.col(text_col)).alias("__fp_new"),
+    )
+    j = o.join(n, "__id", "full_outer")
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") == F.col("__fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("__id").alias(id_col), status.alias("status"))
