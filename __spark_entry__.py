@@ -1676,6 +1676,18 @@ def _gopher_augment(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_dup_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters canonicalized by BEST QUALITY (pipeline/
+    curation.near_dup_best_rep): the production keep-policy (argmax of
+    the rounded quality score, tie min id) vs dup_clusters' min-id
+    convention.  Exact DuckDB oracle: the recursive-CTE components plus
+    the mirrored quality formula and the same rounded-rank window."""
+    from tsne_flink_spark.pipeline.curation import near_dup_best_rep
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_best_rep(docs)
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (pipeline/curation.corpus_diff): one
     full-outer fingerprint join classifying every doc id as added /
@@ -2127,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_pivot": q_revenue_pivot,
         "term_frequency_spectrum": q_term_frequency_spectrum,
         "corpus_diff": q_corpus_diff,
+        "dup_best_rep": q_dup_best_rep,
         "perplexity_buckets": q_perplexity_buckets,
         "perplexity_buckets_check": q_perplexity_buckets_check,
     }
@@ -3717,6 +3730,58 @@ SELECT source, n_docs, n_tokens,
 FROM wt
 """,
         "dup_pagerank": _pagerank_oracle_sql(),
+        "dup_best_rep": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ltok,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tok
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(ltok) - 1, 1) + 1),
+           i -> array_to_string(list_slice(ltok, i, i + 1), ' ')
+         )) AS grams
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), cands AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT c.a, c.b FROM cands c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b
+  WHERE len(list_intersect(sa.grams, sb.grams))
+        / greatest(len(list_distinct(list_concat(sa.grams, sb.grams))), 1) >= 0.5
+), sym AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+), walk AS (
+  SELECT a AS id, a AS comp FROM sym GROUP BY a
+  UNION
+  SELECT s.b AS id, w.comp FROM walk w JOIN sym s ON s.a = w.id
+), comps AS (
+  SELECT id, MIN(comp) AS comp FROM walk GROUP BY id
+), qual AS (
+  SELECT doc_id,
+         round((least(len(tok) / 100.0, 1.0)
+              + (1.0 - least(((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                             / greatest(length(text), 1)) * 4.0, 1.0))
+              + least((len(list_filter(ltok, t -> list_contains(
+                  ['the','a','and','of','to','in','is','it','that','for'], t)))::DOUBLE
+                  / greatest(len(ltok), 1)) * 5.0, 1.0)) / 3.0, 6) AS quality
+  FROM toks
+)
+SELECT d.doc_id,
+       COALESCE(c.comp, d.doc_id)::BIGINT AS cluster_id,
+       q.quality,
+       (row_number() OVER (PARTITION BY COALESCE(c.comp, d.doc_id)
+                           ORDER BY q.quality DESC, d.doc_id) = 1)::INT AS keep
+FROM documents d
+LEFT JOIN comps c ON c.id = d.doc_id
+JOIN qual q ON q.doc_id = d.doc_id
+""",
         "corpus_diff": """
 WITH oldc AS (
   SELECT doc_id,

@@ -113,6 +113,7 @@ def main() -> None:
         # warm miner run at sf0.1)
         "dup_clusters",
         "dup_pagerank",
+        "dup_best_rep",
         "curation_pipeline",
         "tfidf_top_terms",
         "bm25_scores",

@@ -935,3 +935,22 @@ def test_corpus_diff(spark):
     )
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_near_dup_best_rep_keeps_highest_quality(spark):
+    """The representative is the best-quality doc of the family, not the
+    min id: a long fluent near-dup must win over a shorter earlier one."""
+    from tsne_flink_spark.pipeline.curation import near_dup_best_rep
+
+    shared = "the quick brown fox jumps over the lazy dog again today"
+    rows = [
+        (1, shared),  # min id, short
+        (2, shared + " and it is a fine tale"),
+        (3, "a completely different standalone document body here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in near_dup_best_rep(docs).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[2]["quality"] > out[1]["quality"]
+    assert out[2]["keep"] == 1 and out[1]["keep"] == 0  # best, not min id
+    assert out[3]["keep"] == 1 and out[3]["cluster_id"] == 3

@@ -555,3 +555,42 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col("__id").alias(id_col), status.alias("status"))
+
+
+def near_dup_best_rep(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 2,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(id, cluster_id, quality, keep): near-dup clusters with the
+    BEST-QUALITY document as the representative — what a production
+    pipeline actually keeps, vs ``near_dup_clusters``'s min-id canonical.
+
+    Representative = argmax(quality rounded to 6, tie -> min id) within
+    the cluster: ranking on the ROUNDED score keeps the choice exact
+    across engines (float last-bit order flips would otherwise make the
+    keep flag unhashable).  One extra window partitioned by cluster_id —
+    clusters are duplicate families, so partitions stay small at any
+    corpus size."""
+    from pyspark.sql.window import Window
+
+    from tsne_flink_spark.pipeline.text import quality_score
+
+    clusters = near_dup_clusters(
+        docs, text_col=text_col, id_col=id_col,
+        threshold=threshold, shingle_n=shingle_n, pairs=pairs,
+    ).drop("keep")
+    q = docs.select(
+        id_col, F.round(quality_score(F.col(text_col)), 6).alias("quality")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    return (
+        clusters.join(q, id_col)
+        .withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
+        .select(id_col, "cluster_id", "quality", "keep")
+    )
