@@ -1854,6 +1854,30 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipmode/priority matrix: orders joined to
+    late-shipped lineitems, conditional counts of urgent vs other order
+    priorities per return flag (the available shipmode-like category).
+    Pushdown-able timestamp filter; exact DuckDB oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1997-01-01").cast("timestamp_ntz"),
+            F.lit("1997-12-31").cast("timestamp_ntz"),
+        )
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(urgent.cast("long")).alias("high_line_count"),
+            F.sum((~urgent).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-style order-priority count: EXISTS semi-join (orders
     having at least one late lineitem) — the left-semi join pattern the
@@ -2135,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_pagerank": q_dup_pagerank,
         "shipping_priority": q_shipping_priority,
         "order_priority": q_order_priority,
+        "shipmode_priority": q_shipmode_priority,
         "line_repetition": q_line_repetition,
         "revenue_pivot": q_revenue_pivot,
         "term_frequency_spectrum": q_term_frequency_spectrum,
@@ -3883,6 +3908,17 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+""",
+        "shipmode_priority": """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE strftime(l_shipdate, '%Y-%m-%d') BETWEEN '1997-01-01' AND '1997-12-31'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
 """,
         "order_priority": """
 SELECT o_orderpriority, count(*)::BIGINT AS order_count

@@ -65,6 +65,7 @@ def main() -> None:
         "revenue_pivot",
         "shipping_priority",
         "order_priority",
+        "shipmode_priority",
         "regional_revenue",
         "grouped_topk_orders",
         "global_aggregates",
