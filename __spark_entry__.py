@@ -234,10 +234,12 @@ def q_promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     UTC wall-clock strings (the repo's timezone-independence convention)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    month = F.date_format(
-        F.expr("convert_timezone(current_timezone(), 'UTC', l_shipdate)"),
-        "yyyy-MM",
-    )
+    # l_shipdate is TIMESTAMP_NTZ (parquet isAdjustedToUTC=false):
+    # date_format on NTZ is session-timezone-independent already, and a
+    # convert_timezone relabel would wrongly shift midnight walls to the
+    # previous day under sessions east of UTC (verified: 6000/6000 rows
+    # shift under Asia/Kolkata).
+    month = F.date_format("l_shipdate", "yyyy-MM")
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.withColumn("month", month)
@@ -326,12 +328,21 @@ def q_events_by_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _utc_wall(col_name: str):
-    """Format an instant as its UTC wall clock REGARDLESS of session
-    timezone: bare date_format renders in the session zone, so the gate's
-    string comparison against DuckDB's stored-UTC wall clock would shift
-    by the session offset in non-UTC sessions (found by running the full
-    gate under TZ=America/New_York — values were identical instants,
-    strings differed by 5 h).  Identity under a UTC session."""
+    """Format an INSTANT (classic TIMESTAMP) column as its UTC wall clock
+    regardless of session timezone.
+
+    Use ONLY on columns derived from ``load_events``'s ``ts`` — that reader
+    normalizes the stored wall clock to UTC-based instants (readers.py,
+    load_events), so window()/min()/max() over it yield classic TIMESTAMP,
+    which bare date_format would render in the SESSION zone (verified:
+    sessionize session_start shifts +05:30 under TZ=Asia/Kolkata with bare
+    formatting).  convert_timezone(current_timezone(), 'UTC', instant)
+    recovers the UTC wall DuckDB prints for the same stored values.
+
+    Do NOT use on TIMESTAMP_NTZ columns (e.g. lineitem's l_shipdate, read
+    plain): for NTZ, bare date_format is already session-independent and
+    this relabel would shift the wall by the session offset instead
+    (midnight → previous day under zones east of UTC)."""
     return F.date_format(
         F.expr(f"convert_timezone(current_timezone(), 'UTC', {col_name})"),
         "yyyy-MM-dd HH:mm:ss",
@@ -381,9 +392,14 @@ def q_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     out = sliding_user_activity(ev, "1 hour", "30 minutes", exact=True)
+    # window bounds are instants (load_events normalizes ts): _utc_wall,
+    # not bare date_format, keeps the strings session-TZ-independent
+    # (tests/test_timezone_contract.py; the old bare formatting only
+    # matched the oracle because DuckDB's to_timestamp shifted WITH the
+    # session — two timezone dependences canceling).
     return out.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        _utc_wall("window_start").alias("window_start"),
+        _utc_wall("window_end").alias("window_end"),
         F.col("n_users").cast("long").alias("n_users"),
     ).orderBy("window_start")
 
@@ -1773,10 +1789,8 @@ def q_revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the column set).  Exact DuckDB oracle via conditional
     aggregation."""
     li = _t(spark, sf_dir, "lineitem")
-    month = F.date_format(
-        F.expr("convert_timezone(current_timezone(), 'UTC', l_shipdate)"),
-        "yyyy-MM",
-    )
+    # bare date_format: l_shipdate is NTZ, see q_promo_revenue_monthly.
+    month = F.date_format("l_shipdate", "yyyy-MM")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.where(month.between("1996-01", "1996-12"))
@@ -1973,10 +1987,15 @@ def q_compression_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified invariants for the compression-ratio quality signal
     (pipeline/quality.compression_ratio; zlib output is not identical
     across zlib builds, so the signal is invariant-gated, oracle:
-    constant zero row): one row out per row in; 0 < ratio <= 1.5 for
-    every non-empty doc; and the SAME text repeated 8x must compress
-    strictly better (ratio_rep < ratio) for every doc with >= 20 bytes —
-    the monotonicity that makes the signal a repetition detector."""
+    constant zero row): one row out per row in; for every non-empty doc
+    ratio > 0 and n_compressed <= n_bytes + 64 + n_bytes/1000 (zlib's
+    worst case is ~11 bytes header/trailer + 5 bytes per 64 KiB stored
+    block, so a pure ratio <= 1.5 bound would false-fail on docs shorter
+    than ~20 bytes); ratio <= 1.5 additionally for docs >= 64 bytes where
+    the fixed overhead is amortized; and the SAME text repeated 8x must
+    compress strictly better (ratio_rep < ratio) for every doc with
+    >= 20 bytes — the monotonicity that makes the signal a repetition
+    detector."""
     from tsne_flink_spark.pipeline.quality import compression_ratio
 
     docs = _t(spark, sf_dir, "documents")
@@ -1993,7 +2012,14 @@ def q_compression_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             (
                 (F.col("n_bytes") > 0)
-                & (~F.col("ratio").between(1e-9, 1.5))
+                & (
+                    (F.col("ratio") < 1e-9)
+                    | (
+                        F.col("n_compressed")
+                        > F.col("n_bytes") + 64 + F.col("n_bytes") / 1000
+                    )
+                    | ((F.col("n_bytes") >= 64) & (F.col("ratio") > 1.5))
+                )
             ).cast("long")
         ).alias("ratio_range_violations"),
         F.sum(
@@ -2053,15 +2079,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT: the driver's correctness gate checks only the first
-    # 50 entries.  Round 7 left 35 registered queries with no driver row, so
-    # round 8 leads with exactly those 35 (audio_features — the round-6 red
-    # whose fix was never driver-confirmed — first), then fills the window
-    # with the backbone queries whose code was touched this round
-    # (exact_substr_dedup, bpe_*, approx_quantile_check) plus core greens.
-    # Everything below position 50 has a green CORRECTNESS_r07 row.
+    # ORDERING CONTRACT: the driver's correctness gate checks only the FIRST
+    # 50 entries, so the window rotates each round toward the queries with
+    # the weakest driver evidence.  Round-9 window, in priority order:
+    # (a) the 16 round-8 additions that have never had a driver row
+    #     (c4_clean ... perplexity_buckets_check), (b) dup_clusters (the r8
+    #     off-by-one: it sat at position 51), (c) queries whose code changed
+    #     this round (the NTZ timezone fix: promo_revenue_monthly,
+    #     windowed_event_counts, sessionize; revenue_pivot is already in (a);
+    #     plus any new round-9 queries), (d) stale fill — queries last
+    #     driver-green in CORRECTNESS_r07.  Everything below position 50 is
+    #     either green in CORRECTNESS_r08 or a low-risk r07 green slated for
+    #     the round-10 rotation (knn_project(+check), grouped_topk_orders,
+    #     distinct_pairs, top_revenue_orders, exact_dedup).
     return {
-        # --- 35 queries with no CORRECTNESS_r07 row ---
+        # --- (a) round-8 additions, never driver-checked ---
+        "c4_clean": q_c4_clean,
+        "gopher_quality": q_gopher_quality,
+        "heavy_hitters": q_heavy_hitters,
+        "bm25_index": q_bm25_index,
+        "compression_check": q_compression_check,
+        "dup_pagerank": q_dup_pagerank,
+        "shipping_priority": q_shipping_priority,
+        "order_priority": q_order_priority,
+        "shipmode_priority": q_shipmode_priority,
+        "line_repetition": q_line_repetition,
+        "revenue_pivot": q_revenue_pivot,
+        "term_frequency_spectrum": q_term_frequency_spectrum,
+        "corpus_diff": q_corpus_diff,
+        "dup_best_rep": q_dup_best_rep,
+        "perplexity_buckets": q_perplexity_buckets,
+        "perplexity_buckets_check": q_perplexity_buckets_check,
+        # --- (b) the r8 window off-by-one ---
+        "dup_clusters": q_dup_clusters,
+        # --- (c) code changed this round (NTZ timezone fix) ---
+        "promo_revenue_monthly": q_promo_revenue_monthly,
+        "windowed_event_counts": q_windowed_event_counts,
+        "sessionize": q_sessionize,
+        # --- (d) stale fill: last driver-green in CORRECTNESS_r07 ---
+        "regional_revenue": q_regional_revenue,
+        "events_by_user_segment": q_events_by_user_segment,
+        "text_stats": q_text_stats,
+        "stopword_ratio": q_stopword_ratio,
+        "language_id": q_language_id,
+        "language_id_ngram": q_language_id_ngram,
+        "corpus_shards": q_corpus_shards,
+        "projection_check": q_projection_check,
+        "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_check": q_minhash_dedup_check,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_dedup": q_simhash_dedup,
+        "simhash_dedup_check": q_simhash_dedup_check,
+        "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_check": q_embedding_dedup_check,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "ann_lsh_check": q_ann_lsh_check,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_check": q_ann_ivf_check,
+        "sliding_user_activity": q_sliding_user_activity,
+        "user_totals": q_user_totals,
+        "event_rollup": q_event_rollup,
+        "event_order_asof": q_event_order_asof,
+        "session_overlap": q_session_overlap,
+        "token_counts": q_token_counts,
+        "exact_dedup": q_exact_dedup,
+        "top_revenue_orders": q_top_revenue_orders,
+        "grouped_topk_orders": q_grouped_topk_orders,
+        "distinct_pairs": q_distinct_pairs,
+        # ---------------- below the driver's 50-query window ----------------
+        # r07 greens slated for the round-10 rotation:
+        "knn_project": q_knn_project,
+        "knn_project_check": q_knn_project_check,
+        # green in CORRECTNESS_r08:
         "audio_features": q_audio_features,
         "audio_check": q_audio_check,
         "curation_pipeline": q_curation_pipeline,
@@ -2097,7 +2187,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "incremental_dedup": q_incremental_dedup,
         "tsne_embedding": q_tsne_embedding,
-        # --- backbone fill: code touched in round 8 first ---
         "exact_substr_dedup": q_exact_substr_dedup,
         "bpe_tokens": q_bpe_tokens,
         "bpe_tokens_check": q_bpe_check,
@@ -2113,60 +2202,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "lm_perplexity_interp": q_lm_perplexity_interp,
         "chunk_documents": q_chunk_documents,
-        "dup_clusters": q_dup_clusters,
-        # --- below the driver's 50-query window: green in CORRECTNESS_r07 ---
-        "knn_project": q_knn_project,
-        "knn_project_check": q_knn_project_check,
-        "grouped_topk_orders": q_grouped_topk_orders,
-        "distinct_pairs": q_distinct_pairs,
-        "top_revenue_orders": q_top_revenue_orders,
-        "promo_revenue_monthly": q_promo_revenue_monthly,
-        "regional_revenue": q_regional_revenue,
-        "events_by_user_segment": q_events_by_user_segment,
-        "windowed_event_counts": q_windowed_event_counts,
-        "sessionize": q_sessionize,
-        "text_stats": q_text_stats,
-        "stopword_ratio": q_stopword_ratio,
-        "language_id": q_language_id,
-        "language_id_ngram": q_language_id_ngram,
-        "exact_dedup": q_exact_dedup,
-        "corpus_shards": q_corpus_shards,
-        "projection_check": q_projection_check,
-        "minhash_dedup": q_minhash_dedup,
-        "minhash_dedup_check": q_minhash_dedup_check,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "simhash_dedup": q_simhash_dedup,
-        "simhash_dedup_check": q_simhash_dedup_check,
-        "embedding_dedup": q_embedding_dedup,
-        "embedding_dedup_check": q_embedding_dedup_check,
-        "ann_bruteforce": q_ann_bruteforce,
-        "ann_lsh": q_ann_lsh,
-        "ann_lsh_check": q_ann_lsh_check,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_check": q_ann_ivf_check,
-        "sliding_user_activity": q_sliding_user_activity,
-        "user_totals": q_user_totals,
-        "event_rollup": q_event_rollup,
-        "event_order_asof": q_event_order_asof,
-        "session_overlap": q_session_overlap,
-        "token_counts": q_token_counts,
-        # round-8 additions (below the window this round; rotate in next)
-        "c4_clean": q_c4_clean,
-        "gopher_quality": q_gopher_quality,
-        "heavy_hitters": q_heavy_hitters,
-        "bm25_index": q_bm25_index,
-        "compression_check": q_compression_check,
-        "dup_pagerank": q_dup_pagerank,
-        "shipping_priority": q_shipping_priority,
-        "order_priority": q_order_priority,
-        "shipmode_priority": q_shipmode_priority,
-        "line_repetition": q_line_repetition,
-        "revenue_pivot": q_revenue_pivot,
-        "term_frequency_spectrum": q_term_frequency_spectrum,
-        "corpus_diff": q_corpus_diff,
-        "dup_best_rep": q_dup_best_rep,
-        "perplexity_buckets": q_perplexity_buckets,
-        "perplexity_buckets_check": q_perplexity_buckets_check,
     }
 
 
@@ -3179,8 +3214,10 @@ expanded AS (
          user_id
   FROM ev
 )
-SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
-       strftime(to_timestamp(ws + 3600), '%Y-%m-%d %H:%M:%S') AS window_end,
+SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       strftime(make_timestamp((ws + 3600) * 1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_end,
        COUNT(DISTINCT user_id)::BIGINT AS n_users
 FROM expanded GROUP BY ws ORDER BY ws
 """,

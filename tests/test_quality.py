@@ -115,3 +115,47 @@ def test_line_repetition(spark):
     assert out[1]["dup_line_char_frac"] == round(10 / 29, 6)
     assert out[2]["n_lines"] == 1 and out[2]["dup_line_frac"] == 0.0
     assert out[3]["n_lines"] == 1  # empty text is one empty line
+
+
+def test_compression_ratio_bounds_hold_for_tiny_docs(spark):
+    """ADVICE r8: zlib's ~11-byte fixed overhead makes docs shorter than
+    ~8 bytes compress LARGER than the input, so a flat ratio <= 1.5 bound
+    false-fails on them.  The invariant q_compression_check now enforces —
+    n_compressed <= n_bytes + 64 + n_bytes/1000, ratio <= 1.5 only for
+    n_bytes >= 64 — must hold for empty, 1-byte, tiny, and incompressible
+    inputs alike."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.quality import compression_ratio
+
+    rng = random.Random(7)
+    incompressible = "".join(chr(rng.randrange(0x20, 0x2000)) for _ in range(5000))
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "a"),
+            (3, "ab"),
+            (4, "tiny"),
+            (5, "x" * 63),
+            (6, "y" * 64),
+            (7, "hello world " * 400),
+            (8, incompressible),
+        ],
+        "doc_id long, text string",
+    )
+    out = compression_ratio(docs)
+    bad = out.where(
+        (F.col("n_bytes") > 0)
+        & (
+            (F.col("ratio") < 1e-9)
+            | (F.col("n_compressed") > F.col("n_bytes") + 64 + F.col("n_bytes") / 1000)
+            | ((F.col("n_bytes") >= 64) & (F.col("ratio") > 1.5))
+        )
+    ).collect()
+    assert not bad, bad
+    # and the old flat bound really does false-fail on a tiny doc —
+    # the reason the invariant changed
+    tiny = out.where(F.col("doc_id") == 2).collect()[0]
+    assert tiny["ratio"] > 1.5
