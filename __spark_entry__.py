@@ -1917,6 +1917,310 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bilateral trade volume: supplier-nation x
+    customer-nation revenue matrix by ship year, top 20 lanes.  The SAME
+    bounded dimension (nation, <= 25 rows) joins twice under different
+    roles (supp_nation / cust_nation) and is force-broadcast; supplier
+    and customer SCALE with the corpus, so their join strategy is left
+    to AQE (broadcast at test scale, shuffle join at 100 TB).  The
+    canonical two-nation filter is dropped (empty at sf0.001's row
+    counts); the top-20 lane ranking keeps the output bounded instead.
+    Exact DuckDB oracle."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp_ntz"),
+            F.lit("1998-12-31").cast("timestamp_ntz"),
+        )
+    )
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(
+            F.col("revenue").desc(), "supp_nation", "cust_nation", "l_year"
+        )
+        .limit(20)
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: of all ECONOMY-part revenue sold into
+    ASIA customers, the share supplied by NATION_3, per order year.
+    Conditional-aggregation-over-join; only the BOUNDED dims
+    (nation <= 25, region = 5) are force-broadcast — part, supplier and
+    customer scale with SF, so AQE picks their strategy.  Exact
+    DuckDB oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == region["r_regionkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity revenue: lineitems of one brand
+    shipped in quantities below half that part's average.  The correlated
+    scalar subquery is planned explicitly as aggregate-then-join, and the
+    per-part average is computed ONLY over the brand's lineitems (the
+    broadcast semi-filter runs first), not the whole table — at 100 TB
+    the full-table per-part aggregate would be the dominant shuffle for a
+    1-in-25-brands query.  No forced broadcasts: part scales with SF,
+    and the per-part average is bounded by the brand's part count, so
+    AQE broadcasts both at test scale and degrades gracefully.  Exact DuckDB oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12")
+    brand_li = li.join(
+        part.select("p_partkey"),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).drop("p_partkey")
+    avg_qty = brand_li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_limit")
+    )
+    return (
+        brand_li.join(avg_qty, F.col("l_partkey") == F.col("ap_key"))
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+        )
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: orders whose total
+    lineitem quantity exceeds 300, with their customers.  The HAVING
+    filter runs map-side-combinable BEFORE the order/customer joins, so
+    only qualifying orderkeys (a tiny fraction) reach the join — the
+    aggregate-prune-join ordering that matters at scale.  Exact DuckDB
+    oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_raw"))
+        .where(F.col("qty_raw") > 300)
+        .select("l_orderkey", F.round("qty_raw", 4).alias("total_qty"))
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 4).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style waiting suppliers: suppliers who were the ONLY
+    late shipper (> 60 days after the order date) in a multi-supplier
+    order.  The reference formulation is EXISTS + NOT EXISTS self-joins
+    on lineitem; here it collapses to ONE order-level aggregate
+    (distinct suppliers / distinct late suppliers per order) joined back
+    to the late lines — two shuffles total instead of three self-join
+    passes over the fact table, same result (the DuckDB oracle uses the
+    canonical EXISTS form to prove equivalence).  The schema has no
+    l_receiptdate/l_commitdate, so lateness is ship-lag vs o_orderdate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).cast("int"),
+    )
+    ostat = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    sole_late = (
+        lo.where(F.col("is_late") == 1)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            ostat.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            F.col("l_orderkey") == F.col("ok"),
+        )
+    )
+    return (
+        sole_late.join(sup, F.col("l_suppkey") == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: customers with above-average positive balance
+    and NO orders since 1999 (every customer has SOME order in this
+    dataset, so the canonical no-orders-ever predicate is time-windowed),
+    grouped by market segment.  Global scalar aggregate via a broadcast
+    1-row cross join (the reference's side-input pattern,
+    TsneHelpers.scala sumP/bounds), then a left-anti join against the
+    recent-order keys.  Exact DuckDB oracle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item losses: top 20 customers by revenue
+    of RETURNED lineitems on orders placed in 1997H1.  Date filter pushed
+    to the orders scan, returnflag filter to the lineitem scan; nation
+    broadcast.  Exact DuckDB oracle."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(
+            F.lit("1997-01-01").cast("timestamp_ntz"),
+            F.lit("1997-06-30").cast("timestamp_ntz"),
+        )
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+        )
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (pipeline/dsir.py; Xie et al. 2023):
+    hashed-n-gram log importance ratio of every non-English document
+    against the English target domain.  Both bucket-count tables are
+    bounded at n_buckets=4096 rows and broadcast; fully deterministic —
+    exact DuckDB oracle replaying the same md5 bucket hash."""
+    from tsne_flink_spark.pipeline.dsir import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_log_weights(docs, target=F.col("lang") == "en")
+    return w.select(
+        "doc_id",
+        "n_grams",
+        F.round("logw", 4).alias("logw"),
+        F.round("avg_logw", 6).alias("avg_logw"),
+    ).orderBy("doc_id")
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k resampling: 100 candidate docs sampled without
+    replacement with probability proportional to exp(logw), as ONE
+    distributed sort (score = logw + deterministic md5-seeded Gumbel
+    draw) — no sequential sampling loop.  Exact DuckDB oracle replays
+    the identical draw."""
+    from tsne_flink_spark.pipeline.dsir import dsir_log_weights, dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_log_weights(docs, target=F.col("lang") == "en")
+    sel = dsir_select(w, k=100, seed=42)
+    return sel.select(
+        "doc_id",
+        F.round("logw", 4).alias("logw"),
+        F.round("gumbel_score", 4).alias("gumbel_score"),
+    )
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail perplexity split (pipeline/lm.
     perplexity_buckets): corpus-LM perplexity bucketed by GK-sketch
@@ -2112,10 +2416,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets_check": q_perplexity_buckets_check,
         # --- (b) the r8 window off-by-one ---
         "dup_clusters": q_dup_clusters,
-        # --- (c) code changed this round (NTZ timezone fix) ---
+        # --- (c) new in round 9 / code changed this round ---
+        "nation_trade_volume": q_nation_trade_volume,
+        "market_share": q_market_share,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_volume_customers": q_large_volume_customers,
+        "waiting_suppliers": q_waiting_suppliers,
+        "idle_customers": q_idle_customers,
+        "returned_item_revenue": q_returned_item_revenue,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
         "promo_revenue_monthly": q_promo_revenue_monthly,
         "windowed_event_counts": q_windowed_event_counts,
         "sessionize": q_sessionize,
+        "sliding_user_activity": q_sliding_user_activity,
         # --- (d) stale fill: last driver-green in CORRECTNESS_r07 ---
         "regional_revenue": q_regional_revenue,
         "events_by_user_segment": q_events_by_user_segment,
@@ -2137,7 +2451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_check": q_ann_lsh_check,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_check": q_ann_ivf_check,
-        "sliding_user_activity": q_sliding_user_activity,
+        # ---------------- below the driver's 50-query window ----------------
+        # r07 greens slated for the round-10 rotation:
         "user_totals": q_user_totals,
         "event_rollup": q_event_rollup,
         "event_order_asof": q_event_order_asof,
@@ -2147,8 +2462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "grouped_topk_orders": q_grouped_topk_orders,
         "distinct_pairs": q_distinct_pairs,
-        # ---------------- below the driver's 50-query window ----------------
-        # r07 greens slated for the round-10 rotation:
         "knn_project": q_knn_project,
         "knn_project_check": q_knn_project_check,
         # green in CORRECTNESS_r08:
@@ -2204,6 +2517,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
     }
 
+
+# Shared DSIR weight pipeline (pipeline/dsir.py model, replayed in SQL):
+# unigram+bigram gram bag, md5-hashed into 4096 buckets, add-0.5-smoothed
+# target (lang='en') vs candidate distributions, per-candidate-doc log
+# importance ratio.  Yields w(doc_id, n_grams, logw_raw).
+_DSIR_WEIGHTS_CTE = """
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, is_target,
+         unnest(list_concat(
+           t,
+           list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j + 1])
+         )) AS g
+  FROM toks WHERE len(t) >= 1
+), b AS (
+  SELECT doc_id, is_target,
+         CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS bucket
+  FROM grams
+), tc AS (
+  SELECT bucket, count(*)::DOUBLE AS tc FROM b WHERE is_target GROUP BY 1
+), rc AS (
+  SELECT bucket, count(*)::DOUBLE AS rc FROM b WHERE NOT is_target GROUP BY 1
+), tt AS (SELECT sum(tc) AS t_tot FROM tc),
+   rt AS (SELECT sum(rc) AS r_tot FROM rc),
+   lw AS (
+  SELECT b.doc_id,
+         ln((coalesce(tc.tc, 0) + 0.5) / (tt.t_tot + 0.5 * 4096))
+         - ln((coalesce(rc.rc, 0) + 0.5) / (rt.r_tot + 0.5 * 4096)) AS lw
+  FROM b LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tt, rt
+  WHERE NOT b.is_target
+), w AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams, sum(lw) AS logw_raw,
+         avg(lw) AS avg_logw_raw
+  FROM lw GROUP BY doc_id
+)
+"""
 
 _SQDIST = (
     "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
@@ -3945,6 +4298,126 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+""",
+        "dsir_weights": _DSIR_WEIGHTS_CTE + """
+SELECT doc_id, n_grams, round(logw_raw, 4) AS logw,
+       round(avg_logw_raw, 6) AS avg_logw
+FROM w ORDER BY doc_id
+""",
+        "dsir_sample": _DSIR_WEIGHTS_CTE + """
+, drawn AS (
+  SELECT doc_id, logw_raw,
+         logw_raw - ln(-ln(
+           (CAST(concat('0x', substr(md5('42:' || doc_id::VARCHAR), 1, 15))
+                 AS BIGINT) + 1)
+           / 1152921504606846977.0
+         )) AS score
+  FROM w
+)
+SELECT doc_id, round(logw_raw, 4) AS logw, round(score, 4) AS gumbel_score
+FROM drawn ORDER BY score DESC, doc_id LIMIT 100
+""",
+        "nation_trade_volume": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       strftime(l_shipdate, '%Y') AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE strftime(l_shipdate, '%Y-%m-%d') BETWEEN '1996-01-01' AND '1998-12-31'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, supp_nation, cust_nation, l_year
+LIMIT 20
+""",
+        "market_share": """
+SELECT strftime(o_orderdate, '%Y') AS o_year,
+       round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region   ON n2.n_regionkey = r_regionkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+GROUP BY 1
+ORDER BY 1
+""",
+        "small_qty_revenue": """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+       count(*)::BIGINT AS n_small_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#12'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""",
+        "large_volume_customers": """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(o_totalprice, 4) AS total_price, total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_price DESC, o_orderkey
+LIMIT 100
+""",
+        # canonical EXISTS/NOT-EXISTS form — proves the engine's
+        # aggregate-then-join rewrite equivalent
+        "waiting_suppliers": """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE is_late) l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.is_late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+        "idle_customers": """
+SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+       round(sum(c_acctbal), 4) AS total_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND strftime(o_orderdate, '%Y-%m-%d') >= '1999-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+        "returned_item_revenue": """
+SELECT c_custkey, c_name, round(c_acctbal, 4) AS acctbal,
+       n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND strftime(o_orderdate, '%Y-%m-%d') BETWEEN '1997-01-01' AND '1997-06-30'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
 """,
         "shipmode_priority": """
 SELECT l_returnflag,

@@ -66,6 +66,13 @@ def main() -> None:
         "shipping_priority",
         "order_priority",
         "shipmode_priority",
+        "nation_trade_volume",
+        "market_share",
+        "small_qty_revenue",
+        "large_volume_customers",
+        "waiting_suppliers",
+        "idle_customers",
+        "returned_item_revenue",
         "regional_revenue",
         "grouped_topk_orders",
         "global_aggregates",
@@ -121,6 +128,8 @@ def main() -> None:
         "bm25_index",
         "lm_perplexity",
         "lm_perplexity_interp",
+        "dsir_weights",
+        "dsir_sample",
         "bpe_tokens",
         "embedding_dedup",
         "semantic_dedup",

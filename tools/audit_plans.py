@@ -64,6 +64,13 @@ AUDITED = [
     "order_priority",
     "revenue_pivot",
     "line_repetition",
+    "nation_trade_volume",
+    "market_share",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "waiting_suppliers",
+    "idle_customers",
+    "returned_item_revenue",
 ]
 
 
