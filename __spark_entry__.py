@@ -1738,6 +1738,48 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(old, new)
 
 
+def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-distribution drift between corpus snapshots
+    (pipeline/curation.term_drift; Monroe et al. 2008 log-odds z-score):
+    the monitoring twin of corpus_diff — membership churn there, WHAT
+    the text shifted toward here.  Same derived 'new' snapshot as
+    corpus_diff (doc_id % 13 == 0 removed, % 13 == 1 mutated, 100
+    synthetic ids appended).  Vocab-bounded aggregation; exact DuckDB
+    oracle."""
+    from tsne_flink_spark.pipeline.curation import term_drift
+
+    old = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    new = (
+        old.where(i % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                i % 13 == 1, F.concat(F.col("text"), F.lit(" mutated tail"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            spark.range(100).select(
+                (F.lit(90_000_000) + F.col("id")).alias("doc_id"),
+                F.concat(
+                    F.lit("brand new document number "),
+                    F.col("id").cast("string"),
+                ).alias("text"),
+            )
+        )
+    )
+    d = term_drift(old, new, top_k=50)
+    return d.select(
+        "term",
+        "c_old",
+        "c_new",
+        F.round("delta", 6).alias("delta"),
+        F.round("z", 6).alias("z"),
+    )
+
+
 def q_term_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary frequency spectrum — the tokenizer-design input: how
     many distinct terms sit in each power-of-2 frequency band and what
@@ -2426,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_revenue": q_returned_item_revenue,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
+        "term_drift": q_term_drift,
         "promo_revenue_monthly": q_promo_revenue_monthly,
         "windowed_event_counts": q_windowed_event_counts,
         "sessionize": q_sessionize,
@@ -2449,11 +2492,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_check": q_ann_lsh_check,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_check": q_ann_ivf_check,
+        "user_totals": q_user_totals,
         # ---------------- below the driver's 50-query window ----------------
         # r07 greens slated for the round-10 rotation:
-        "user_totals": q_user_totals,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_check": q_ann_ivf_check,
         "event_rollup": q_event_rollup,
         "event_order_asof": q_event_order_asof,
         "session_overlap": q_session_overlap,
@@ -4298,6 +4341,44 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+""",
+        "term_drift": """
+WITH newdocs AS (
+  SELECT CASE WHEN doc_id % 13 = 1 THEN text || ' mutated tail'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT 'brand new document number ' || i::VARCHAR FROM range(100) t(i)
+), oldt AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS term
+  FROM documents
+), newt AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS term
+  FROM newdocs
+), co AS (SELECT term, count(*)::DOUBLE AS c_old FROM oldt GROUP BY 1),
+   cn AS (SELECT term, count(*)::DOUBLE AS c_new FROM newt GROUP BY 1),
+   tt AS (SELECT (SELECT sum(c_old) FROM co) AS t_old,
+                 (SELECT sum(c_new) FROM cn) AS t_new),
+   j AS (
+  SELECT term, coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+  FROM co FULL OUTER JOIN cn USING (term)
+), sc AS (
+  SELECT term, c_old, c_new,
+         ln((c_new + 0.5) / (t_new - c_new + 0.5))
+         - ln((c_old + 0.5) / (t_old - c_old + 0.5)) AS d_raw
+  FROM j, tt
+), zc AS (
+  SELECT term, c_old, c_new, d_raw,
+         d_raw / sqrt(1 / (c_new + 0.5) + 1 / (c_old + 0.5)) AS z_raw
+  FROM sc
+)
+SELECT term, c_old::BIGINT AS c_old, c_new::BIGINT AS c_new,
+       round(d_raw, 6) AS delta, round(z_raw, 6) AS z
+FROM zc
+ORDER BY abs(z_raw) DESC, term
+LIMIT 50
 """,
         "dsir_weights": _DSIR_WEIGHTS_CTE + """
 SELECT doc_id, n_grams, round(logw_raw, 4) AS logw,

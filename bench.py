@@ -111,6 +111,7 @@ def main() -> None:
         "corpus_shards",
         "incremental_dedup",
         "corpus_diff",
+        "term_drift",
         "minhash_dedup",
         "simhash_dedup",
         "ngram_jaccard_pairs",
@@ -168,6 +169,15 @@ def main() -> None:
     calibration()  # untimed: pays one-time JVM/codegen/parquet-footer warmup
     calib_start = calibration()
 
+    # NO whole-suite warmup pass.  Tried and REJECTED with measurements
+    # (BASELINE.md B47): pre-running all headline queries at sf0.001 to
+    # amortize codegen/JIT/Python-worker cold costs made the timed suite
+    # WORSE, not better — 208.3 s -> 272.3 s same-host back-to-back
+    # (dup_clusters 10.7 -> 42.0 s, ngram_jaccard_pairs 8.6 -> 27.2 s),
+    # with the calibration probe confirming equal host speed.  The ~2400
+    # warmup stages pollute the session (heap/code-cache pressure, JIT
+    # deopt) by more than the cold-first tax they save; the known
+    # cold-vs-solo-warm gaps (B30/B40) stay documented instead.
     timings: dict[str, float] = {}
     for name in headline:
         fn = qs[name]

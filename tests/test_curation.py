@@ -954,3 +954,48 @@ def test_near_dup_best_rep_keeps_highest_quality(spark):
     assert out[2]["quality"] > out[1]["quality"]
     assert out[2]["keep"] == 1 and out[1]["keep"] == 0  # best, not min id
     assert out[3]["keep"] == 1 and out[3]["cluster_id"] == 3
+
+
+def test_term_drift_surfaces_injected_shift(spark):
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.curation import term_drift
+
+    old = spark.createDataFrame(
+        [(i, "alpha beta gamma delta common words here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, "alpha beta gamma delta common words here") for i in range(40)]
+        + [(100 + i, "flood flood flood boilerplate") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = term_drift(old, new, top_k=5).collect()
+    terms = [r["term"] for r in out]
+    # the injected flood terms must rank at the top by |z|
+    assert terms[0] == "flood", terms
+    assert "boilerplate" in terms[:3]
+    top = out[0]
+    assert top["c_old"] == 0 and top["c_new"] == 60
+    assert top["z"] > 0
+    # steady-state vocab drifts NEGATIVE (its relative share is diluted
+    # by the flood) and with smaller magnitude than the flood itself
+    by_term = {r["term"]: r for r in out}
+    if "common" in by_term:
+        assert by_term["common"]["z"] < 0
+        assert abs(by_term["common"]["z"]) < abs(top["z"])
+
+
+def test_term_drift_is_symmetric_under_swap(spark):
+    from tsne_flink_spark.pipeline.curation import term_drift
+
+    a = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(1, "x y z"), (2, "x q q q")], "doc_id long, text string"
+    )
+    fwd = {r["term"]: r["z"] for r in term_drift(a, b, top_k=10).collect()}
+    rev = {r["term"]: r["z"] for r in term_drift(b, a, top_k=10).collect()}
+    for t in fwd:
+        assert abs(fwd[t] + rev[t]) < 1e-9, (t, fwd[t], rev[t])

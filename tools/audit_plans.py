@@ -71,6 +71,9 @@ AUDITED = [
     "waiting_suppliers",
     "idle_customers",
     "returned_item_revenue",
+    "dsir_weights",
+    "dsir_sample",
+    "term_drift",
 ]
 
 

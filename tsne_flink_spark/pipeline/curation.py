@@ -594,3 +594,78 @@ def near_dup_best_rep(
         .withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
         .select(id_col, "cluster_id", "quality", "keep")
     )
+
+
+def term_drift(
+    old: DataFrame,
+    new: DataFrame,
+    top_k: int = 50,
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Term-distribution drift between two corpus snapshots: the top_k
+    most-shifted terms by smoothed log-odds-ratio z-score (Monroe,
+    Colaresi & Quinn 2008, "Fightin' Words").
+
+    For each term w with counts c_o / c_n out of totals T_o / T_n:
+
+        delta(w) = ln((c_n + a) / (T_n - c_n + a))
+                 - ln((c_o + a) / (T_o - c_o + a))
+        z(w)     = delta(w) / sqrt(1/(c_n + a) + 1/(c_o + a))
+
+    The variance term damps rare-word noise, so the ranking surfaces
+    REAL distribution shifts (an ingestion bug flooding boilerplate, a
+    source dropping out) rather than singleton churn — the monitoring
+    twin of corpus_diff's membership check.
+
+    Shuffle profile: one tokenize-explode + vocab-bounded groupBy per
+    snapshot (map-side combinable), a full-outer join on the term key
+    (vocab-sized, NOT corpus-sized), two 1-row total aggregates joined
+    as broadcast side-inputs, and a top_k sort of vocab rows.  Nothing
+    scales with document count except the two counting scans.
+
+    Returns (term, c_old, c_new, delta, z) — top_k by |z| descending,
+    term ascending for determinism.
+    """
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        toks = df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("term")
+        )
+        return toks.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias(out)
+        )
+
+    co = counts(old, "c_old")
+    cn = counts(new, "c_new")
+    to = co.agg(F.sum("c_old").alias("t_old"))
+    tn = cn.agg(F.sum("c_new").alias("t_new"))
+    j = (
+        co.join(cn, "term", "full_outer")
+        .na.fill({"c_old": 0.0, "c_new": 0.0})
+        .crossJoin(F.broadcast(to))
+        .crossJoin(F.broadcast(tn))
+    )
+    a = F.lit(alpha)
+    delta = F.log(
+        (F.col("c_new") + a) / (F.col("t_new") - F.col("c_new") + a)
+    ) - F.log((F.col("c_old") + a) / (F.col("t_old") - F.col("c_old") + a))
+    z = delta / F.sqrt(
+        1.0 / (F.col("c_new") + a) + 1.0 / (F.col("c_old") + a)
+    )
+    return (
+        j.select(
+            "term",
+            F.col("c_old").cast("long").alias("c_old"),
+            F.col("c_new").cast("long").alias("c_new"),
+            delta.alias("delta"),
+            z.alias("z"),
+        )
+        .orderBy(F.abs(F.col("z")).desc(), F.col("term").asc())
+        .limit(top_k)
+    )
