@@ -2263,6 +2263,67 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the events ``props`` column is a JSON
+    string — parse it with an EXPLICIT schema (from_json; schema
+    inference would cost a full extra corpus pass at 100 TB, the same
+    stance as read_documents_jsonl) and aggregate the extracted field
+    per event type, counting high-k events via a predicate ON the
+    extracted value.  Exact DuckDB oracle via json_extract."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("k").isNull().cast("long")).alias("n_missing_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.sum((F.col("k") >= 50).cast("long")).alias("n_high_k"),
+            F.round(
+                F.sum(F.when(F.col("k") >= 50, F.col("value")).otherwise(0.0)),
+                4,
+            ).alias("high_k_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_brand_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate revenue: three OR'd
+    brand/size/quantity clauses across the lineitem-part join.  The
+    shape exists to exercise OR-predicate handling: the per-side
+    conjuncts (p_size floor, quantity ceiling) are derivable and the
+    part filter prunes before the join; AQE picks the join strategy.
+    Exact DuckDB oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return j.where(clause).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail perplexity split (pipeline/lm.
     perplexity_buckets): corpus-LM perplexity bucketed by GK-sketch
@@ -2469,6 +2530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "term_drift": q_term_drift,
+        "props_json": q_props_json,
+        "brand_promo_revenue": q_brand_promo_revenue,
         "promo_revenue_monthly": q_promo_revenue_monthly,
         "windowed_event_counts": q_windowed_event_counts,
         "sessionize": q_sessionize,
@@ -2489,12 +2552,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup_check": q_simhash_dedup_check,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_check": q_embedding_dedup_check,
-        "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_check": q_ann_lsh_check,
-        "user_totals": q_user_totals,
         # ---------------- below the driver's 50-query window ----------------
         # r07 greens slated for the round-10 rotation:
+        "ann_bruteforce": q_ann_bruteforce,
+        "user_totals": q_user_totals,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_check": q_ann_ivf_check,
         "event_rollup": q_event_rollup,
@@ -4341,6 +4404,31 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+""",
+        "props_json": """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN json_extract(props, '$.k') IS NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_missing_k,
+       round(avg(json_extract(props, '$.k')::INT), 6) AS avg_k,
+       sum(CASE WHEN json_extract(props, '$.k')::INT >= 50
+                THEN 1 ELSE 0 END)::BIGINT AS n_high_k,
+       round(sum(CASE WHEN json_extract(props, '$.k')::INT >= 50
+                      THEN value ELSE 0 END), 4) AS high_k_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+        "brand_promo_revenue": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#14' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
 """,
         "term_drift": """
 WITH newdocs AS (

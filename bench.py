@@ -62,6 +62,8 @@ def main() -> None:
         "pricing_summary",
         "top_revenue_orders",
         "promo_revenue_monthly",
+        "brand_promo_revenue",
+        "props_json",
         "revenue_pivot",
         "shipping_priority",
         "order_priority",

@@ -74,6 +74,8 @@ AUDITED = [
     "dsir_weights",
     "dsir_sample",
     "term_drift",
+    "props_json",
+    "brand_promo_revenue",
 ]
 
 
