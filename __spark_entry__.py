@@ -2324,6 +2324,77 @@ def q_brand_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration: raw quality scores are not
+    comparable across sources (each has its own boilerplate profile), so
+    mixing thresholds belong on the per-source PERCENTILE.  percent_rank
+    within source plus a decile via ntile — both windows are partitioned
+    by source, so the sort is per-source-shard parallel at 100 TB (no
+    global sort; ntile's tie order is pinned with a doc_id tiebreak for
+    engine-independent determinism).  Exact DuckDB oracle."""
+    from pyspark.sql import Window
+
+    from tsne_flink_spark.pipeline.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("q")
+    )
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    return scored.select(
+        "doc_id",
+        "source",
+        F.round("q", 6).alias("quality"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_in_source"),
+        F.ntile(10).over(w).cast("long").alias("source_decile"),
+    ).orderBy("doc_id")
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary rollup,
+    quartiled with deterministic ntile windows (custkey tiebreak), then
+    the segment matrix with counts and average spend.  One orders
+    groupBy + three global quartile windows over ONE ROW PER CUSTOMER
+    (the windows sort the customer table, never the fact table).  Exact
+    DuckDB oracle."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    rfm = per_cust.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m_quartile"),
+        "monetary",
+    )
+    return (
+        rfm.groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+        )
+        .select(
+            F.col("r_quartile").cast("long").alias("r_quartile"),
+            F.col("f_quartile").cast("long").alias("f_quartile"),
+            F.col("m_quartile").cast("long").alias("m_quartile"),
+            "n_customers",
+            "avg_monetary",
+        )
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail perplexity split (pipeline/lm.
     perplexity_buckets): corpus-LM perplexity bucketed by GK-sketch
@@ -2532,6 +2603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_drift": q_term_drift,
         "props_json": q_props_json,
         "brand_promo_revenue": q_brand_promo_revenue,
+        "quality_calibration": q_quality_calibration,
+        "customer_rfm": q_customer_rfm,
         "promo_revenue_monthly": q_promo_revenue_monthly,
         "windowed_event_counts": q_windowed_event_counts,
         "sessionize": q_sessionize,
@@ -2552,10 +2625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup_check": q_simhash_dedup_check,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_check": q_embedding_dedup_check,
-        "ann_lsh": q_ann_lsh,
-        "ann_lsh_check": q_ann_lsh_check,
         # ---------------- below the driver's 50-query window ----------------
         # r07 greens slated for the round-10 rotation:
+        "ann_lsh": q_ann_lsh,
+        "ann_lsh_check": q_ann_lsh_check,
         "ann_bruteforce": q_ann_bruteforce,
         "user_totals": q_user_totals,
         "ann_ivf": q_ann_ivf,
@@ -4404,6 +4477,57 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+""",
+        "quality_calibration": """
+WITH toks AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tok,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')
+           AS ltok
+  FROM documents
+), feats AS (
+  SELECT doc_id, source,
+         len(tok) AS n_tokens,
+         (length(text)
+          - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+           / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(ltok, t -> list_contains(
+             ['the','a','and','of','to','in','is','it','that','for'],
+             t)))::DOUBLE
+           / greatest(len(ltok), 1) AS stop_ratio
+  FROM toks
+), scored AS (
+  SELECT doc_id, source,
+         (least(n_tokens / 100.0, 1.0)
+          + (1.0 - least(punct_ratio * 4.0, 1.0))
+          + least(stop_ratio * 5.0, 1.0)) / 3.0 AS q
+  FROM feats
+)
+SELECT doc_id, source, round(q, 6) AS quality,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id), 6)
+         AS pct_in_source,
+       ntile(10) OVER (PARTITION BY source ORDER BY q, doc_id)::BIGINT
+         AS source_decile
+FROM scored ORDER BY doc_id
+""",
+        "customer_rfm": """
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS frequency, sum(o_totalprice) AS monetary
+  FROM orders GROUP BY 1
+), rfm AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_quartile,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile,
+         monetary
+  FROM per_cust
+)
+SELECT r_quartile::BIGINT AS r_quartile, f_quartile::BIGINT AS f_quartile,
+       m_quartile::BIGINT AS m_quartile,
+       count(*)::BIGINT AS n_customers,
+       round(avg(monetary), 4) AS avg_monetary
+FROM rfm GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """,
         "props_json": """
 SELECT event_type,

@@ -77,6 +77,8 @@ def main() -> None:
         "returned_item_revenue",
         "regional_revenue",
         "grouped_topk_orders",
+        "customer_rfm",
+        "quality_calibration",
         "global_aggregates",
         "events_by_user_segment",
         "windowed_event_counts",

@@ -76,6 +76,8 @@ AUDITED = [
     "term_drift",
     "props_json",
     "brand_promo_revenue",
+    "quality_calibration",
+    "customer_rfm",
 ]
 
 
