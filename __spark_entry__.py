@@ -2395,6 +2395,19 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's word-blocklist page rule (pipeline/quality.blocklist_filter)
+    with a demo blocklist — production supplies its own list; matching
+    is token-boundary on the pipeline tokenizer, so substrings never
+    false-match.  Narrow map, exact DuckDB oracle."""
+    from tsne_flink_spark.pipeline.quality import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return blocklist_filter(docs, ["slow", "broken", "stale"]).orderBy(
+        "doc_id"
+    )
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail perplexity split (pipeline/lm.
     perplexity_buckets): corpus-LM perplexity bucketed by GK-sketch
@@ -2605,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_promo_revenue": q_brand_promo_revenue,
         "quality_calibration": q_quality_calibration,
         "customer_rfm": q_customer_rfm,
+        "blocklist_filter": q_blocklist_filter,
         "promo_revenue_monthly": q_promo_revenue_monthly,
         "windowed_event_counts": q_windowed_event_counts,
         "sessionize": q_sessionize,
@@ -2623,13 +2637,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_dedup": q_simhash_dedup,
         "simhash_dedup_check": q_simhash_dedup_check,
-        "embedding_dedup": q_embedding_dedup,
-        "embedding_dedup_check": q_embedding_dedup_check,
+        "ann_bruteforce": q_ann_bruteforce,
         # ---------------- below the driver's 50-query window ----------------
         # r07 greens slated for the round-10 rotation:
+        "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_check": q_embedding_dedup_check,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_check": q_ann_lsh_check,
-        "ann_bruteforce": q_ann_bruteforce,
         "user_totals": q_user_totals,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_check": q_ann_ivf_check,
@@ -4477,6 +4491,21 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+""",
+        "blocklist_filter": """
+SELECT doc_id,
+       len(list_filter(
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> ''),
+         t -> list_contains(['slow', 'broken', 'stale'], t)))::BIGINT
+         AS n_blocked,
+       len(list_filter(
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> ''),
+         t -> list_contains(['slow', 'broken', 'stale'], t))) > 0
+         AS blocked
+FROM documents
+ORDER BY doc_id
 """,
         "quality_calibration": """
 WITH toks AS (

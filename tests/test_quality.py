@@ -159,3 +159,32 @@ def test_compression_ratio_bounds_hold_for_tiny_docs(spark):
     # the reason the invariant changed
     tiny = out.where(F.col("doc_id") == 2).collect()[0]
     assert tiny["ratio"] > 1.5
+
+
+def test_blocklist_filter_token_boundary(spark):
+    """C4 word-blocklist rule: token-boundary matching only — a
+    blocklisted word inside another word must NOT match."""
+    from tsne_flink_spark.pipeline.quality import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "this query is slow today"),
+            (2, "slowly is a different token"),
+            (3, "SLOW uppercase still matches"),
+            (4, "clean document"),
+            (5, "slow slow broken"),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in blocklist_filter(
+        docs, ["slow", "broken"]).collect()}
+    assert out[1]["blocked"] and out[1]["n_blocked"] == 1
+    assert not out[2]["blocked"]          # substring never matches
+    assert out[3]["blocked"]              # case-insensitive
+    assert not out[4]["blocked"]
+    assert out[5]["n_blocked"] == 3
+    assert not out[6]["blocked"]
+    # empty blocklist blocks nothing
+    none = blocklist_filter(docs, []).where("blocked").count()
+    assert none == 0

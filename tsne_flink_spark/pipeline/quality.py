@@ -243,3 +243,40 @@ def gopher_quality(
         & (F.col("n_stop_hits") >= 2)
     )
     return out.withColumn("passed", passed)
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    words: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4's word-blocklist page rule (Raffel et al. 2020 §2.2: any page
+    containing a word from a banned-word list is removed).  The list is
+    a PARAMETER — production pipelines supply their own (C4 used the
+    "List of Dirty, Naughty, Obscene..." list, which has no business
+    being hardcoded here); matching is token-boundary exact on
+    lowercased whitespace tokens, the same tokenizer as the rest of the
+    pipeline, so "class" never matches a blocklisted "ass".
+
+    Pure Column math (split -> filter by literal array membership): a
+    narrow map, no shuffle, blocklist folded into the generated code as
+    a constant array.  For blocklists beyond a few thousand entries
+    prefer a broadcast join against a terms table instead of a literal.
+
+    Returns every row annotated (kill-set convention): (id, n_blocked
+    token occurrences, blocked flag).
+    """
+    lowered = [w.lower() for w in words]
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    hits = F.filter(
+        toks, lambda t: t.isin(*lowered) if lowered else F.lit(False)
+    )
+    return docs.select(
+        id_col,
+        F.size(hits).cast("long").alias("n_blocked"),
+        (F.size(hits) > 0).alias("blocked"),
+    )
