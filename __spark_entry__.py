@@ -574,6 +574,40 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (near-duplicate) eval contamination
+    (pipeline/curation.decontaminate_fuzzy): MinHash-LSH banding between
+    train and the BROADCAST holdout split, exact-Jaccard verification.
+    Same train/holdout split as the exact variant.  LSH hashing is
+    engine-specific (xxhash64) so rows-only; paired with
+    decontaminate_fuzzy_check's exact-ground-truth invariants."""
+    from tsne_flink_spark.pipeline.curation import decontaminate_fuzzy
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    holdout = docs.where(F.col("doc_id") % 10 == 0)
+    return decontaminate_fuzzy(train, holdout, threshold=0.5).orderBy(
+        "doc_id"
+    )
+
+
+def q_decontaminate_fuzzy_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Invariants for decontaminate_fuzzy vs the EXACT broadcast ground
+    truth (computable because the holdout side is small): zero false
+    flags, zero overstated scores, zero misses above the S-curve margin,
+    total annotation.  Oracle: constant zero row."""
+    from tsne_flink_spark.pipeline.curation import (
+        decontaminate_fuzzy_invariants,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    holdout = docs.where(F.col("doc_id") % 10 == 0)
+    return decontaminate_fuzzy_invariants(train, holdout, threshold=0.5)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (domain mixing): per-language keep
     rates en 50% / de 30% / fr 20% / es 10% / other 5%, membership decided
@@ -2619,6 +2653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": q_quality_calibration,
         "customer_rfm": q_customer_rfm,
         "blocklist_filter": q_blocklist_filter,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "decontaminate_fuzzy_check": q_decontaminate_fuzzy_check,
         "promo_revenue_monthly": q_promo_revenue_monthly,
         "windowed_event_counts": q_windowed_event_counts,
         "sessionize": q_sessionize,
@@ -4491,6 +4527,12 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+""",
+        "decontaminate_fuzzy_check": """
+SELECT CAST(0 AS BIGINT) AS row_count_delta,
+       CAST(0 AS BIGINT) AS false_flags,
+       CAST(0 AS BIGINT) AS overstated_scores,
+       CAST(0 AS BIGINT) AS missed_strong
 """,
         "blocklist_filter": """
 SELECT doc_id,

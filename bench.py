@@ -108,6 +108,8 @@ def main() -> None:
         "pack_sequences",
         "chunk_documents",
         "decontaminate",
+        "decontaminate_fuzzy",
+        "blocklist_filter",
         "doc_fingerprint",
         "winnow_overlap",
         "exact_dedup",

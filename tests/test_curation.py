@@ -999,3 +999,54 @@ def test_term_drift_is_symmetric_under_swap(spark):
     rev = {r["term"]: r["z"] for r in term_drift(b, a, top_k=10).collect()}
     for t in fwd:
         assert abs(fwd[t] + rev[t]) < 1e-9, (t, fwd[t], rev[t])
+
+
+def test_decontaminate_fuzzy_catches_paraphrase_exact_misses(spark):
+    """The motivating case: a light paraphrase of an eval doc shares NO
+    word 5-gram (exact decontaminate misses it) but sits far above 0.5
+    shingle-Jaccard (fuzzy flags it)."""
+    from tsne_flink_spark.pipeline.curation import (
+        decontaminate,
+        decontaminate_fuzzy,
+        decontaminate_fuzzy_invariants,
+    )
+
+    # 40-token eval doc; the paraphrase swaps one word roughly every 12
+    # tokens, so no 13-gram (the GPT-3 decontamination window) survives
+    # while ~3/4 of the 3-shingles do — Jaccard ~0.6.  (At ngram_n=5 the
+    # exact rule is strictly MORE sensitive than fuzzy@0.5: zero shared
+    # 5-grams mathematically bounds 3-shingle Jaccard below ~0.5, which
+    # is why the realistic pairing is long-n exact + fuzzy.)
+    words = [f"w{i}" for i in range(40)]
+    eval_text = " ".join(words)
+    changed = list(words)
+    for pos in (9, 21, 33):
+        changed[pos] = f"x{pos}"
+    paraphrase = " ".join(changed)
+    train = spark.createDataFrame(
+        [
+            (1, paraphrase),
+            (2, "completely unrelated text about database join planning"),
+        ],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [(100, eval_text)], "doc_id long, text string"
+    )
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(train, holdout, ngram_n=13).collect()
+    }
+    fuzzy = {
+        r["doc_id"]: r
+        for r in decontaminate_fuzzy(train, holdout, threshold=0.5).collect()
+    }
+    assert exact[1] == 0                      # exact 5-gram rule misses it
+    assert fuzzy[1]["contaminated_fuzzy"] == 1  # fuzzy catches it
+    assert fuzzy[1]["max_jaccard"] > 0.5
+    assert fuzzy[2]["contaminated_fuzzy"] == 0
+    assert fuzzy[2]["n_holdout_matches"] == 0
+    inv = decontaminate_fuzzy_invariants(
+        train, holdout, threshold=0.5
+    ).collect()[0]
+    assert all(v == 0 for v in inv.asDict().values()), inv

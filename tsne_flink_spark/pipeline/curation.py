@@ -669,3 +669,203 @@ def term_drift(
         .orderBy(F.abs(F.col("z")).desc(), F.col("term").asc())
         .limit(top_k)
     )
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    holdout: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate eval-set contamination: the fuzzy complement of
+    :func:`decontaminate` — exact n-gram overlap misses light paraphrase
+    (reordered sentences, small insertions), which shingle-Jaccard
+    similarity above ``threshold`` still catches.
+
+    MinHash-LSH banding BETWEEN the train and holdout signature tables
+    generates candidates (never a self-join: the holdout side — an eval
+    benchmark, MBs against training TBs — is banded once and BROADCAST,
+    so candidate generation is a map-side join over the train scan);
+    candidates are then verified with EXACT shingle Jaccard against the
+    broadcast holdout shingle sets, so precision against the threshold
+    is 1.0 by construction and only recall rides the S-curve.
+
+    Returns every train row annotated: (id, max_jaccard,
+    n_holdout_matches, contaminated_fuzzy) — the same total-annotation
+    kill-set convention as the exact variant.
+    """
+    from tsne_flink_spark.pipeline.dedup import (
+        _auto_bands,
+        _spread,
+        jaccard_similarity,
+        minhash_signatures_table,
+        shingles,
+    )
+
+    bands = _auto_bands(num_hashes, threshold)
+    rows_per_band = num_hashes // bands
+
+    def banded(signed: DataFrame, idc: str) -> DataFrame:
+        return signed.select(
+            F.col(idc),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bnd: F.xxhash64(
+                        F.slice(
+                            F.col("__sig"),
+                            bnd * rows_per_band + 1,
+                            rows_per_band,
+                        ).cast("string")
+                    ),
+                )
+            ).alias("__band", "__bucket"),
+        )
+
+    tr_sh = _spread(train.select(id_col, text_col), F.col(id_col)).select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    ho_sh = holdout.select(
+        F.col(id_col).alias("__ev_id"),
+        shingles(F.col(text_col), shingle_n).alias("__ev_sh"),
+    )
+    tr_sig = minhash_signatures_table(
+        tr_sh, id_col, num_hashes, seed, spread=False
+    )
+    ho_sig = minhash_signatures_table(
+        ho_sh.withColumnRenamed("__ev_sh", "__sh"),
+        "__ev_id",
+        num_hashes,
+        seed,
+        spread=False,
+    )
+    cands = (
+        banded(tr_sig, id_col)
+        .join(F.broadcast(banded(ho_sig, "__ev_id")), ["__band", "__bucket"])
+        .select(id_col, "__ev_id")
+        .dropDuplicates([id_col, "__ev_id"])
+    )
+    verified = (
+        cands.join(tr_sh, id_col)
+        .join(F.broadcast(ho_sh), "__ev_id")
+        .select(
+            id_col,
+            jaccard_similarity(F.col("__sh"), F.col("__ev_sh")).alias("__j"),
+        )
+        .where(F.col("__j") >= threshold)
+    )
+    hits = verified.groupBy(id_col).agg(
+        F.max("__j").alias("max_jaccard"),
+        F.count(F.lit(1)).cast("long").alias("n_holdout_matches"),
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.round(F.coalesce("max_jaccard", F.lit(0.0)), 6).alias(
+                "max_jaccard"
+            ),
+            F.coalesce("n_holdout_matches", F.lit(0)).alias(
+                "n_holdout_matches"
+            ),
+            (F.coalesce("max_jaccard", F.lit(0.0)) >= F.lit(threshold))
+            .cast("int")
+            .alias("contaminated_fuzzy"),
+        )
+    )
+
+
+def decontaminate_fuzzy_invariants(
+    train: DataFrame,
+    holdout: DataFrame,
+    threshold: float = 0.5,
+    margin: float = 0.35,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row, all zeros iff :func:`decontaminate_fuzzy` is sound and
+    complete against the EXACT ground truth.
+
+    Unlike the self-join dedups (whose exact truth is quadratic), the
+    holdout side here is broadcast-small, so the true per-train-doc max
+    Jaccard is computable exactly with one map-side
+    broadcast-nested-loop pass — the check compares against the real
+    answer, not a proxy:
+
+    - false_flags: flagged docs whose true max < threshold (must be 0 —
+      candidates are exact-verified);
+    - overstated_scores: reported max_jaccard above the true max (must
+      be 0 — reported scores ARE exact Jaccards of a candidate subset;
+      both sides rounded to the output's 6 decimals before comparing,
+      since round() is monotone but can round the reported value UP past
+      the unrounded truth);
+    - missed_strong: unflagged docs whose true max >= threshold+margin,
+      far above the LSH S-curve knee where the per-pair miss
+      probability is ~(1-j^r)^b ~ 1e-5 (b=16, r=4, j=0.85);
+    - row_count_delta: output rows minus train rows (total annotation).
+    """
+    from tsne_flink_spark.pipeline.dedup import (
+        _spread,
+        jaccard_similarity,
+        shingles,
+    )
+
+    out = decontaminate_fuzzy(
+        train,
+        holdout,
+        threshold=threshold,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        seed=seed,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    tr_sh = _spread(train.select(id_col, text_col), F.col(id_col)).select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    ho_sh = holdout.select(
+        shingles(F.col(text_col), shingle_n).alias("__ev_sh")
+    )
+    truth = (
+        tr_sh.join(F.broadcast(ho_sh))
+        .select(
+            id_col,
+            jaccard_similarity(F.col("__sh"), F.col("__ev_sh")).alias("__j"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("__j").alias("__true_max"))
+    )
+    n_train = train.count()
+    j = out.join(truth, id_col, "left").withColumn(
+        "__t", F.coalesce("__true_max", F.lit(0.0))
+    )
+    return j.agg(
+        (F.count(F.lit(1)) - F.lit(n_train)).cast("long").alias(
+            "row_count_delta"
+        ),
+        F.sum(
+            (
+                (F.col("contaminated_fuzzy") == 1)
+                & (F.col("__t") < F.lit(threshold))
+            ).cast("long")
+        ).alias("false_flags"),
+        F.sum(
+            (
+                F.col("max_jaccard") > F.round(F.col("__t"), 6) + F.lit(1e-9)
+            ).cast("long")
+        ).alias("overstated_scores"),
+        F.sum(
+            (
+                (F.col("contaminated_fuzzy") == 0)
+                & (F.col("__t") >= F.lit(threshold + margin))
+            ).cast("long")
+        ).alias("missed_strong"),
+    )
