@@ -384,6 +384,29 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase
+    (streaming/events.event_funnel): per-step user counts with ordered
+    reachability (greedy earliest-match, exact), step-over-step and
+    from-first conversion rates.  One filtered user-key aggregate per
+    step, never a fact-fact self-join.  Exact DuckDB oracle."""
+    from tsne_flink_spark.streaming.events import event_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return event_funnel(ev, ["signup", "click", "purchase"])
+
+
+def q_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (streaming/events.user_cohorts): users
+    bucketed by first-seen week, counted in each later active week.
+    One distinct user-week aggregate over the fact table + tiny matrix
+    rollup.  Exact DuckDB oracle."""
+    from tsne_flink_spark.streaming.events import user_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return user_cohorts(ev)
+
+
 def q_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window (1h window / 30min slide) distinct-user counts —
     each event lands in two overlapping windows; exact COUNT(DISTINCT) so
@@ -606,6 +629,33 @@ def q_decontaminate_fuzzy_check(
     train = docs.where(F.col("doc_id") % 10 != 0)
     holdout = docs.where(F.col("doc_id") % 10 == 0)
     return decontaminate_fuzzy_invariants(train, holdout, threshold=0.5)
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment (pipeline/dedup.containment_pairs) —
+    quote/excerpt detection over a deterministically augmented corpus:
+    every doc_id % 7 == 0 document gets a 'quote' twin (its first 40% of
+    tokens, min 5, id + 10,000,000) that symmetric Jaccard dedup would
+    NEVER pair with its source (J ~ 0.4 at best) but containment ~ 1
+    catches.  df-capped inverted-index candidates (cap replicated in the
+    oracle), exact intersection verify.  Exact DuckDB oracle."""
+    from tsne_flink_spark.pipeline.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda t: t != F.lit("")
+    )
+    n_keep = F.greatest(
+        F.floor(F.size(toks) * 2 / 5).cast("int"), F.lit(5)
+    )
+    quotes = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, n_keep), " ").alias("text"),
+    )
+    aug = docs.unionByName(quotes)
+    return containment_pairs(
+        aug, threshold=0.8, shingle_n=3, max_df=50
+    ).orderBy("container", "contained")
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2655,6 +2705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "decontaminate_fuzzy_check": q_decontaminate_fuzzy_check,
+        "event_funnel": q_event_funnel,
+        "user_cohorts": q_user_cohorts,
+        "containment_pairs": q_containment_pairs,
         "promo_revenue_monthly": q_promo_revenue_monthly,
         "windowed_event_counts": q_windowed_event_counts,
         "sessionize": q_sessionize,
@@ -2670,12 +2723,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_check": q_projection_check,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_check": q_minhash_dedup_check,
+        # ---------------- below the driver's 50-query window ----------------
+        # r07 greens slated for the round-10 rotation:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_dedup": q_simhash_dedup,
         "simhash_dedup_check": q_simhash_dedup_check,
         "ann_bruteforce": q_ann_bruteforce,
-        # ---------------- below the driver's 50-query window ----------------
-        # r07 greens slated for the round-10 rotation:
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_check": q_embedding_dedup_check,
         "ann_lsh": q_ann_lsh,
@@ -4527,6 +4580,87 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+""",
+        "containment_pairs": """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string(
+           list_slice(t, 1, greatest(floor(len(t) * 2 / 5)::INT, 5)),
+           ' ') AS text
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE doc_id % 7 = 0)
+), toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS lt
+  FROM base
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(lt) - 2, 1) + 1),
+           i -> array_to_string(list_slice(lt, i, i + 2), ' '))) AS grams
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), df_ok AS (
+  SELECT g FROM ex GROUP BY g HAVING count(*) <= 50
+), rare AS (
+  SELECT ex.doc_id, ex.g FROM ex JOIN df_ok USING (g)
+), cands AS (
+  SELECT x.doc_id AS container, y.doc_id AS contained
+  FROM rare x JOIN rare y ON x.g = y.g AND x.doc_id <> y.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT c.container, c.contained,
+         round(len(list_intersect(sa.grams, sb.grams))
+               / len(sb.grams), 6) AS containment
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.container
+  JOIN sh sb ON sb.doc_id = c.contained
+)
+SELECT container, contained, containment
+FROM scored WHERE containment >= 0.8
+ORDER BY container, contained
+""",
+        "event_funnel": """
+WITH s0 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), s1 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.u
+  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1
+), s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1
+), c AS (
+  SELECT 0 AS step_index, 'signup' AS step,
+         (SELECT count(*) FROM s0)::BIGINT AS n_users
+  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)::BIGINT
+  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)::BIGINT
+)
+SELECT step_index::BIGINT AS step_index, step, n_users,
+       round(n_users / greatest(lag(n_users) OVER (ORDER BY step_index), 1),
+             6) AS conversion_from_prev,
+       round(n_users
+             / greatest(first_value(n_users) OVER (ORDER BY step_index), 1),
+             6) AS conversion_from_first
+FROM c ORDER BY step_index
+""",
+        "user_cohorts": """
+WITH uw AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w FROM events
+), f AS (SELECT u, min(w) AS w0 FROM uw GROUP BY 1)
+SELECT strftime(w0, '%Y-%m-%d') AS cohort_week,
+       (date_diff('day', w0, w) / 7)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_active_users
+FROM uw JOIN f USING (u)
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "decontaminate_fuzzy_check": """
 SELECT CAST(0 AS BIGINT) AS row_count_delta,

@@ -83,6 +83,8 @@ def main() -> None:
         "events_by_user_segment",
         "windowed_event_counts",
         "sessionize",
+        "event_funnel",
+        "user_cohorts",
         "joint_distribution",
         "knn_bruteforce",
         "knn_partition",
@@ -121,6 +123,7 @@ def main() -> None:
         "minhash_dedup",
         "simhash_dedup",
         "ngram_jaccard_pairs",
+        "containment_pairs",
         # directly after ngram_jaccard_pairs ON PURPOSE: dup_clusters reuses
         # the same miner, and its first execution pays a large one-time
         # whole-stage-codegen compile (B18b) — adjacency shares the warm

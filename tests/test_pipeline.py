@@ -571,3 +571,46 @@ def test_dedup_invariants_both_scales(spark, sf_dir):
         row = df.head()
         assert row["unjustified_kills"] == 0, (name, sf_dir, row)
         assert row["missed_candidates"] == 0, (name, sf_dir, row)
+
+
+def test_containment_pairs_finds_quotes_jaccard_misses(spark):
+    from tsne_flink_spark.pipeline.dedup import (
+        containment_pairs,
+        jaccard_similarity,
+        shingles,
+    )
+
+    long_doc = " ".join(f"tok{i}" for i in range(40))
+    quote = " ".join(f"tok{i}" for i in range(12))  # 30% excerpt
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, quote), (3, "entirely different words here now")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["container"], r["contained"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] == 1.0   # quote fully contained
+    assert (2, 1) not in out                       # asymmetric
+    assert all(a != 3 and b != 3 for a, b in out)
+    # and symmetric Jaccard really would have missed it
+    j = docs.where("doc_id = 1").select(
+        shingles(F.col("text")).alias("a")
+    ).crossJoin(
+        docs.where("doc_id = 2").select(shingles(F.col("text")).alias("b"))
+    ).select(jaccard_similarity(F.col("a"), F.col("b")).alias("j")).collect()[0]["j"]
+    assert j < 0.5
+
+
+def test_containment_df_cap_bounds_fanout(spark):
+    """Docs sharing ONLY a corpus-common shingle (df > cap) produce no
+    candidate pair — the documented stop-shingle trade."""
+    from tsne_flink_spark.pipeline.dedup import containment_pairs
+
+    common = "the common boilerplate footer"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} words{i} here{i} " + common) for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(docs, threshold=0.3, max_df=10).collect()
+    assert out == []

@@ -426,3 +426,66 @@ def test_stream_events_empty_dir_falls_back(spark, tmp_path):
     stream = stream_events_from_files(spark, stream_dir)
     assert stream.isStreaming
     assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_event_funnel_ordered_reachability(spark):
+    from tsne_flink_spark.streaming.events import event_funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "2024-01-01 00:00:00", "signup"),
+        (1, "2024-01-01 01:00:00", "click"),
+        (1, "2024-01-01 02:00:00", "purchase"),
+        # user 2: purchase BEFORE click -> reaches click, not purchase
+        (2, "2024-01-01 00:00:00", "signup"),
+        (2, "2024-01-01 02:00:00", "click"),
+        (2, "2024-01-01 01:00:00", "purchase"),
+        # user 3: no signup -> never enters the funnel
+        (3, "2024-01-01 00:00:00", "click"),
+        (3, "2024-01-01 01:00:00", "purchase"),
+        # user 4: signup only
+        (4, "2024-01-01 03:00:00", "signup"),
+        # user 5: greedy-earliest still exact — an early click before
+        # signup must not block the later qualifying one
+        (5, "2024-01-01 00:30:00", "click"),
+        (5, "2024-01-01 01:00:00", "signup"),
+        (5, "2024-01-01 02:00:00", "click"),
+        (5, "2024-01-01 03:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, k) for u, t, k in rows], "user_id long, ts string, event_type string"
+    ).select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type")
+    out = {r["step"]: r for r in event_funnel(
+        ev, ["signup", "click", "purchase"]).collect()}
+    assert out["signup"]["n_users"] == 4      # users 1, 2, 4, 5
+    assert out["click"]["n_users"] == 3       # users 1, 2, 5
+    assert out["purchase"]["n_users"] == 2    # users 1, 5
+    assert out["purchase"]["conversion_from_prev"] == round(2 / 3, 6)
+    assert out["purchase"]["conversion_from_first"] == 0.5
+
+
+def test_user_cohorts_matrix(spark):
+    from tsne_flink_spark.streaming.events import user_cohorts
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # Monday, cohort W1
+        (1, "2024-01-09 10:00:00"),  # W2
+        (1, "2024-01-16 10:00:00"),  # W3
+        (2, "2024-01-02 10:00:00"),  # cohort W1
+        (3, "2024-01-08 10:00:00"),  # cohort W2
+        (3, "2024-01-21 10:00:00"),  # Sunday of W3 (still W3)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_active_users"]
+        for r in user_cohorts(ev).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,   # users 1, 2
+        ("2024-01-01", 1): 1,   # user 1
+        ("2024-01-01", 2): 1,   # user 1
+        ("2024-01-08", 0): 1,   # user 3
+        ("2024-01-08", 1): 1,   # user 3
+    }

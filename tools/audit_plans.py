@@ -78,6 +78,10 @@ AUDITED = [
     "brand_promo_revenue",
     "quality_calibration",
     "customer_rfm",
+    "event_funnel",
+    "user_cohorts",
+    "containment_pairs",
+    "decontaminate_fuzzy",
 ]
 
 

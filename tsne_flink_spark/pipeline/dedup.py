@@ -980,3 +980,76 @@ def embedding_dedup_invariants(
         .agg(F.count(F.lit(1)).alias("missed_candidates"))
     )
     return unjustified.crossJoin(missed)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric near-containment pairs — the quote/excerpt detector
+    Jaccard misses: a short document lifted from a long one has
+    containment |Sa ∩ Sb| / |Sb| ~ 1 (b's shingles inside a) while the
+    symmetric Jaccard is diluted by the size gap below any dedup
+    threshold.
+
+    Candidates come from a df-capped shingle inverted index: shingles
+    with document frequency > ``max_df`` are dropped as stop-shingles
+    (the same winnowing trade as winnow_overlap — a pair is missed ONLY
+    if every shared shingle is corpus-common, and the cap bounds the
+    per-shingle join fan-out at max_df^2, so the self-join can never go
+    quadratic on a boilerplate shingle).  Verification is exact set
+    intersection over the full distinct-shingle arrays, so emitted
+    containments are exact values; the cap is deterministic and
+    replicated in the DuckDB oracle, making the full output
+    hash-checkable.
+
+    Returns (container, contained, containment) for container !=
+    contained, containment >= threshold, contained side non-empty;
+    directed — a full duplicate yields both directions.
+    """
+    sh = (
+        _spread(docs.select(id_col, text_col), F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles(F.col(text_col), shingle_n)).alias(
+                "__sh"
+            ),
+        )
+        .where(F.size("__sh") >= 1)
+    )
+    posting = sh.select(F.col(id_col).alias("__id"), F.explode("__sh").alias("__g"))
+    rare = posting.join(
+        posting.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_df)
+        .select("__g"),
+        "__g",
+    )
+    cands = (
+        rare.select(F.col("__id").alias("container"), "__g")
+        .join(rare.select(F.col("__id").alias("contained"), "__g"), "__g")
+        .where(F.col("container") != F.col("contained"))
+        .select("container", "contained")
+    )
+    cands = _spread(cands, F.col("container")).dropDuplicates(
+        ["container", "contained"]
+    )
+    sha = sh.select(F.col(id_col).alias("container"), F.col("__sh").alias("__sha"))
+    shb = sh.select(F.col(id_col).alias("contained"), F.col("__sh").alias("__shb"))
+    cont = F.size(F.array_intersect(F.col("__sha"), F.col("__shb"))) / F.size(
+        F.col("__shb")
+    )
+    return (
+        cands.join(sha, "container")
+        .join(shb, "contained")
+        .select(
+            "container",
+            "contained",
+            F.round(cont, 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

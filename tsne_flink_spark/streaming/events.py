@@ -261,3 +261,107 @@ def stream_events_from_files(
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string"
     ).parquet(path)
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Ordered conversion funnel: one row per step with the number of
+    users who reached it IN ORDER (step k counts users with an event of
+    type k STRICTLY AFTER their earliest qualifying step-(k-1) event).
+
+    Greedy earliest-match is exact for reachability: taking the minimum
+    qualifying timestamp at every step dominates any other choice, so a
+    user is counted at step k iff ANY ordered occurrence of the first k
+    steps exists.
+
+    Plan: one filtered aggregate per step (map-side combinable groupBy
+    on the user key) joined to the previous step's row — k-1 joins of
+    one-row-per-user tables, each co-partitioned on the user key, never
+    a fact-fact self-join.  Returns (step_index, step, n_users,
+    conversion_from_prev, conversion_from_first) ordered by step.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    reached = None  # (user, __t): earliest time the user completed step k
+    counts = []
+    for k, step in enumerate(steps):
+        ev_k = events.where(F.col("event_type") == step).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        if reached is None:
+            reached = ev_k.groupBy("__u").agg(F.min("__ts").alias("__t"))
+        else:
+            reached = (
+                ev_k.join(reached, "__u")
+                .where(F.col("__ts") > F.col("__t"))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias("__t"))
+            )
+        counts.append(
+            reached.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(k).cast("long").alias("step_index"),
+                F.lit(step).alias("step"),
+                F.col("n").cast("long").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("step_index")
+    first = F.first("n_users").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("n_users").over(w)
+    return out.select(
+        "step_index",
+        "step",
+        "n_users",
+        F.round(
+            F.col("n_users") / F.greatest(prev, F.lit(1)), 6
+        ).alias("conversion_from_prev"),
+        F.round(
+            F.col("n_users") / F.greatest(first, F.lit(1)), 6
+        ).alias("conversion_from_first"),
+    ).orderBy("step_index")
+
+
+def user_cohorts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly retention cohort matrix: users grouped by first-seen week,
+    counted in every subsequent week they were active.
+
+    Plan: one distinct (user, week) aggregate over the fact table
+    (map-side combinable), a per-user min-week rollup of THAT (already
+    one row per user-week), a co-partitioned join back, and the tiny
+    (cohort, offset) matrix aggregate — the fact table is scanned once.
+    Returns (cohort_week yyyy-MM-dd, week_offset, n_active_users).
+    """
+    uw = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.date_trunc("week", F.col(ts_col)).alias("__w"),
+        )
+        .distinct()
+    )
+    first = uw.groupBy("__u").agg(F.min("__w").alias("__w0"))
+    return (
+        uw.join(first, "__u")
+        .select(
+            F.date_format("__w0", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("__w"), F.col("__w0")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
