@@ -2721,14 +2721,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_ngram": q_language_id_ngram,
         "corpus_shards": q_corpus_shards,
         "projection_check": q_projection_check,
-        "minhash_dedup": q_minhash_dedup,
-        "minhash_dedup_check": q_minhash_dedup_check,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         # ---------------- below the driver's 50-query window ----------------
         # r07 greens slated for the round-10 rotation:
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_bruteforce": q_ann_bruteforce,
+        "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_check": q_minhash_dedup_check,
         "simhash_dedup": q_simhash_dedup,
         "simhash_dedup_check": q_simhash_dedup_check,
-        "ann_bruteforce": q_ann_bruteforce,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_check": q_embedding_dedup_check,
         "ann_lsh": q_ann_lsh,

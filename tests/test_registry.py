@@ -75,3 +75,29 @@ def test_rows_only_queries_have_check_coverage():
             uncovered.append(name)
     # every rows-only operator carries a verified-invariant partner
     assert not uncovered, f"rows-only queries without a _check partner: {uncovered}"
+
+
+def test_driver_window_keeps_check_pairs_together():
+    """The driver's correctness gate checks only the FIRST 50 queries()
+    entries (the rotating window).  Two invariants the rotation must
+    never break:
+
+    - an in-window `_check` query's base query is also in-window (the
+      driver should see the pair as a unit);
+    - an in-window rows-only (no-oracle) query has its `_check` partner
+      in-window too — otherwise the driver records an unverifiable
+      rows-only row (the round-8 audio_features lesson).
+    """
+    m = _entry()
+    names = list(m.queries())
+    oracles = set(m.oracle_sql())
+    window = set(names[:50])
+    split = []
+    for n in names[:50]:
+        if n.endswith("_check") and n[: -len("_check")] in names:
+            if n[: -len("_check")] not in window:
+                split.append(f"{n} in-window without its base")
+        if n not in oracles and f"{n}_check" in names:
+            if f"{n}_check" not in window:
+                split.append(f"{n} (rows-only) in-window without its check")
+    assert not split, split
