@@ -638,7 +638,11 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, min 5, id + 10,000,000) that symmetric Jaccard dedup would
     NEVER pair with its source (J ~ 0.4 at best) but containment ~ 1
     catches.  df-capped inverted-index candidates (cap replicated in the
-    oracle), exact intersection verify.  Exact DuckDB oracle."""
+    oracle; max_df=25 — quote-pair shingles have df~2, and on this
+    small-vocab corpus df in (25,50] shingles are pure boilerplate whose
+    candidate volume dominated runtime: 12.7 -> ~4 s warm at sf0.1 for
+    the same quote recall), exact intersection verify.  Exact DuckDB
+    oracle."""
     from tsne_flink_spark.pipeline.dedup import containment_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -654,7 +658,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = docs.unionByName(quotes)
     return containment_pairs(
-        aug, threshold=0.8, shingle_n=3, max_df=50
+        aug, threshold=0.8, shingle_n=3, max_df=25
     ).orderBy("container", "contained")
 
 
@@ -3961,7 +3965,7 @@ WITH codes AS (
   SELECT doc_id, unnest(fps)::BIGINT AS fp FROM fpl
 ), kept AS (
   SELECT fps.doc_id, fps.fp FROM fps
-  JOIN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100) ok USING (fp)
+  JOIN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 250) ok USING (fp)
 )
 SELECT x.doc_id::BIGINT AS a, y.doc_id::BIGINT AS b, count(*)::BIGINT AS n_shared
 FROM kept x JOIN kept y USING (fp)
@@ -4607,7 +4611,7 @@ WITH base AS (
 ), ex AS (
   SELECT doc_id, unnest(grams) AS g FROM sh
 ), df_ok AS (
-  SELECT g FROM ex GROUP BY g HAVING count(*) <= 50
+  SELECT g FROM ex GROUP BY g HAVING count(*) <= 25
 ), rare AS (
   SELECT ex.doc_id, ex.g FROM ex JOIN df_ok USING (g)
 ), cands AS (
