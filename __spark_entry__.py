@@ -384,6 +384,28 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, day-of-week): all four grouping sets
+    in one pass with GROUPING indicators — the grouping-sets surface
+    beyond event_rollup's linear hierarchy.  dow comes from the NTZ
+    timestamp (session-TZ-independent); Spark numbers days 1=Sunday..
+    7=Saturday while DuckDB's dayofweek is 0=Sunday..6=Saturday, so the
+    oracle adds 1.  Exact DuckDB oracle."""
+    ev = _t(spark, sf_dir, "events")
+    dow = F.dayofweek("ts")  # 1=Sunday .. 7=Saturday, TZ-independent on NTZ
+    return (
+        ev.select("event_type", dow.cast("long").alias("dow"), "value")
+        .cube("event_type", "dow")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("dow").cast("int").alias("g_dow"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("g_type", "g_dow", "event_type", "dow")
+    )
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup -> click -> purchase
     (streaming/events.event_funnel): per-step user counts with ordered
@@ -2709,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "decontaminate_fuzzy_check": q_decontaminate_fuzzy_check,
+        "event_cube": q_event_cube,
         "event_funnel": q_event_funnel,
         "user_cohorts": q_user_cohorts,
         "containment_pairs": q_containment_pairs,
@@ -2725,9 +2748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_ngram": q_language_id_ngram,
         "corpus_shards": q_corpus_shards,
         "projection_check": q_projection_check,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         # ---------------- below the driver's 50-query window ----------------
         # r07 greens slated for the round-10 rotation:
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_bruteforce": q_ann_bruteforce,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_check": q_minhash_dedup_check,
@@ -4629,6 +4652,17 @@ WITH base AS (
 SELECT container, contained, containment
 FROM scored WHERE containment >= 0.8
 ORDER BY container, contained
+""",
+        "event_cube": """
+SELECT event_type,
+       (dayofweek(ts) + 1)::BIGINT AS dow,
+       GROUPING(event_type)::INT AS g_type,
+       GROUPING((dayofweek(ts) + 1)::BIGINT)::INT AS g_dow,
+       COUNT(*)::BIGINT AS n_events,
+       round(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY CUBE(event_type, (dayofweek(ts) + 1)::BIGINT)
+ORDER BY g_type, g_dow, event_type, dow
 """,
         "event_funnel": """
 WITH s0 AS (

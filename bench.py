@@ -83,6 +83,7 @@ def main() -> None:
         "events_by_user_segment",
         "windowed_event_counts",
         "sessionize",
+        "event_cube",
         "event_funnel",
         "user_cohorts",
         "joint_distribution",
