@@ -384,6 +384,37 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_group_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (p25/median/p75 of extended price and
+    median quantity per return flag) via Spark's `percentile` aggregate —
+    the exact counterpart of the approx_percentile path gated by
+    approx_quantile_check; linear interpolation matches DuckDB's
+    quantile_cont.  Exact at any scale only via a per-group sort — the
+    documented trade vs the sketch (use approx_percentile when the group
+    is a corpus, exact when the group fits a sort).  Exact DuckDB
+    oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias(
+                "price_p25"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias(
+                "price_median"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias(
+                "price_p75"
+            ),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias(
+                "qty_median"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CUBE over (event_type, day-of-week): all four grouping sets
     in one pass with GROUPING indicators — the grouping-sets surface
@@ -2731,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "decontaminate_fuzzy_check": q_decontaminate_fuzzy_check,
+        "group_medians": q_group_medians,
         "event_cube": q_event_cube,
         "event_funnel": q_event_funnel,
         "user_cohorts": q_user_cohorts,
@@ -2747,9 +2779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "language_id_ngram": q_language_id_ngram,
         "corpus_shards": q_corpus_shards,
-        "projection_check": q_projection_check,
         # ---------------- below the driver's 50-query window ----------------
         # r07 greens slated for the round-10 rotation:
+        "projection_check": q_projection_check,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_bruteforce": q_ann_bruteforce,
         "minhash_dedup": q_minhash_dedup,
@@ -4652,6 +4684,17 @@ WITH base AS (
 SELECT container, contained, containment
 FROM scored WHERE containment >= 0.8
 ORDER BY container, contained
+""",
+        "group_medians": """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS price_median,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS price_p75,
+       round(quantile_cont(l_quantity, 0.5), 6) AS qty_median,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
 """,
         "event_cube": """
 SELECT event_type,

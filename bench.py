@@ -79,6 +79,7 @@ def main() -> None:
         "grouped_topk_orders",
         "customer_rfm",
         "quality_calibration",
+        "group_medians",
         "global_aggregates",
         "events_by_user_segment",
         "windowed_event_counts",
