@@ -384,6 +384,33 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_user_peak_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user argmax via max-of-struct: each user's
+    highest-value event with (ts, event_type) as explicit tiebreakers —
+    the ONE-aggregate idiom that replaces a window sort + rn=1 filter
+    (one map-side-combinable groupBy instead of a partition sort; the
+    bare max_by is nondeterministic under value ties, which the struct
+    ordering pins).  Oracle uses the equivalent row_number formulation.
+    Exact DuckDB oracle."""
+    ev = _t(spark, sf_dir, "events")
+    peak = F.max(
+        F.struct(
+            F.col("value"), F.col("ts"), F.col("event_type")
+        )
+    ).alias("p")
+    return (
+        ev.groupBy("user_id")
+        .agg(peak)
+        .select(
+            "user_id",
+            F.round(F.col("p.value"), 4).alias("peak_value"),
+            _utc_wall("p.ts").alias("peak_ts"),
+            F.col("p.event_type").alias("peak_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_group_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-group percentiles (p25/median/p75 of extended price and
     median quantity per return flag) via Spark's `percentile` aggregate —
@@ -2762,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "decontaminate_fuzzy_check": q_decontaminate_fuzzy_check,
+        "user_peak_event": q_user_peak_event,
         "group_medians": q_group_medians,
         "event_cube": q_event_cube,
         "event_funnel": q_event_funnel,
@@ -2778,9 +2806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_ratio": q_stopword_ratio,
         "language_id": q_language_id,
         "language_id_ngram": q_language_id_ngram,
-        "corpus_shards": q_corpus_shards,
         # ---------------- below the driver's 50-query window ----------------
         # r07 greens slated for the round-10 rotation:
+        "corpus_shards": q_corpus_shards,
         "projection_check": q_projection_check,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_bruteforce": q_ann_bruteforce,
@@ -4684,6 +4712,20 @@ WITH base AS (
 SELECT container, contained, containment
 FROM scored WHERE containment >= 0.8
 ORDER BY container, contained
+""",
+        "user_peak_event": """
+WITH ranked AS (
+  SELECT user_id, value, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, ts DESC, event_type DESC)
+           AS rn
+  FROM events
+)
+SELECT user_id, round(value, 4) AS peak_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS peak_ts,
+       event_type AS peak_type
+FROM ranked WHERE rn = 1
+ORDER BY user_id
 """,
         "group_medians": """
 SELECT l_returnflag,

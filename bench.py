@@ -82,6 +82,7 @@ def main() -> None:
         "group_medians",
         "global_aggregates",
         "events_by_user_segment",
+        "user_peak_event",
         "windowed_event_counts",
         "sessionize",
         "event_cube",

@@ -78,6 +78,7 @@ AUDITED = [
     "brand_promo_revenue",
     "quality_calibration",
     "customer_rfm",
+    "user_peak_event",
     "group_medians",
     "event_cube",
     "event_funnel",
