@@ -384,6 +384,26 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the exact near-dup similarity graph
+    (operators/graph.triangle_stats over ngram_jaccard_pairs edges):
+    global triangle count + clustering coefficient — how CLIQUE-LIKE
+    the duplicate families are (template clusters are near-cliques;
+    chains of pairwise-similar-but-drifting docs are not), the
+    graph-shape signal complementing component size (dup_clusters) and
+    centrality (dup_pagerank).  Exact DuckDB oracle over the same
+    miner CTE; like the rest of the dup family, the ORACLE side's pair
+    re-mining is intractable at sf0.1 (engine side 17 s there) — value
+    parity is verified at sf0.001/sf0.01 where the driver's gate
+    runs."""
+    from tsne_flink_spark.operators.graph import triangle_stats
+    from tsne_flink_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
+    return triangle_stats(edges)
+
+
 def q_user_peak_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-user argmax via max-of-struct: each user's
     highest-value event with (ts, event_type) as explicit tiebreakers —
@@ -2789,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "decontaminate_fuzzy_check": q_decontaminate_fuzzy_check,
+        "dup_triangles": q_dup_triangles,
         "user_peak_event": q_user_peak_event,
         "group_medians": q_group_medians,
         "event_cube": q_event_cube,
@@ -2805,9 +2826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "stopword_ratio": q_stopword_ratio,
         "language_id": q_language_id,
-        "language_id_ngram": q_language_id_ngram,
         # ---------------- below the driver's 50-query window ----------------
         # r07 greens slated for the round-10 rotation:
+        "language_id_ngram": q_language_id_ngram,
         "corpus_shards": q_corpus_shards,
         "projection_check": q_projection_check,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -3125,6 +3146,55 @@ def _lcg_bucket_sql_expr(buckets: int = 100) -> str:
     from tsne_flink_spark.pipeline.curation import lcg_bucket_sql
 
     return lcg_bucket_sql("doc_id", buckets)
+
+
+
+# Triangle-census oracle over the SAME ngram-Jaccard miner CTE as
+# dup_pagerank/_pagerank_oracle_sql (2-gram shingles, J >= 0.5).
+_TRIANGLES_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ltok
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(ltok) - 1, 1) + 1),
+           i -> array_to_string(list_slice(ltok, i, i + 1), ' ')
+         )) AS grams
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), cands AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), e AS MATERIALIZED (
+  SELECT c.a, c.b
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b
+  WHERE len(list_intersect(sa.grams, sb.grams))
+        / greatest(len(list_distinct(list_concat(sa.grams, sb.grams))), 1)
+        >= 0.5
+), deg AS (
+  SELECT v, count(*)::DOUBLE AS d
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+  GROUP BY 1
+), w AS (
+  SELECT sum(d * (d - 1) / 2) AS n_wedges, count(*)::BIGINT AS n_nodes
+  FROM deg
+), t AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), m AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+SELECT n_nodes, n_edges, n_wedges::BIGINT AS n_wedges, n_triangles,
+       round(CASE WHEN n_wedges > 0 THEN 3.0 * n_triangles / n_wedges
+                  ELSE 0 END, 6) AS clustering_coefficient
+FROM m, w, t
+"""
 
 
 def _pagerank_oracle_sql(iters: int = 10, damping: float = 0.85) -> str:
@@ -4514,6 +4584,7 @@ SELECT source, n_docs, n_tokens,
 FROM wt
 """,
         "dup_pagerank": _pagerank_oracle_sql(),
+        "dup_triangles": _TRIANGLES_ORACLE,
         "dup_best_rep": """
 WITH RECURSIVE toks AS (
   SELECT doc_id, text,

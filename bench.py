@@ -135,6 +135,7 @@ def main() -> None:
         "dup_clusters",
         "dup_pagerank",
         "dup_best_rep",
+        "dup_triangles",
         "curation_pipeline",
         "tfidf_top_terms",
         "bm25_scores",

@@ -60,6 +60,7 @@ AUDITED = [
     "heavy_hitters",
     "bm25_index",
     "dup_pagerank",
+    "dup_triangles",
     "shipping_priority",
     "order_priority",
     "revenue_pivot",

@@ -193,3 +193,75 @@ def pagerank(
         if (not undirected) or it % 4 == 3 or it == iters - 1:
             ranks = materialize(ranks)
     return ranks
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph: one row
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering_coefficient).
+
+    Edges are normalized to distinct (a < b) pairs, so each triangle
+    {x < y < z} is counted exactly once by the two-hop join
+    e1(x, y) ⋈ e2(y, z) ⋈ e3(x, z) — no orientation bookkeeping and a
+    DuckDB-replayable formulation.  Wedges (length-2 paths) come from
+    the degree table: sum d·(d−1)/2; the global clustering coefficient
+    is 3·triangles / wedges (0 when the graph has no wedge).
+
+    Scale note: the two-hop join's fan-out is Σ_v d(v)², so a
+    power-law hub dominates it; the standard fix at web scale is
+    degree-ordered orientation (direct every edge toward the
+    higher-degree endpoint, capping oriented out-degree at O(√m)) —
+    one extra degree join before the same two-hop, left out here
+    because the near-dup graphs this serves are degree-bounded by the
+    dedup threshold itself (a doc can only be similar to so many docs
+    at J ≥ t; the cluster probes B23/B27 bound the family sizes).
+    """
+    from tsne_flink_spark.operators.optimize import materialize
+
+    # materialize: the normalized edge table is referenced SIX times below
+    # (degree scan x2, the three triangle roles, the edge count) — without
+    # cutting lineage each reference re-executes the upstream edge miner
+    # (measured 46.5 s -> 16 s on the sf0.1 near-dup graph)
+    e = materialize(
+        edges.select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            "n_triangles",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coefficient"),
+        )
+    )
