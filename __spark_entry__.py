@@ -4118,7 +4118,7 @@ WITH codes AS (
   SELECT doc_id, unnest(fps)::BIGINT AS fp FROM fpl
 ), kept AS (
   SELECT fps.doc_id, fps.fp FROM fps
-  JOIN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 250) ok USING (fp)
+  JOIN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100) ok USING (fp)
 )
 SELECT x.doc_id::BIGINT AS a, y.doc_id::BIGINT AS b, count(*)::BIGINT AS n_shared
 FROM kept x JOIN kept y USING (fp)
