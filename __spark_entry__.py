@@ -465,12 +465,17 @@ def q_group_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CUBE over (event_type, day-of-week): all four grouping sets
     in one pass with GROUPING indicators — the grouping-sets surface
-    beyond event_rollup's linear hierarchy.  dow comes from the NTZ
-    timestamp (session-TZ-independent); Spark numbers days 1=Sunday..
-    7=Saturday while DuckDB's dayofweek is 0=Sunday..6=Saturday, so the
+    beyond event_rollup's linear hierarchy.  ``ts`` is an INSTANT
+    (load_events normalizes it), so the day-of-week must be taken on
+    the UTC wall clock (convert_timezone to NTZ first) — bare
+    dayofweek(instant) shifts with the session zone
+    (tests/test_timezone_contract.py caught it).  Spark numbers days
+    1=Sunday..7=Saturday while DuckDB's dayofweek is 0-based, so the
     oracle adds 1.  Exact DuckDB oracle."""
     ev = _t(spark, sf_dir, "events")
-    dow = F.dayofweek("ts")  # 1=Sunday .. 7=Saturday, TZ-independent on NTZ
+    dow = F.dayofweek(
+        F.expr("convert_timezone(current_timezone(), 'UTC', ts)")
+    )  # 1=Sunday .. 7=Saturday on the UTC wall, session-independent
     return (
         ev.select("event_type", dow.cast("long").alias("dow"), "value")
         .cube("event_type", "dow")
@@ -500,10 +505,14 @@ def q_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts (streaming/events.user_cohorts): users
     bucketed by first-seen week, counted in each later active week.
     One distinct user-week aggregate over the fact table + tiny matrix
-    rollup.  Exact DuckDB oracle."""
+    rollup.  ``ts`` is converted to its UTC wall (NTZ) first so week
+    truncation and rendering are session-TZ-independent — on the raw
+    instant both follow the session calendar.  Exact DuckDB oracle."""
     from tsne_flink_spark.streaming.events import user_cohorts
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("convert_timezone(current_timezone(), 'UTC', ts)")
+    )
     return user_cohorts(ev)
 
 

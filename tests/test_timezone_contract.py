@@ -31,6 +31,10 @@ TZ_SENSITIVE = [
     "windowed_event_counts",
     "sessionize",
     "sliding_user_activity",
+    "user_cohorts",
+    "event_cube",
+    "user_peak_event",
+    "event_funnel",
 ]
 
 
