@@ -493,8 +493,10 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup -> click -> purchase
     (streaming/events.event_funnel): per-step user counts with ordered
     reachability (greedy earliest-match, exact), step-over-step and
-    from-first conversion rates.  One filtered user-key aggregate per
-    step, never a fact-fact self-join.  Exact DuckDB oracle."""
+    from-first conversion rates.  Single scan + single user-key shuffle:
+    chained same-partitioning window minima compute every per-user reach
+    time in one pass (step 0's conversion_from_prev is 1.0 by
+    convention).  Exact DuckDB oracle."""
     from tsne_flink_spark.streaming.events import event_funnel
 
     ev = _t(spark, sf_dir, "events")
@@ -2114,10 +2116,8 @@ def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pushdown-able timestamp filter; exact DuckDB oracle."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate").between(
-            F.lit("1997-01-01").cast("timestamp_ntz"),
-            F.lit("1997-12-31").cast("timestamp_ntz"),
-        )
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
@@ -2136,10 +2136,8 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     having at least one late lineitem) — the left-semi join pattern the
     relational surface was missing.  Exact DuckDB oracle."""
     orders = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate").between(
-            F.lit("1996-01-01").cast("timestamp_ntz"),
-            F.lit("1996-12-31").cast("timestamp_ntz"),
-        )
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     late = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1997-06-30").cast("timestamp_ntz")
@@ -2167,10 +2165,8 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts); the top-20 lane ranking keeps the output bounded instead.
     Exact DuckDB oracle."""
     li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate").between(
-            F.lit("1996-01-01").cast("timestamp_ntz"),
-            F.lit("1998-12-31").cast("timestamp_ntz"),
-        )
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
     )
     orders = _t(spark, sf_dir, "orders")
     sup = _t(spark, sf_dir, "supplier")
@@ -2395,10 +2391,8 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast.  Exact DuckDB oracle."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate").between(
-            F.lit("1997-01-01").cast("timestamp_ntz"),
-            F.lit("1997-06-30").cast("timestamp_ntz"),
-        )
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
     )
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -4742,8 +4736,8 @@ FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
-  AND strftime(o_orderdate, '%Y-%m-%d') < '1998-01-01'
-  AND strftime(l_shipdate, '%Y-%m-%d') > '1998-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
 GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
@@ -4848,8 +4842,10 @@ WITH s0 AS (
   UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)::BIGINT
 )
 SELECT step_index::BIGINT AS step_index, step, n_users,
-       round(n_users / greatest(lag(n_users) OVER (ORDER BY step_index), 1),
-             6) AS conversion_from_prev,
+       CASE WHEN step_index = 0 THEN 1.0
+            ELSE round(n_users
+                       / greatest(lag(n_users) OVER (ORDER BY step_index), 1),
+                       6) END AS conversion_from_prev,
        round(n_users
              / greatest(first_value(n_users) OVER (ORDER BY step_index), 1),
              6) AS conversion_from_first
@@ -5028,7 +5024,8 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation n1 ON s_nationkey = n1.n_nationkey
 JOIN nation n2 ON c_nationkey = n2.n_nationkey
-WHERE strftime(l_shipdate, '%Y-%m-%d') BETWEEN '1996-01-01' AND '1998-12-31'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1999-01-01'
 GROUP BY 1, 2, 3
 ORDER BY revenue DESC, supp_nation, cust_nation, l_year
 LIMIT 20
@@ -5102,7 +5099,7 @@ FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
-                    AND strftime(o_orderdate, '%Y-%m-%d') >= '1999-01-01')
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """,
@@ -5115,7 +5112,8 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 WHERE l_returnflag = 'R'
-  AND strftime(o_orderdate, '%Y-%m-%d') BETWEEN '1997-01-01' AND '1997-06-30'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
 GROUP BY 1, 2, 3, 4
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
@@ -5127,18 +5125,20 @@ SELECT l_returnflag,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                 THEN 0 ELSE 1 END)::BIGINT AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-WHERE strftime(l_shipdate, '%Y-%m-%d') BETWEEN '1997-01-01' AND '1997-12-31'
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """,
         "order_priority": """
 SELECT o_orderpriority, count(*)::BIGINT AS order_count
 FROM orders o
-WHERE strftime(o_orderdate, '%Y-%m-%d') BETWEEN '1996-01-01' AND '1996-12-31'
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
   AND EXISTS (
     SELECT 1 FROM lineitem l
     WHERE l.l_orderkey = o.o_orderkey
-      AND strftime(l.l_shipdate, '%Y-%m-%d') > '1997-06-30'
+      AND l.l_shipdate > TIMESTAMP '1997-06-30'
   )
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

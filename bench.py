@@ -214,6 +214,11 @@ def main() -> None:
 
     ok = [v for v in timings.values() if v >= 0]
     total = round(sum(ok), 3)
+    calib = {
+        "start_sec": calib_start,
+        "end_sec": calib_end,
+        "end_over_start": round(calib_end / max(calib_start, 1e-9), 3),
+    }
     print(
         json.dumps(
             {
@@ -225,11 +230,29 @@ def main() -> None:
                 "cpus": int(cpus),
                 "n_queries": len(headline),
                 "n_failed": len(timings) - len(ok),
-                "calibration": {
-                    "start_sec": calib_start,
-                    "end_sec": calib_end,
-                    "end_over_start": round(calib_end / max(calib_start, 1e-9), 3),
-                },
+                "calibration": calib,
+            }
+        )
+    )
+    # The full line above can exceed the ~4 KB tail the bench driver
+    # retains (96 query entries ≈ 4.5 KB), truncating the HEAD — which
+    # holds "value" (the suite total) and the flagship's timing — and
+    # leaving the recorded artifact unparseable (BENCH_r09.json
+    # "parsed": null).  Emit a second, compact, summary-only JSON line
+    # LAST so the tail capture always ends with a complete parseable
+    # record carrying the total, the flagship, and the calibration.
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf),
+                "cpus": int(cpus),
+                "n_queries": len(headline),
+                "n_failed": len(timings) - len(ok),
+                "queries": {"tsne_embedding": timings.get("tsne_embedding")},
+                "calibration": calib,
             }
         )
     )

@@ -101,6 +101,21 @@ def test_corpus_shards_is_scan_shaped(spark):
     assert "Join" not in plan and "Window" not in plan
 
 
+def test_event_funnel_single_scan(spark):
+    """The funnel must scan the events fact table ONCE (single user-key
+    shuffle + chained window minima) — the per-step join formulation
+    compiled to k(k+1)/2+1 scans (10 for k=3), a fact-table multiplier
+    at 100 TB."""
+    import re
+
+    m = _entry()
+    plan = _plan(m.queries()["event_funnel"](spark, SF_DIR))
+    # formatted mode prints each node once in the tree and once in the
+    # detail section — count the numbered detail entries
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+
+
 def test_plan_sweep_no_cartesian_no_row_udfs(spark):
     """ONE pass over every registered query plan (plan construction runs
     real driver actions for the iterative queries, so sweep once):

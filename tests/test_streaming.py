@@ -462,6 +462,10 @@ def test_event_funnel_ordered_reachability(spark):
     assert out["purchase"]["n_users"] == 2    # users 1, 5
     assert out["purchase"]["conversion_from_prev"] == round(2 / 3, 6)
     assert out["purchase"]["conversion_from_first"] == 0.5
+    # step 0 has no previous step: conversion_from_prev is 1.0 by
+    # convention (it used to leak n_users/1 = the raw count)
+    assert out["signup"]["conversion_from_prev"] == 1.0
+    assert out["signup"]["conversion_from_first"] == 1.0
 
 
 def test_user_cohorts_matrix(spark):

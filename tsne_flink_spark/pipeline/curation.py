@@ -762,6 +762,11 @@ def decontaminate_fuzzy(
         F.max("__j").alias("max_jaccard"),
         F.count(F.lit(1)).cast("long").alias("n_holdout_matches"),
     )
+    # contaminated_fuzzy is defined as "at least one holdout match with
+    # UNROUNDED Jaccard >= threshold" (the `verified` filter above), so
+    # the flag is match existence — never re-derived from the rounded
+    # display value, whose 6-decimal rounding could otherwise show
+    # max_jaccard == threshold (0.4999996 -> 0.5) beside a 0 flag.
     return (
         train.select(id_col)
         .join(hits, id_col, "left")
@@ -773,7 +778,7 @@ def decontaminate_fuzzy(
             F.coalesce("n_holdout_matches", F.lit(0)).alias(
                 "n_holdout_matches"
             ),
-            (F.coalesce("max_jaccard", F.lit(0.0)) >= F.lit(threshold))
+            (F.coalesce("n_holdout_matches", F.lit(0)) > 0)
             .cast("int")
             .alias("contaminated_fuzzy"),
         )

@@ -278,41 +278,62 @@ def event_funnel(
     user is counted at step k iff ANY ordered occurrence of the first k
     steps exists.
 
-    Plan: one filtered aggregate per step (map-side combinable groupBy
-    on the user key) joined to the previous step's row — k-1 joins of
-    one-row-per-user tables, each co-partitioned on the user key, never
-    a fact-fact self-join.  Returns (step_index, step, n_users,
-    conversion_from_prev, conversion_from_first) ordered by step.
+    Plan: the events table is scanned ONCE (funnel-typed rows only —
+    the isin filter is pushed to the scan), shuffled ONCE on the user
+    key, then k same-partitioning window aggregates compute the chained
+    per-user reach times t_k = min(ts WHERE type = step_k AND ts >
+    t_{k-1}) without any further exchange; a per-user rollup (same key,
+    no shuffle) and one tiny global sum produce every step count in a
+    single pass.  The earlier per-step join formulation re-derived the
+    reachability chain for each count branch and compiled to k(k+1)/2+1
+    scans of the fact table (10 for k=3) — a fact-table multiplier at
+    100 TB.  Returns (step_index, step, n_users, conversion_from_prev,
+    conversion_from_first) ordered by step; step 0's
+    conversion_from_prev is 1.0 by convention (there is no previous
+    step).
     """
     if not steps:
         raise ValueError("steps must be non-empty")
-    reached = None  # (user, __t): earliest time the user completed step k
-    counts = []
-    for k, step in enumerate(steps):
-        ev_k = events.where(F.col("event_type") == step).select(
-            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
-        )
-        if reached is None:
-            reached = ev_k.groupBy("__u").agg(F.min("__ts").alias("__t"))
-        else:
-            reached = (
-                ev_k.join(reached, "__u")
-                .where(F.col("__ts") > F.col("__t"))
-                .groupBy("__u")
-                .agg(F.min("__ts").alias("__t"))
-            )
-        counts.append(
-            reached.agg(F.count(F.lit(1)).alias("n")).select(
-                F.lit(k).cast("long").alias("step_index"),
-                F.lit(step).alias("step"),
-                F.col("n").cast("long").alias("n_users"),
-            )
-        )
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
     from pyspark.sql import Window
 
+    ev = events.where(F.col("event_type").isin(list(steps))).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col("event_type").alias("__type"),
+    )
+    w_user = Window.partitionBy("__u")
+    t_cols: list[str] = []
+    for k, step in enumerate(steps):
+        qualifies = F.col("__type") == step
+        if t_cols:
+            qualifies = qualifies & (F.col("__ts") > F.col(t_cols[-1]))
+        name = f"__t{k}"
+        ev = ev.withColumn(
+            name, F.min(F.when(qualifies, F.col("__ts"))).over(w_user)
+        )
+        t_cols.append(name)
+    # one row per user (hash(__u) partitioning carries over from the
+    # window — no new exchange), then one single-row global aggregate
+    per_user = ev.groupBy("__u").agg(
+        *[F.max(c).alias(c) for c in t_cols]
+    )
+    totals = per_user.agg(
+        *[
+            F.sum(F.col(c).isNotNull().cast("long")).alias(f"__n{k}")
+            for k, c in enumerate(t_cols)
+        ]
+    )
+    stack_args: list = [F.lit(len(steps))]
+    for k, step in enumerate(steps):
+        stack_args += [
+            F.lit(k).cast("long"),
+            F.lit(step),
+            F.coalesce(F.col(f"__n{k}"), F.lit(0)).cast("long"),
+        ]
+    out = totals.select(
+        F.stack(*stack_args).alias("step_index", "step", "n_users")
+    )
+    # ordering window over len(steps) rows — a constant-size relation
     w = Window.orderBy("step_index")
     first = F.first("n_users").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -322,9 +343,9 @@ def event_funnel(
         "step_index",
         "step",
         "n_users",
-        F.round(
-            F.col("n_users") / F.greatest(prev, F.lit(1)), 6
-        ).alias("conversion_from_prev"),
+        F.when(F.col("step_index") == 0, F.lit(1.0))
+        .otherwise(F.round(F.col("n_users") / F.greatest(prev, F.lit(1)), 6))
+        .alias("conversion_from_prev"),
         F.round(
             F.col("n_users") / F.greatest(first, F.lit(1)), 6
         ).alias("conversion_from_first"),
