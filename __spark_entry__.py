@@ -2541,33 +2541,63 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _ntile_from_rank(rank_col, n: int, tiles: int = 4):
+    """Exact SQL ntile(tiles) from a 0-based total rank: the first
+    ``n % tiles`` buckets take ``n // tiles + 1`` rows, the rest
+    ``n // tiles`` — byte-identical to Spark's and DuckDB's NTILE over
+    the same total order, but computable from a shuffle-parallel rank
+    instead of a single-partition global window."""
+    q, rem = divmod(int(n), int(tiles))
+    if q == 0:
+        return (rank_col + 1).cast("long")
+    head = rem * (q + 1)
+    return (
+        F.when(rank_col < head, F.floor(rank_col / (q + 1)) + 1)
+        .otherwise(rem + F.floor((rank_col - head) / q) + 1)
+        .cast("long")
+    )
+
+
 def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency/frequency/monetary rollup,
-    quartiled with deterministic ntile windows (custkey tiebreak), then
-    the segment matrix with counts and average spend.  One orders
-    groupBy + three global quartile windows over ONE ROW PER CUSTOMER
-    (the windows sort the customer table, never the fact table).  Exact
-    DuckDB oracle."""
-    from pyspark.sql import Window
+    quartiled deterministically (custkey tiebreak), then the segment
+    matrix with counts and average spend.  One orders groupBy, then
+    three SHUFFLE-PARALLEL quartiles: each metric goes through the
+    engine's JVM-side distributed rank (operators/knn._global_rank_by —
+    materialized range shuffle + partition-offset arithmetic, BASELINE
+    B15) and the exact ntile(4)-from-rank formula, replacing the earlier
+    three global unpartitioned ntile windows, each of which sorted the
+    whole per-customer table on a single task — the one serial stage
+    left in the round-9 surface (at 100 TB the customer table is itself
+    sharded).  Oracle unchanged: exact DuckDB NTILE(4) windows."""
+    from tsne_flink_spark.operators.knn import _global_rank_by
+    from tsne_flink_spark.operators.optimize import materialize
 
     orders = _t(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum("o_totalprice").alias("monetary"),
+    per_cust = materialize(
+        orders.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
     )
-    rfm = per_cust.select(
-        "o_custkey",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
-        .alias("m_quartile"),
-        "monetary",
+    n = per_cust.count()
+
+    def quartile(metric: str, out: str) -> DataFrame:
+        ranked = _global_rank_by(
+            per_cust.select("o_custkey", metric),
+            F.col(metric).desc(),
+            "o_custkey",
+        )
+        return ranked.select(
+            "o_custkey", _ntile_from_rank(F.col("__rank"), n).alias(out)
+        )
+
+    rfm = (
+        quartile("last_order", "r_quartile")
+        .join(quartile("frequency", "f_quartile"), "o_custkey")
+        .join(quartile("monetary", "m_quartile"), "o_custkey")
+        .join(per_cust.select("o_custkey", "monetary"), "o_custkey")
     )
     return (
         rfm.groupBy("r_quartile", "f_quartile", "m_quartile")

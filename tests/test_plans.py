@@ -116,6 +116,45 @@ def test_event_funnel_single_scan(spark):
     assert len(scans) == 1, plan
 
 
+def test_customer_rfm_no_global_window(spark):
+    """The RFM quartiles must come from the distributed rank, never a
+    global unpartitioned window (single-task sort of the per-customer
+    table — serial at 100 TB)."""
+    m = _entry()
+    plan = _plan(m.queries()["customer_rfm"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    """_ntile_from_rank must be byte-exact vs Spark's NTILE over the same
+    total order — including the n % tiles remainder buckets and n < tiles
+    degenerate cases."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    m = _entry()
+    for n in (1, 2, 3, 4, 5, 6, 7, 8, 97):
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") % 7).alias("key")
+        )
+        w = Window.orderBy(F.col("key").desc(), "id")
+        expected = df.select(
+            "id", F.ntile(4).over(w).cast("long").alias("t")
+        )
+        ranked = df.select(
+            "id",
+            (F.row_number().over(w) - 1).cast("long").alias("__rank"),
+        )
+        got = ranked.select(
+            "id", m._ntile_from_rank(F.col("__rank"), n).alias("t")
+        )
+        le, lg = (
+            {r["id"]: r["t"] for r in expected.collect()},
+            {r["id"]: r["t"] for r in got.collect()},
+        )
+        assert le == lg, f"n={n}: {le} vs {lg}"
+
+
 def test_plan_sweep_no_cartesian_no_row_udfs(spark):
     """ONE pass over every registered query plan (plan construction runs
     real driver actions for the iterative queries, so sweep once):

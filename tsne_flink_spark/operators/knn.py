@@ -358,7 +358,7 @@ def morton_key(
     return space_filling_key(points, mins, maxs, curve="morton", bits=bits)
 
 
-def _global_rank_by(df: DataFrame, order_col: str, *tiebreak: str) -> DataFrame:
+def _global_rank_by(df: DataFrame, order_col, *tiebreak: str) -> DataFrame:
     """Distributed global rank by ``order_col`` (0-based, dense ordering),
     entirely JVM-side: one MATERIALIZED range-sorted shuffle, per-partition
     offsets (a #partitions-row driver collect), and
@@ -381,12 +381,17 @@ def _global_rank_by(df: DataFrame, order_col: str, *tiebreak: str) -> DataFrame:
     - ``tiebreak`` columns make the pre-checkpoint sort total, so the
       materialized order (hence every rank) is reproducible across
       re-runs, not just across branches of one run.
+
+    ``order_col`` may be a column name or a Column sort expression (e.g.
+    ``F.col("monetary").desc()``) — range partitioning keys equal values
+    into one partition either way, so ties never straddle a boundary.
     """
     from tsne_flink_spark.operators.optimize import materialize
 
+    order_expr = F.col(order_col) if isinstance(order_col, str) else order_col
     sdf = materialize(
-        df.repartitionByRange(F.col(order_col)).sortWithinPartitions(
-            order_col, *tiebreak
+        df.repartitionByRange(order_expr).sortWithinPartitions(
+            order_expr, *tiebreak
         )
     )
     # monotonically_increasing_id = (partition_id << 33) | scan-order index;
