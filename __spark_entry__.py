@@ -2793,79 +2793,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the FIRST
     # 50 entries, so the window rotates each round toward the queries with
-    # the weakest driver evidence.  Round-9 window, in priority order:
-    # (a) the 16 round-8 additions that have never had a driver row
-    #     (c4_clean ... perplexity_buckets_check), (b) dup_clusters (the r8
-    #     off-by-one: it sat at position 51), (c) queries whose code changed
-    #     this round (the NTZ timezone fix: promo_revenue_monthly,
-    #     windowed_event_counts, sessionize; revenue_pivot is already in (a);
-    #     plus any new round-9 queries), (d) stale fill — queries last
-    #     driver-green in CORRECTNESS_r07.  Everything below position 50 is
-    #     either green in CORRECTNESS_r08 or a low-risk r07 green slated for
-    #     the round-10 rotation (knn_project(+check), grouped_topk_orders,
-    #     distinct_pairs, top_revenue_orders, exact_dedup).
+    # the weakest driver evidence.  Round-10 window, in priority order:
+    # (a) the 26 queries whose last driver row is CORRECTNESS_r07 (two
+    #     rounds stale; all re-gated locally at sf0.01 by the r9 judge and
+    #     again by tools/check_oracles.py this round): the knn_project and
+    #     rows-only dedup/ANN families with their _check partners, plus the
+    #     relational/event/text r07 tail; (b) the 10 queries whose CODE
+    #     changed this round (customer_rfm distributed-rank replan;
+    #     event_funnel single-scan rewrite; decontaminate_fuzzy flag
+    #     semantics; the 6 date-bound half-open sync queries); (c) stale
+    #     fill — queries last driver-green in CORRECTNESS_r08, check pairs
+    #     kept adjacent.  Everything below position 50 is driver-green in
+    #     r08 or r09; the r09 block is slated for the round-11 rotation.
     return {
-        # --- (a) round-8 additions, never driver-checked ---
-        "c4_clean": q_c4_clean,
-        "gopher_quality": q_gopher_quality,
-        "heavy_hitters": q_heavy_hitters,
-        "bm25_index": q_bm25_index,
-        "compression_check": q_compression_check,
-        "dup_pagerank": q_dup_pagerank,
-        "shipping_priority": q_shipping_priority,
-        "order_priority": q_order_priority,
-        "shipmode_priority": q_shipmode_priority,
-        "line_repetition": q_line_repetition,
-        "revenue_pivot": q_revenue_pivot,
-        "term_frequency_spectrum": q_term_frequency_spectrum,
-        "corpus_diff": q_corpus_diff,
-        "dup_best_rep": q_dup_best_rep,
-        "perplexity_buckets": q_perplexity_buckets,
-        "perplexity_buckets_check": q_perplexity_buckets_check,
-        # --- (b) the r8 window off-by-one ---
-        "dup_clusters": q_dup_clusters,
-        # --- (c) new in round 9 / code changed this round ---
-        "nation_trade_volume": q_nation_trade_volume,
-        "market_share": q_market_share,
-        "small_qty_revenue": q_small_qty_revenue,
-        "large_volume_customers": q_large_volume_customers,
-        "waiting_suppliers": q_waiting_suppliers,
-        "idle_customers": q_idle_customers,
-        "returned_item_revenue": q_returned_item_revenue,
-        "dsir_weights": q_dsir_weights,
-        "dsir_sample": q_dsir_sample,
-        "term_drift": q_term_drift,
-        "props_json": q_props_json,
-        "brand_promo_revenue": q_brand_promo_revenue,
-        "quality_calibration": q_quality_calibration,
-        "customer_rfm": q_customer_rfm,
-        "blocklist_filter": q_blocklist_filter,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "decontaminate_fuzzy_check": q_decontaminate_fuzzy_check,
-        "dup_triangles": q_dup_triangles,
-        "user_peak_event": q_user_peak_event,
-        "group_medians": q_group_medians,
-        "event_cube": q_event_cube,
-        "event_funnel": q_event_funnel,
-        "user_cohorts": q_user_cohorts,
-        "containment_pairs": q_containment_pairs,
-        "promo_revenue_monthly": q_promo_revenue_monthly,
-        "windowed_event_counts": q_windowed_event_counts,
-        "sessionize": q_sessionize,
-        "sliding_user_activity": q_sliding_user_activity,
-        # --- (d) stale fill: last driver-green in CORRECTNESS_r07 ---
-        "regional_revenue": q_regional_revenue,
-        "events_by_user_segment": q_events_by_user_segment,
-        "text_stats": q_text_stats,
-        "stopword_ratio": q_stopword_ratio,
-        "language_id": q_language_id,
-        # ---------------- below the driver's 50-query window ----------------
-        # r07 greens slated for the round-10 rotation:
-        "language_id_ngram": q_language_id_ngram,
-        "corpus_shards": q_corpus_shards,
-        "projection_check": q_projection_check,
+        # --- (a) r07-stale rotation (verdict r9 item 2) ---
+        "knn_project": q_knn_project,
+        "knn_project_check": q_knn_project_check,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "ann_bruteforce": q_ann_bruteforce,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_check": q_minhash_dedup_check,
         "simhash_dedup": q_simhash_dedup,
@@ -2874,20 +2818,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_check": q_embedding_dedup_check,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_check": q_ann_lsh_check,
-        "user_totals": q_user_totals,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_check": q_ann_ivf_check,
-        "event_rollup": q_event_rollup,
-        "event_order_asof": q_event_order_asof,
-        "session_overlap": q_session_overlap,
-        "token_counts": q_token_counts,
+        "ann_bruteforce": q_ann_bruteforce,
         "exact_dedup": q_exact_dedup,
         "top_revenue_orders": q_top_revenue_orders,
         "grouped_topk_orders": q_grouped_topk_orders,
         "distinct_pairs": q_distinct_pairs,
-        "knn_project": q_knn_project,
-        "knn_project_check": q_knn_project_check,
-        # green in CORRECTNESS_r08:
+        "event_rollup": q_event_rollup,
+        "event_order_asof": q_event_order_asof,
+        "session_overlap": q_session_overlap,
+        "token_counts": q_token_counts,
+        "user_totals": q_user_totals,
+        "language_id_ngram": q_language_id_ngram,
+        "corpus_shards": q_corpus_shards,
+        "projection_check": q_projection_check,
+        # --- (b) code changed in round 10 ---
+        "customer_rfm": q_customer_rfm,
+        "event_funnel": q_event_funnel,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "decontaminate_fuzzy_check": q_decontaminate_fuzzy_check,
+        "nation_trade_volume": q_nation_trade_volume,
+        "returned_item_revenue": q_returned_item_revenue,
+        "shipmode_priority": q_shipmode_priority,
+        "order_priority": q_order_priority,
+        "shipping_priority": q_shipping_priority,
+        "idle_customers": q_idle_customers,
+        # --- (c) stale fill: last driver-green in CORRECTNESS_r08 ---
         "audio_features": q_audio_features,
         "audio_check": q_audio_check,
         "curation_pipeline": q_curation_pipeline,
@@ -2902,6 +2859,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "source_stats_approx_check": q_source_stats_approx_check,
         "sketch_distinct_check": q_sketch_distinct_check,
+        # ------------- below the driver's 50-query window -------------
+        # green in CORRECTNESS_r08 or r09 (r09 block -> round-11 rotation):
+        "c4_clean": q_c4_clean,
+        "gopher_quality": q_gopher_quality,
+        "heavy_hitters": q_heavy_hitters,
+        "bm25_index": q_bm25_index,
+        "compression_check": q_compression_check,
+        "dup_pagerank": q_dup_pagerank,
+        "line_repetition": q_line_repetition,
+        "revenue_pivot": q_revenue_pivot,
+        "term_frequency_spectrum": q_term_frequency_spectrum,
+        "corpus_diff": q_corpus_diff,
+        "dup_best_rep": q_dup_best_rep,
+        "perplexity_buckets": q_perplexity_buckets,
+        "perplexity_buckets_check": q_perplexity_buckets_check,
+        "dup_clusters": q_dup_clusters,
+        "market_share": q_market_share,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_volume_customers": q_large_volume_customers,
+        "waiting_suppliers": q_waiting_suppliers,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
+        "term_drift": q_term_drift,
+        "props_json": q_props_json,
+        "brand_promo_revenue": q_brand_promo_revenue,
+        "quality_calibration": q_quality_calibration,
+        "blocklist_filter": q_blocklist_filter,
+        "dup_triangles": q_dup_triangles,
+        "user_peak_event": q_user_peak_event,
+        "group_medians": q_group_medians,
+        "event_cube": q_event_cube,
+        "user_cohorts": q_user_cohorts,
+        "containment_pairs": q_containment_pairs,
+        "promo_revenue_monthly": q_promo_revenue_monthly,
+        "windowed_event_counts": q_windowed_event_counts,
+        "sessionize": q_sessionize,
+        "sliding_user_activity": q_sliding_user_activity,
+        "regional_revenue": q_regional_revenue,
+        "events_by_user_segment": q_events_by_user_segment,
+        "text_stats": q_text_stats,
+        "stopword_ratio": q_stopword_ratio,
+        "language_id": q_language_id,
         "stratified_sample": q_stratified_sample,
         "stratified_take": q_stratified_take,
         "pack_sequences": q_pack_sequences,

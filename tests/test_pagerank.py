@@ -74,3 +74,38 @@ def test_pagerank_duplicate_and_self_edges_ignored(spark):
     # symmetric 2-node graph: uniform ranks
     assert got[1] == pytest.approx(1.0, abs=1e-12)
     assert got[2] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_triangle_census_orientations_agree(spark):
+    """Degree-oriented census (orient_by_degree=True) must equal the
+    id-ordered default on a graph with hubs, skewed degrees, duplicate
+    and self edges — and both must equal a brute-force count."""
+    from itertools import combinations
+
+    from tsne_flink_spark.operators.graph import triangle_stats
+
+    rng = np.random.default_rng(11)
+    n = 40
+    edges = [(1, k) for k in range(2, 30)]  # hub
+    edges += [
+        tuple(sorted(rng.choice(n, size=2, replace=False) + 1))
+        for _ in range(150)
+    ]
+    edges += [(2, 2), (3, 4), (4, 3)]  # self edge + duplicate reversed
+    adj = {(a, b) for a, b in edges if a != b} | {
+        (b, a) for a, b in edges if a != b
+    }
+    nodes = sorted({v for e in adj for v in e})
+    brute = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if (x, y) in adj and (y, z) in adj and (x, z) in adj
+    )
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "a bigint, b bigint"
+    )
+    plain = triangle_stats(df).collect()[0].asDict()
+    oriented = triangle_stats(df, orient_by_degree=True).collect()[0].asDict()
+    assert plain == oriented
+    assert plain["n_triangles"] == brute

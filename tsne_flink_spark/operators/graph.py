@@ -195,7 +195,7 @@ def pagerank(
     return ranks
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(edges: DataFrame, orient_by_degree: bool = False) -> DataFrame:
     """Global triangle census of an undirected graph: one row
     (n_nodes, n_edges, n_wedges, n_triangles, clustering_coefficient).
 
@@ -206,14 +206,21 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     the degree table: sum d·(d−1)/2; the global clustering coefficient
     is 3·triangles / wedges (0 when the graph has no wedge).
 
-    Scale note: the two-hop join's fan-out is Σ_v d(v)², so a
-    power-law hub dominates it; the standard fix at web scale is
-    degree-ordered orientation (direct every edge toward the
-    higher-degree endpoint, capping oriented out-degree at O(√m)) —
-    one extra degree join before the same two-hop, left out here
-    because the near-dup graphs this serves are degree-bounded by the
-    dedup threshold itself (a doc can only be similar to so many docs
-    at J ≥ t; the cluster probes B23/B27 bound the family sizes).
+    Scale note: the id-ordered two-hop join's fan-out is Σ_v d(v)², so
+    a power-law hub dominates it.  ``orient_by_degree=True`` switches
+    to the standard web-scale fix (Schank–Wagner / Suri–Vassilvitskii
+    degree orientation): every edge is directed toward the endpoint
+    with the HIGHER (degree, id), which caps every oriented out-degree
+    at O(√m), and the same two-hop closes x→y→z with x→z.  Each
+    triangle has exactly one vertex from which both oriented edges
+    leave (its minimum under the (degree, id) total order), so the
+    count is identical — `tools/probe_triangle_hub.py` measures both
+    on a 50k-edge hub graph.  The default stays id-ordered because the
+    near-dup graphs this serves are degree-bounded by the dedup
+    threshold itself (a doc can only be similar to so many docs at
+    J ≥ t; the cluster probes B23/B27 bound the family sizes) and the
+    id-ordered form is DuckDB-replayable for the oracle gate; point it
+    at a link graph (sources/warc.extract_links) with the flag on.
     """
     from tsne_flink_spark.operators.optimize import materialize
 
@@ -239,9 +246,33 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges"),
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
     )
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    if orient_by_degree:
+        # Direct each edge toward the higher-(degree, id) endpoint; the
+        # oriented out-degree is then ≤ O(√m) for EVERY vertex (a vertex
+        # keeps an out-edge only toward neighbors of no smaller degree,
+        # and at most 2√m vertices have degree ≥ √m).  Materialized:
+        # referenced three times by the two-hop below, and the degree
+        # join must not re-run per reference.
+        da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+        db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+        fwd = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        o = materialize(
+            e.join(da, "a")
+            .join(db, "b")
+            .select(
+                F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+                F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("w"),
+            )
+        )
+        e1 = o.select(F.col("u").alias("x"), F.col("w").alias("y"))
+        e2 = o.select(F.col("u").alias("y"), F.col("w").alias("z"))
+        e3 = o.select(F.col("u").alias("x"), F.col("w").alias("z"))
+    else:
+        e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
     tri = (
         e1.join(e2, "y")
         .join(e3, ["x", "z"])
