@@ -2541,21 +2541,7 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _ntile_from_rank(rank_col, n: int, tiles: int = 4):
-    """Exact SQL ntile(tiles) from a 0-based total rank: the first
-    ``n % tiles`` buckets take ``n // tiles + 1`` rows, the rest
-    ``n // tiles`` — byte-identical to Spark's and DuckDB's NTILE over
-    the same total order, but computable from a shuffle-parallel rank
-    instead of a single-partition global window."""
-    q, rem = divmod(int(n), int(tiles))
-    if q == 0:
-        return (rank_col + 1).cast("long")
-    head = rem * (q + 1)
-    return (
-        F.when(rank_col < head, F.floor(rank_col / (q + 1)) + 1)
-        .otherwise(rem + F.floor((rank_col - head) / q) + 1)
-        .cast("long")
-    )
+from tsne_flink_spark.operators.knn import ntile_from_rank as _ntile_from_rank
 
 
 def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2677,6 +2663,21 @@ def q_perplexity_buckets_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
         ).alias("threshold_order_violations"),
     )
+
+
+def q_perplexity_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-boundary head/middle/tail perplexity split
+    (pipeline/lm.perplexity_split_exact): exact equal-count tertiles by
+    global rank over (rounded perplexity, doc_id) — NTILE(3) semantics,
+    computed with the shuffle-parallel distributed rank plus
+    ntile-from-rank arithmetic, never a single-partition window.
+    Unlike q_perplexity_buckets (GK-sketch thresholds, rows-only), the
+    split itself is EXACTLY oracle-checkable: the DuckDB oracle is the
+    same LM pipeline plus a literal NTILE(3) window."""
+    from tsne_flink_spark.pipeline.lm import perplexity_split_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_split_exact(docs, n_buckets=3)
 
 
 def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2844,6 +2845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority": q_order_priority,
         "shipping_priority": q_shipping_priority,
         "idle_customers": q_idle_customers,
+        # --- (b') new in round 10 ---
+        "perplexity_split_exact": q_perplexity_split_exact,
         # --- (c) stale fill: last driver-green in CORRECTNESS_r08 ---
         "audio_features": q_audio_features,
         "audio_check": q_audio_check,
@@ -2858,9 +2861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "source_stats": q_source_stats,
         "source_stats_approx_check": q_source_stats_approx_check,
-        "sketch_distinct_check": q_sketch_distinct_check,
         # ------------- below the driver's 50-query window -------------
         # green in CORRECTNESS_r08 or r09 (r09 block -> round-11 rotation):
+        "sketch_distinct_check": q_sketch_distinct_check,
         "c4_clean": q_c4_clean,
         "gopher_quality": q_gopher_quality,
         "heavy_hitters": q_heavy_hitters,
@@ -3922,6 +3925,39 @@ WITH toks AS (
 )
 SELECT doc_id, n_tokens, alp AS avg_logprob,
        round(exp(-alp), 4) AS perplexity
+FROM scored
+""",
+        "perplexity_split_exact": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(t) + 1)) AS j, t
+  FROM toks WHERE len(t) >= 1
+), ev AS (
+  SELECT doc_id,
+         CASE WHEN j = 1 THEN '<s>' ELSE t[j - 1] END AS w1,
+         t[j] AS w2
+  FROM pos
+), c2 AS (
+  SELECT w1, w2, count(*)::DOUBLE AS c2 FROM ev GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w2)::DOUBLE AS v FROM c2
+), scored AS (
+  SELECT ev.doc_id,
+         count(*)::BIGINT AS n_tokens,
+         round(avg(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS alp
+  FROM ev JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+  GROUP BY ev.doc_id
+)
+SELECT doc_id, n_tokens, alp AS avg_logprob,
+       round(exp(-alp), 4) AS perplexity,
+       (NTILE(3) OVER (ORDER BY round(exp(-alp), 4), doc_id) - 1)::BIGINT
+         AS bucket
 FROM scored
 """,
         "lm_perplexity_interp": """

@@ -108,3 +108,45 @@ def test_interpolated_lm_ranks_fluency(spark):
         abs(interp[d]["avg_logprob"] - addk[d]["avg_logprob"]) > 1e-9
         for d in interp
     )
+
+
+def test_perplexity_split_exact_matches_window_ntile(spark, corpus):
+    """The rank-based exact split must equal a literal NTILE(3) window
+    over (rounded perplexity, doc_id), and its bucket populations must
+    be equal-count (+-1) regardless of value ties."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.lm import (
+        ngram_lm_scores,
+        perplexity_split_exact,
+    )
+
+    out = perplexity_split_exact(corpus, n_buckets=3)
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+
+    alp = F.round("avg_logprob", 6)
+    scored = ngram_lm_scores(corpus).select(
+        "doc_id", F.round(F.exp(-alp), 4).alias("perplexity")
+    )
+    w = Window.orderBy("perplexity", "doc_id")
+    want = {
+        r["doc_id"]: r["b"]
+        for r in scored.select(
+            "doc_id", (F.ntile(3).over(w) - 1).cast("long").alias("b")
+        ).collect()
+    }
+    assert got == want
+
+    from collections import Counter
+
+    sizes = Counter(got.values())
+    assert set(sizes) == {0, 1, 2}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+    # fluency ordering: every head doc is at most as perplexing as every
+    # tail doc
+    perp = {r["doc_id"]: r["perplexity"] for r in scored.collect()}
+    assert max(perp[d] for d, b in got.items() if b == 0) <= min(
+        perp[d] for d, b in got.items() if b == 2
+    )

@@ -417,6 +417,26 @@ def _global_rank_by(df: DataFrame, order_col, *tiebreak: str) -> DataFrame:
     )
 
 
+def ntile_from_rank(rank_col, n: int, tiles: int = 4):
+    """Exact SQL ntile(tiles) from a 0-based total rank: the first
+    ``n % tiles`` buckets take ``n // tiles + 1`` rows, the rest
+    ``n // tiles`` — byte-identical to Spark's and DuckDB's NTILE over
+    the same total order, but computable from a shuffle-parallel rank
+    (``_global_rank_by``) instead of a single-partition global window.
+    Pairs with that rank wherever an unpartitioned NTILE would
+    otherwise serialize the plan (customer_rfm quartiles, the exact
+    perplexity tertile split)."""
+    q, rem = divmod(int(n), int(tiles))
+    if q == 0:
+        return (rank_col + 1).cast("long")
+    head = rem * (q + 1)
+    return (
+        F.when(rank_col < head, F.floor(rank_col / (q + 1)) + 1)
+        .otherwise(rem + F.floor((rank_col - head) / q) + 1)
+        .cast("long")
+    )
+
+
 def _zorder_candidates(points: DataFrame, k: int, stub_rank: bool = False) -> DataFrame:
     """Candidate pairs: each point with its +-k neighbors in z-order rank.
 

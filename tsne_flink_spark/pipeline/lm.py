@@ -159,3 +159,55 @@ def perplexity_buckets(
     for c in cuts:
         bucket = bucket + (F.col("perplexity") > F.lit(float(c))).cast("int")
     return scored.withColumn("bucket", bucket.cast("int"))
+
+
+def perplexity_split_exact(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic-boundary variant of :func:`perplexity_buckets`:
+    equal-count tertiles by exact global rank (SQL ``NTILE`` semantics
+    over (rounded perplexity, id)) instead of GK-sketch thresholds.
+
+    Two deliberate differences from the CCNet-style default make this
+    one exactly replayable by a SQL oracle on any engine:
+
+    - perplexity is ROUNDED (avg_logprob to 6 decimals, then exp,
+      then 4 decimals — the same convention as the lm_perplexity
+      gate query) before ordering, and ties break on ``id_col``, so
+      the total order contains no cross-engine float ambiguity — a
+      threshold comparison against an interpolated percentile
+      boundary would hinge on the boundary's last bits;
+    - the split is by exact rank, not by value threshold, so bucket
+      populations are fixed (±1) regardless of value ties at the
+      cut.
+
+    Scale: the rank is the shuffle-parallel ``_global_rank_by``
+    (range shuffle + partition-offset arithmetic) and the bucket is
+    ``ntile_from_rank`` arithmetic — no single-partition window, no
+    value collection; one extra count() job for N.  Buckets are
+    0-based (0 = head = most fluent), matching the default variant.
+    """
+    from tsne_flink_spark.operators.knn import _global_rank_by, ntile_from_rank
+
+    alp = F.round("avg_logprob", 6)
+    scored = ngram_lm_scores(docs, k, text_col, id_col).select(
+        id_col,
+        "n_tokens",
+        alp.alias("avg_logprob"),
+        F.round(F.exp(-alp), 4).alias("perplexity"),
+    )
+    n = scored.count()
+    if n == 0:
+        return scored.withColumn("bucket", F.lit(0).cast("long"))
+    ranked = _global_rank_by(scored, F.col("perplexity").asc(), id_col)
+    return ranked.select(
+        id_col,
+        "n_tokens",
+        "avg_logprob",
+        "perplexity",
+        (ntile_from_rank(F.col("__rank"), n, n_buckets) - 1).alias("bucket"),
+    )
