@@ -142,6 +142,7 @@ def main() -> None:
         "bm25_index",
         "lm_perplexity",
         "lm_perplexity_interp",
+        "perplexity_split_exact",
         "dsir_weights",
         "dsir_sample",
         "bpe_tokens",

@@ -84,7 +84,7 @@ def main():
     import __spark_entry__ as entrymod
 
     pairs = entrymod.queries()["ngram_jaccard_pairs"](spark, sf_dir)
-    dup_edges = pairs.selectExpr("id_a as a", "id_b as b")
+    dup_edges = pairs.select("a", "b")
     p2, tp2 = census(dup_edges)
     o2, to2 = census(dup_edges, orient_by_degree=True)
     assert p2 == o2, (p2, o2)
