@@ -614,3 +614,56 @@ def test_containment_df_cap_bounds_fanout(spark):
     )
     out = containment_pairs(docs, threshold=0.3, max_df=10).collect()
     assert out == []
+
+
+def test_pq_top_k_recall_and_exact_sims(spark):
+    """IVF-PQ on clustered data (the regime ANN serves): decent recall vs
+    brute force, and the reported sims must be EXACT cosines — PQ may only
+    ever cost recall, never score fidelity (the rerank contract)."""
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.similarity import (
+        brute_force_top_k,
+        pq_top_k,
+        topk_invariants,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1, (8, 16))
+    rows = [
+        (i, (centers[i % 8] + rng.normal(0, 0.15, 16)).tolist()) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = {(r["q"], r["c"]) for r in brute_force_top_k(emb, emb, 3).collect()}
+    out = pq_top_k(emb, emb, 3, m=4, ksub=16, n_lists=8, n_probe=3)
+    got = out.collect()
+    approx = {(r["q"], r["c"]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"PQ recall {recall:.2f}"
+    inv = topk_invariants(
+        spark.createDataFrame(got, out.schema), emb, k=3
+    ).collect()[0]
+    assert (
+        inv["bad_sim"] == 0
+        and inv["overfull_queries"] == 0
+        and inv["self_matches"] == 0
+        and inv["dup_pairs"] == 0
+    ), inv.asDict()
+
+
+def test_pq_top_k_m_clipped_to_dimension_divisor(spark):
+    """dim=6 with requested m=4 must clip to m=3 (largest divisor) and
+    still produce a valid top-k."""
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.similarity import pq_top_k
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(0, 1, 6).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = pq_top_k(emb, emb, 2, m=4, ksub=8, n_lists=4, n_probe=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q"], []).append(r["c"])
+    assert all(len(cs) <= 2 for cs in by_q.values())
+    assert len(by_q) >= 30

@@ -10,6 +10,12 @@
   driver-side, each vector assigned to its nearest centroid partition,
   queries probe the ``n_probe`` nearest centroids.  Broadcast centroids,
   equi-join on centroid id.
+- ``pq_top_k``           — IVF + product quantization (Jégou et al., PAMI
+  2011): corpus vectors compressed to ``m`` sub-space codebook codes
+  (bytes, not doubles), candidates ADC-scored against the CODES, only
+  the per-query shortlist re-ranked with exact vectors.  The memory
+  path at 100 TB: the wide candidate join moves m small ints per
+  vector instead of the d-double embedding.
 """
 
 from __future__ import annotations
@@ -345,6 +351,252 @@ def ivf_top_k(
             ).alias("sim"),
         )
         .dropDuplicates(["q", "c"])
+    )
+    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("c").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def pq_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    n_lists: int | None = None,
+    n_probe: int = 4,
+    shortlist: int | None = None,
+    seed: int = 42,
+    n_corpus: int | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou/Douze/Schmid, "Product
+    quantization for nearest neighbor search", PAMI 2011), Spark-first:
+
+    1. TRAIN (driver, on a seeded uniform sample): spherical-k-means
+       coarse centroids (shared with ``ivf_top_k``'s scheme) plus ``m``
+       per-sub-space L2 codebooks of ``ksub`` centroids each, trained
+       on RESIDUALS from the assigned coarse centroid (the paper's
+       IVFADC variant — raw-vector PQ collapses tight clusters onto one
+       code word and cannot rank within them).
+    2. ENCODE (one Arrow-batched pass over the corpus): each vector ->
+       its nearest coarse list + an ``m``-code PQ word + the norm of
+       its RECONSTRUCTION.  After this pass the candidate stage never
+       touches the raw embedding again — at dim=64 the code word is
+       m=8 small ints vs 64 doubles, the ~98% payload cut that makes
+       the shuffle survivable when the corpus is 100 TB of vectors.
+    3. CANDIDATES + ADC: queries probe their ``n_probe`` nearest lists
+       (equi-join on list id, never all-pairs); each candidate is
+       scored by asymmetric distance — exact query vector against the
+       candidate's reconstruction, one batched GEMM per Arrow batch.
+    4. RERANK: only the per-query ADC ``shortlist`` (default
+       ``max(4k, 16)``) joins back to exact vectors; reported sims are
+       EXACT cosines, so ``topk_invariants`` applies unchanged and
+       recall-vs-brute is the only approximation surface (probed in
+       ``tools/probe_pq_recall.py``).
+
+    ``m`` is clipped to the largest divisor of the dimension; ``ksub``
+    to the training-sample size.  Same ``n_corpus`` contract as
+    ``ivf_top_k``.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    if n_corpus is None:
+        n_corpus = corpus.count()
+    if n_corpus == 0:
+        return (
+            queries.select(
+                F.col(id_col).alias("q"),
+                F.col(id_col).alias("c"),
+                F.lit(0.0).alias("sim"),
+            ).where(F.lit(False))
+        )
+    if n_lists is None:
+        n_lists = max(4, min(4096, int(np.sqrt(max(n_corpus, 1)))))
+    if shortlist is None:
+        shortlist = max(4 * k, 16)
+    target = max(n_lists * 20, ksub * 8, 200)
+    if n_corpus <= target:
+        sample = corpus.select(vec_col).collect()
+    else:
+        frac = min(1.0, (target * 1.3) / n_corpus)
+        sample = (
+            corpus.select(vec_col).sample(False, frac, seed).limit(target).collect()
+        )
+    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    dim = X.shape[1]
+    while dim % m:  # largest divisor of dim not above the requested m
+        m -= 1
+    dsub = dim // m
+    ksub = min(ksub, len(X))
+    rng = np.random.default_rng(seed)
+
+    # coarse quantizer: identical scheme to ivf_top_k (spherical k-means
+    # over the normalized sample)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1)[:, None], 1e-12)
+    idx = rng.choice(len(X), size=min(n_lists, len(X)), replace=False)
+    coarse = Xn[idx].copy()
+    for _ in range(3):
+        assign = np.argmax(Xn @ coarse.T, axis=1)
+        for j in range(len(coarse)):
+            members = Xn[assign == j]
+            if len(members):
+                coarse[j] = members.mean(axis=0)
+        coarse /= np.maximum(np.linalg.norm(coarse, axis=1)[:, None], 1e-12)
+
+    # PQ codebooks on RESIDUALS from the assigned coarse centroid (the
+    # IVFADC formulation, Jégou et al. §IV) — PQ on raw vectors collapses
+    # every member of a tight cluster onto the SAME code word, making ADC
+    # unable to rank within a cluster, which is exactly where the true
+    # neighbors live (measured: recall 0.27 -> 0.75 on 64-cluster
+    # synthetic data, tools/probe_pq_recall.py).  Everything lives on the
+    # unit sphere (cosine metric), so residuals are normalized-vector
+    # minus unit centroid.
+    sample_assign = np.argmax(Xn @ coarse.T, axis=1)
+    Rs = Xn - coarse[sample_assign]
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = Rs[:, j * dsub : (j + 1) * dsub]
+        cb = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
+        for _ in range(8):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for t in range(ksub):
+                members = sub[a == t]
+                if len(members):
+                    cb[t] = members.mean(axis=0)
+        books[j] = cb
+
+    def _codes(R: np.ndarray) -> np.ndarray:
+        """(B, dim) residuals -> (B, m) nearest-codebook-entry indices."""
+        out = np.empty((len(R), m), dtype=np.int32)
+        for j in range(m):
+            sub = R[:, j * dsub : (j + 1) * dsub]
+            # argmin ||r - c||^2 = argmin ||c||^2 - 2 r.c (batch GEMM)
+            d2 = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ books[j].T)
+            out[:, j] = np.argmin(d2, axis=1)
+        return out
+
+    def _recon(lists: np.ndarray, codes: np.ndarray) -> np.ndarray:
+        """(B,) list ids + (B, m) codes -> (B, dim) reconstructions:
+        coarse centroid + decoded residual."""
+        return coarse[lists] + np.concatenate(
+            [books[j][codes[:, j]] for j in range(m)], axis=1
+        )
+
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def encode_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-12)
+            lists = np.argmax(Vn @ coarse.T, axis=1)
+            codes = _codes(Vn - coarse[lists])
+            rnorm = np.linalg.norm(_recon(lists, codes), axis=1)
+            yield pd.DataFrame(
+                {
+                    "c": pdf["c"].to_numpy(),
+                    "__list": lists,
+                    "__code": list(codes),
+                    "__rn": rnorm,
+                }
+            )
+
+    def probe_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = min(n_probe, len(coarse))
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            sims = (
+                V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-12)
+            ) @ coarse.T
+            top = np.argsort(-sims, axis=1)[:, :n]
+            norms = np.linalg.norm(V, axis=1)
+            yield pd.DataFrame(
+                {
+                    "q": pdf["q"].to_numpy().repeat(n),
+                    "__vq": [v for v in pdf["__v"] for _ in range(n)],
+                    "__nq": norms.repeat(n),
+                    "__list": top.reshape(-1),
+                }
+            )
+
+    def adc_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vq"]])
+            R = _recon(
+                pdf["__list"].to_numpy(),
+                np.array(list(pdf["__code"]), dtype=np.int32),
+            )
+            adc = (V * R).sum(axis=1) / np.maximum(
+                pdf["__nq"].to_numpy() * pdf["__rn"].to_numpy(), 1e-12
+            )
+            yield pd.DataFrame(
+                {"q": pdf["q"].to_numpy(), "c": pdf["c"].to_numpy(), "__adc": adc}
+            )
+
+    enc = corpus.select(
+        F.col(id_col).alias("c"), _as_double(F.col(vec_col)).alias("__v")
+    ).mapInPandas(
+        encode_kernel,
+        schema=f"c {id_type}, __list int, __code array<int>, __rn double",
+    )
+    qr = queries.select(
+        F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("__v")
+    ).mapInPandas(
+        probe_kernel,
+        schema=f"q {id_type}, __vq array<double>, __nq double, __list int",
+    )
+    # explicit repartition on q before the Python ADC stage: candidate rows
+    # are tiny (two ids + m codes), so AQE's byte-based coalescing would
+    # collapse the CPU-heavy batch-GEMM stage onto 1-2 tasks (the
+    # documented cpu-per-row blind spot); the same partitioning is then
+    # reused by the per-query shortlist window
+    cand = qr.join(enc, "__list").repartition("q")
+    adc = cand.mapInPandas(
+        adc_kernel, schema=f"q {id_type}, c {id_type}, __adc double"
+    ).where(F.col("q") != F.col("c"))
+    # (q, c) pairs are already unique — each corpus vector lives in exactly
+    # ONE coarse list — but dedup defensively on the slim projection
+    # (array columns long gone: the ARRAY-in-dropDuplicates single-task trap)
+    adc = adc.dropDuplicates(["q", "c"])
+    ws = Window.partitionBy("q").orderBy(F.col("__adc").desc(), F.col("c").asc())
+    short = (
+        adc.withColumn("__rs", F.row_number().over(ws))
+        .where(F.col("__rs") <= shortlist)
+        .select("q", "c")
+    )
+
+    from tsne_flink_spark.functions.metrics import dot_unrolled
+
+    def _normed(df: DataFrame, out_id: str, out_v: str, out_n: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias(out_v)
+        ).withColumn(
+            out_n,
+            F.sqrt(F.aggregate(out_v, F.lit(0.0), lambda a, x: a + x * x)),
+        )
+
+    vq = _normed(queries, "q", "__vq", "__nq")
+    vc = _normed(corpus, "c", "__vc", "__nc")
+    scored = short.join(vq, "q").join(vc, "c").select(
+        "q",
+        "c",
+        (
+            dot_unrolled(F.col("__vq"), F.col("__vc"), dim)
+            / (F.col("__nq") * F.col("__nc"))
+        ).alias("sim"),
     )
     w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("c").asc())
     return (
