@@ -151,6 +151,7 @@ def main() -> None:
         "ann_bruteforce",
         "ann_lsh",
         "ann_ivf",
+        "ann_pq",
         "sliding_user_activity",
         "quality_scores",
         "c4_clean",

@@ -558,12 +558,20 @@ def pq_top_k(
         probe_kernel,
         schema=f"q {id_type}, __vq array<double>, __nq double, __list int",
     )
-    # explicit repartition on q before the Python ADC stage: candidate rows
-    # are tiny (two ids + m codes), so AQE's byte-based coalescing would
-    # collapse the CPU-heavy batch-GEMM stage onto 1-2 tasks (the
-    # documented cpu-per-row blind spot); the same partitioning is then
-    # reused by the per-query shortlist window
-    cand = qr.join(enc, "__list").repartition("q")
+    # Explicit repartition of the QUERY SIDE on the join key, not of the
+    # joined pairs: (a) the user repartition keeps AQE's byte-based
+    # coalescing from collapsing the CPU-heavy ADC batch-GEMM stage — the
+    # join output streams straight into mapInPandas in the same stage, so
+    # the join's task count IS the Python stage's task count (the
+    # documented cpu-per-row blind spot); (b) repartitioning the pair rows
+    # instead would put Q x n_probe x list_size copies of the dim-double
+    # query vector on the wire — the vectors must only ever move
+    # Q x n_probe times (the two join INPUT shuffles), the pair rows never.
+    # Cost: a user-origin shuffle opts this join out of AQE skew
+    # splitting; acceptable here because list sizes are bounded by the
+    # spherical-k-means balance (~N/n_lists), unlike the LSH band join
+    # (B17) where skew is adversarial.
+    cand = qr.repartition("__list").join(enc, "__list")
     adc = cand.mapInPandas(
         adc_kernel, schema=f"q {id_type}, c {id_type}, __adc double"
     ).where(F.col("q") != F.col("c"))
