@@ -404,6 +404,93 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+def _link_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WARC-style domain link graph: each document becomes a
+    synthetic HTML page whose three outlinks are arithmetic in doc_id —
+    one to a global hub domain d0 (the power-law adversary degree
+    orientation exists for) and two spread targets — then the REAL
+    markup-extraction path (sources/warc.extract_links regexp) mines the
+    hrefs and the target domain is parsed back from the URL.  Everything
+    is integer arithmetic, so a DuckDB oracle can replay the edge set
+    without the markup round-trip; if the extraction regex ever broke,
+    the edges (and the census) would diverge."""
+    from tsne_flink_spark.sources.warc import extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    m = 997
+    anchors = [
+        F.lit(0).cast("long"),
+        ((F.col("doc_id") * 7 + 13) % m).cast("long"),
+        ((F.col("doc_id") * 31 + 5) % m).cast("long"),
+    ]
+    markup = F.concat(
+        F.lit("<html><body>"),
+        *[
+            F.concat(
+                F.lit('<a href="https://d'),
+                t.cast("string"),
+                F.lit('.example.com/page">link</a>'),
+            )
+            for t in anchors
+        ],
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        (F.col("doc_id") % m).cast("long").alias("src_dom"),
+        markup.alias("text"),
+    )
+    links = extract_links(pages, id_col="src_dom")
+    return links.select(
+        F.col("src_dom").alias("a"),
+        F.regexp_extract(
+            "href", r"https://d(\d+)\.example\.com", 1
+        ).cast("long").alias("b"),
+    )
+
+
+def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC link graph end-to-end WITH the degree-oriented census:
+    synthetic pages -> extract_links -> domain edges ->
+    triangle_stats(orient_by_degree=True).  The graph has a genuine hub
+    (every page links to d0), so this exercises the Schank-Wagner
+    orientation (operators/graph.py) on the workload it exists for — and
+    the exact DuckDB oracle replays the orientation-FREE census, so the
+    driver's hash gate is itself the proof that orientation preserves the
+    count (B60's probe, promoted to the correctness gate)."""
+    from tsne_flink_spark.operators.graph import triangle_stats
+
+    return triangle_stats(
+        _link_graph_edges(spark, sf_dir), orient_by_degree=True
+    )
+
+
+def q_link_triangles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariant: the id-ordered and degree-oriented censuses are
+    IDENTICAL on the same link graph (each triangle has exactly one vertex
+    from which both oriented edges leave).  Oracle: constant zero row."""
+    from tsne_flink_spark.operators.graph import triangle_stats
+
+    edges = _link_graph_edges(spark, sf_dir)
+    plain = triangle_stats(edges, orient_by_degree=False)
+    oriented = triangle_stats(edges, orient_by_degree=True).select(
+        *[F.col(c).alias(f"o_{c}") for c in
+          ("n_nodes", "n_edges", "n_wedges", "n_triangles",
+           "clustering_coefficient")]
+    )
+    return plain.crossJoin(oriented).select(
+        F.sum(
+            (F.col("n_nodes") != F.col("o_n_nodes")).cast("int")
+            + (F.col("n_edges") != F.col("o_n_edges")).cast("int")
+            + (F.col("n_wedges") != F.col("o_n_wedges")).cast("int")
+            + (F.col("n_triangles") != F.col("o_n_triangles")).cast("int")
+            + (
+                F.col("clustering_coefficient")
+                != F.col("o_clustering_coefficient")
+            ).cast("int")
+        ).cast("long").alias("mismatched_fields")
+    )
+
+
 def q_user_peak_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-user argmax via max-of-struct: each user's
     highest-value event with (ts, event_type) as explicit tiebreakers —
@@ -1809,6 +1896,24 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup_annotate(batch, fingerprint_index(ref))
 
 
+def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter variant of incremental_dedup: same batch/index split,
+    same annotation semantics, but the index join only sees rows the
+    broadcast Bloom bitmap could not rule out (pipeline/dedup.py
+    incremental_dedup_annotate_bloom).  False negatives are impossible, so
+    the output — and the exact DuckDB oracle — is IDENTICAL to
+    incremental_dedup's."""
+    from tsne_flink_spark.pipeline.dedup import (
+        fingerprint_index,
+        incremental_dedup_annotate_bloom,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    batch = docs.where(F.col("doc_id") % 3 != 0)
+    return incremental_dedup_annotate_bloom(batch, fingerprint_index(ref))
+
+
 def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data-quality profile of lineitem (nulls / exact distinct /
     min / max / mean) — one melt scan + a single distinct-key aggregation
@@ -2823,20 +2928,109 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the FIRST
     # 50 entries, so the window rotates each round toward the queries with
-    # the weakest driver evidence.  Round-10 window, in priority order:
-    # (a) the 26 queries whose last driver row is CORRECTNESS_r07 (two
-    #     rounds stale; all re-gated locally at sf0.01 by the r9 judge and
-    #     again by tools/check_oracles.py this round): the knn_project and
-    #     rows-only dedup/ANN families with their _check partners, plus the
-    #     relational/event/text r07 tail; (b) the 10 queries whose CODE
-    #     changed this round (customer_rfm distributed-rank replan;
-    #     event_funnel single-scan rewrite; decontaminate_fuzzy flag
-    #     semantics; the 6 date-bound half-open sync queries); (c) stale
-    #     fill — queries last driver-green in CORRECTNESS_r08, check pairs
-    #     kept adjacent.  Everything below position 50 is driver-green in
-    #     r08 or r09; the r09 block is slated for the round-11 rotation.
+    # the weakest driver evidence; check pairs stay adjacent
+    # (tests/test_registry.py pins pair integrity).  Round-11 window:
+    # (a) the 39 queries whose last driver row is CORRECTNESS_r08 (two
+    #     rounds stale) — including the flagship tsne_embedding pair, which
+    #     belongs in at least every other window (verdict r10 item 8);
+    # (b) the three round-11 additions: incremental_dedup_bloom (placed
+    #     adjacent to incremental_dedup, whose exact oracle it shares) and
+    #     the link_triangles pair (WARC link graph -> degree-oriented
+    #     census, exact oracle);
+    # (c) stale fill — 8 queries last driver-green in CORRECTNESS_r09.
+    # Everything below position 50 is driver-green in r09 or r10; the
+    # remaining r09 block (listed first) is slated for the round-12
+    # rotation, with the flagship pair rejoining the r12 window per the
+    # every-other-round constraint.
     return {
-        # --- (a) r07-stale rotation (verdict r9 item 2) ---
+        # --- (a) r08-stale rotation + (b) round-11 additions interleaved ---
+        "tsne_embedding": q_tsne_embedding,
+        "tsne_embedding_check": q_tsne_embedding_check,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_partition": q_knn_partition,
+        "pairwise_affinities": q_pairwise_affinities,
+        "joint_distribution": q_joint_distribution,
+        "centering": q_centering,
+        "global_aggregates": q_global_aggregates,
+        "pricing_summary": q_pricing_summary,
+        "bpe_tokens": q_bpe_tokens,
+        "bpe_tokens_check": q_bpe_check,
+        "lm_perplexity": q_lm_perplexity,
+        "lm_perplexity_interp": q_lm_perplexity_interp,
+        "winnow_overlap": q_winnow_overlap,
+        "exact_substr_dedup": q_exact_substr_dedup,
+        "url_dedup": q_url_dedup,
+        "url_domains": q_url_domains,
+        "video_frames": q_video_frames,
+        "source_stats": q_source_stats,
+        "source_stats_approx_check": q_source_stats_approx_check,
+        "sketch_distinct_check": q_sketch_distinct_check,
+        "approx_quantile_check": q_approx_quantile_check,
+        "stratified_sample": q_stratified_sample,
+        "stratified_take": q_stratified_take,
+        "token_histogram": q_token_histogram,
+        "quality_scores": q_quality_scores,
+        "repetition_stats": q_repetition_stats,
+        "mixture_weights": q_mixture_weights,
+        "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
+        "doc_fingerprint": q_doc_fingerprint,
+        "incremental_dedup": q_incremental_dedup,
+        "incremental_dedup_bloom": q_incremental_dedup_bloom,
+        "bigram_stats": q_bigram_stats,
+        "boilerplate_lines": q_boilerplate_lines,
+        "lang_source_matrix": q_lang_source_matrix,
+        "source_overlap": q_source_overlap,
+        "unicode_normalize": q_unicode_normalize,
+        "bm25_scores": q_bm25_scores,
+        "profile_lineitem": q_profile_lineitem,
+        # --- (b) new in round 11: WARC link graph, degree-oriented census ---
+        "link_triangles": q_link_triangles,
+        "link_triangles_check": q_link_triangles_check,
+        # --- (c) stale fill: last driver-green in CORRECTNESS_r09 ---
+        "blocklist_filter": q_blocklist_filter,
+        "bm25_index": q_bm25_index,
+        "brand_promo_revenue": q_brand_promo_revenue,
+        "c4_clean": q_c4_clean,
+        "compression_check": q_compression_check,
+        "corpus_diff": q_corpus_diff,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
+        # ------------- below the driver's 50-query window -------------
+        # driver-green in r09 (-> round-12 rotation):
+        "gopher_quality": q_gopher_quality,
+        "heavy_hitters": q_heavy_hitters,
+        "dup_pagerank": q_dup_pagerank,
+        "line_repetition": q_line_repetition,
+        "revenue_pivot": q_revenue_pivot,
+        "term_frequency_spectrum": q_term_frequency_spectrum,
+        "dup_best_rep": q_dup_best_rep,
+        "perplexity_buckets": q_perplexity_buckets,
+        "perplexity_buckets_check": q_perplexity_buckets_check,
+        "dup_clusters": q_dup_clusters,
+        "market_share": q_market_share,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_volume_customers": q_large_volume_customers,
+        "waiting_suppliers": q_waiting_suppliers,
+        "term_drift": q_term_drift,
+        "props_json": q_props_json,
+        "quality_calibration": q_quality_calibration,
+        "dup_triangles": q_dup_triangles,
+        "user_peak_event": q_user_peak_event,
+        "group_medians": q_group_medians,
+        "event_cube": q_event_cube,
+        "user_cohorts": q_user_cohorts,
+        "containment_pairs": q_containment_pairs,
+        "promo_revenue_monthly": q_promo_revenue_monthly,
+        "windowed_event_counts": q_windowed_event_counts,
+        "sessionize": q_sessionize,
+        "sliding_user_activity": q_sliding_user_activity,
+        "regional_revenue": q_regional_revenue,
+        "events_by_user_segment": q_events_by_user_segment,
+        "text_stats": q_text_stats,
+        "stopword_ratio": q_stopword_ratio,
+        "language_id": q_language_id,
+        # driver-green in r10:
         "knn_project": q_knn_project,
         "knn_project_check": q_knn_project_check,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -2863,7 +3057,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_ngram": q_language_id_ngram,
         "corpus_shards": q_corpus_shards,
         "projection_check": q_projection_check,
-        # --- (b) code changed in round 10 ---
         "customer_rfm": q_customer_rfm,
         "event_funnel": q_event_funnel,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
@@ -2874,11 +3067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority": q_order_priority,
         "shipping_priority": q_shipping_priority,
         "idle_customers": q_idle_customers,
-        # --- (b') new in round 10 ---
         "perplexity_split_exact": q_perplexity_split_exact,
         "ann_pq": q_ann_pq,
         "ann_pq_check": q_ann_pq_check,
-        # --- (c) stale fill: last driver-green in CORRECTNESS_r08 ---
         "audio_features": q_audio_features,
         "audio_check": q_audio_check,
         "curation_pipeline": q_curation_pipeline,
@@ -2890,87 +3081,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_check": q_multimodal_check,
         "decontaminate": q_decontaminate,
-        # ------------- below the driver's 50-query window -------------
-        # green in CORRECTNESS_r08 or r09 (r09 block -> round-11 rotation):
-        "source_stats": q_source_stats,
-        "source_stats_approx_check": q_source_stats_approx_check,
-        "sketch_distinct_check": q_sketch_distinct_check,
-        "c4_clean": q_c4_clean,
-        "gopher_quality": q_gopher_quality,
-        "heavy_hitters": q_heavy_hitters,
-        "bm25_index": q_bm25_index,
-        "compression_check": q_compression_check,
-        "dup_pagerank": q_dup_pagerank,
-        "line_repetition": q_line_repetition,
-        "revenue_pivot": q_revenue_pivot,
-        "term_frequency_spectrum": q_term_frequency_spectrum,
-        "corpus_diff": q_corpus_diff,
-        "dup_best_rep": q_dup_best_rep,
-        "perplexity_buckets": q_perplexity_buckets,
-        "perplexity_buckets_check": q_perplexity_buckets_check,
-        "dup_clusters": q_dup_clusters,
-        "market_share": q_market_share,
-        "small_qty_revenue": q_small_qty_revenue,
-        "large_volume_customers": q_large_volume_customers,
-        "waiting_suppliers": q_waiting_suppliers,
-        "dsir_weights": q_dsir_weights,
-        "dsir_sample": q_dsir_sample,
-        "term_drift": q_term_drift,
-        "props_json": q_props_json,
-        "brand_promo_revenue": q_brand_promo_revenue,
-        "quality_calibration": q_quality_calibration,
-        "blocklist_filter": q_blocklist_filter,
-        "dup_triangles": q_dup_triangles,
-        "user_peak_event": q_user_peak_event,
-        "group_medians": q_group_medians,
-        "event_cube": q_event_cube,
-        "user_cohorts": q_user_cohorts,
-        "containment_pairs": q_containment_pairs,
-        "promo_revenue_monthly": q_promo_revenue_monthly,
-        "windowed_event_counts": q_windowed_event_counts,
-        "sessionize": q_sessionize,
-        "sliding_user_activity": q_sliding_user_activity,
-        "regional_revenue": q_regional_revenue,
-        "events_by_user_segment": q_events_by_user_segment,
-        "text_stats": q_text_stats,
-        "stopword_ratio": q_stopword_ratio,
-        "language_id": q_language_id,
-        "stratified_sample": q_stratified_sample,
-        "stratified_take": q_stratified_take,
-        "pack_sequences": q_pack_sequences,
-        "repetition_stats": q_repetition_stats,
-        "video_frames": q_video_frames,
-        "tsne_embedding_check": q_tsne_embedding_check,
-        "doc_fingerprint": q_doc_fingerprint,
-        "winnow_overlap": q_winnow_overlap,
-        "quality_scores": q_quality_scores,
-        "token_histogram": q_token_histogram,
-        "lang_source_matrix": q_lang_source_matrix,
-        "source_overlap": q_source_overlap,
-        "url_dedup": q_url_dedup,
-        "url_domains": q_url_domains,
-        "unicode_normalize": q_unicode_normalize,
-        "boilerplate_lines": q_boilerplate_lines,
-        "bigram_stats": q_bigram_stats,
-        "profile_lineitem": q_profile_lineitem,
-        "mixture_weights": q_mixture_weights,
-        "incremental_dedup": q_incremental_dedup,
-        "tsne_embedding": q_tsne_embedding,
-        "exact_substr_dedup": q_exact_substr_dedup,
-        "bpe_tokens": q_bpe_tokens,
-        "bpe_tokens_check": q_bpe_check,
-        "approx_quantile_check": q_approx_quantile_check,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_partition": q_knn_partition,
-        "joint_distribution": q_joint_distribution,
-        "pairwise_affinities": q_pairwise_affinities,
-        "global_aggregates": q_global_aggregates,
-        "centering": q_centering,
-        "pricing_summary": q_pricing_summary,
-        "bm25_scores": q_bm25_scores,
-        "lm_perplexity": q_lm_perplexity,
-        "lm_perplexity_interp": q_lm_perplexity_interp,
-        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -3574,7 +3684,7 @@ FROM dws WHERE len(ws) = 0""")
 
 def oracle_sql() -> dict[str, str]:
     _LCG_BUCKET_SQL = _lcg_bucket_sql_expr()
-    return {
+    sql = {
         "knn_bruteforce": _KNN_ORACLE,
         "knn_partition": _KNN_ORACLE,
         "pairwise_affinities": _bisection_oracle_sql(),
@@ -5259,4 +5369,43 @@ SELECT term, count(*)::BIGINT AS n
 FROM toks GROUP BY term
 HAVING count(*) * 50 > (SELECT n FROM tot)
 """,
+        # Arithmetic replay of _link_graph_edges (no markup round-trip) +
+        # the orientation-free two-hop census; matching the Spark side's
+        # degree-ORIENTED census is itself the orientation-correctness proof.
+        "link_triangles": """
+WITH tgt AS (
+  SELECT (doc_id % 997)::BIGINT AS s, 0::BIGINT AS t FROM documents
+  UNION ALL
+  SELECT (doc_id % 997)::BIGINT, ((doc_id * 7 + 13) % 997)::BIGINT FROM documents
+  UNION ALL
+  SELECT (doc_id % 997)::BIGINT, ((doc_id * 31 + 5) % 997)::BIGINT FROM documents
+), e AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM tgt WHERE s <> t
+), deg AS (
+  SELECT v, count(*)::DOUBLE AS d
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+  GROUP BY v
+), w AS (
+  SELECT sum(d * (d - 1) / 2) AS wedges, count(*)::BIGINT AS n_nodes FROM deg
+), tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), ne AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+SELECT n_nodes, n_edges, wedges::BIGINT AS n_wedges, n_triangles,
+       round(CASE WHEN wedges > 0
+                  THEN 3.0 * n_triangles / wedges ELSE 0.0 END, 6)
+         AS clustering_coefficient
+FROM ne, w, tri
+""",
+        "link_triangles_check": """
+SELECT 0::BIGINT AS mismatched_fields
+""",
     }
+    # The Bloom prefilter is output-identical to the plain fingerprint join
+    # (false negatives impossible; false positives killed by the confirm
+    # join), so the two queries share one exact oracle.
+    sql["incremental_dedup_bloom"] = sql["incremental_dedup"]
+    return sql

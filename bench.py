@@ -221,32 +221,37 @@ def main() -> None:
         "end_sec": calib_end,
         "end_over_start": round(calib_end / max(calib_start, 1e-9), 3),
     }
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_headline_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "cpus": int(cpus),
-                "n_queries": len(headline),
-                "n_failed": len(timings) - len(ok),
-                "calibration": calib,
-            }
+    # The bench driver retains only a ~4 KB stdout TAIL; a single JSON line
+    # with all ~100 per-query entries (~4.5 KB) gets its head truncated,
+    # which in r09 made the artifact unparseable and in r10 (one giant line
+    # + compact summary) lost the per-query HEAD — 12 of 28 r1-comparable
+    # timings were invisible to the driver.  Emit instead:
+    #   1-2. per-query timings split across two compact chunk lines
+    #        (~1.2 KB each, all tail-survivable), under a DISTINCT metric
+    #        name so a consumer scanning every line never double-counts
+    #        the suite total;
+    #   3.   the canonical summary record LAST (the position r10 proved the
+    #        driver parses), with "summary": true to disambiguate it from
+    #        historical full-dict records bearing the same metric name.
+    names = list(timings)
+    half = (len(names) + 1) // 2
+    for part, chunk in enumerate((names[:half], names[half:]), start=1):
+        print(
+            json.dumps(
+                {
+                    "metric": f"per_query_wall_sec_{part}of2",
+                    "unit": "sec",
+                    "sf": float(sf),
+                    "queries": {n: timings[n] for n in chunk},
+                },
+                separators=(",", ":"),
+            )
         )
-    )
-    # The full line above can exceed the ~4 KB tail the bench driver
-    # retains (96 query entries ≈ 4.5 KB), truncating the HEAD — which
-    # holds "value" (the suite total) and the flagship's timing — and
-    # leaving the recorded artifact unparseable (BENCH_r09.json
-    # "parsed": null).  Emit a second, compact, summary-only JSON line
-    # LAST so the tail capture always ends with a complete parseable
-    # record carrying the total, the flagship, and the calibration.
     print(
         json.dumps(
             {
                 "metric": "total_wall_sec_headline_queries",
+                "summary": True,
                 "value": total,
                 "unit": "sec",
                 "sf": float(sf),
@@ -255,7 +260,8 @@ def main() -> None:
                 "n_failed": len(timings) - len(ok),
                 "queries": {"tsne_embedding": timings.get("tsne_embedding")},
                 "calibration": calib,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -353,3 +353,115 @@ def test_normalize_unicode_collapses_decomposed_forms(spark):
     nfd = {r["doc_id"]: r["text"]
            for r in normalize_unicode(docs, form="NFD").collect()}
     assert nfd[1] == nfd[2] == decomposed
+
+
+def test_bloom_dedup_matches_exact_annotate(spark):
+    """The Bloom-prefilter incremental dedup is OUTPUT-IDENTICAL to the
+    plain fingerprint-join annotate — the docstring's testable claim — on a
+    batch mixing ref dups, in-batch dups, and fresh rows."""
+    from tsne_flink_spark.pipeline.dedup import (
+        fingerprint_index,
+        incremental_dedup_annotate,
+        incremental_dedup_annotate_bloom,
+    )
+
+    ref = spark.createDataFrame(
+        [(100 + i, f"historical doc {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    rows = []
+    for i in range(40):
+        if i % 5 == 0:
+            rows.append((i, f"Historical   DOC {i % 30}"))  # ref_dup
+        elif i % 5 == 1:
+            rows.append((i, "fresh shared text"))  # batch-dup family
+        else:
+            rows.append((i, f"unique fresh text {i}"))
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    index = fingerprint_index(ref)
+
+    exact = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup_annotate(batch, index).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup_annotate_bloom(batch, index).collect()
+    }
+    assert bloom == exact
+    assert set(exact.values()) == {"ref_dup", "batch_dup", "kept"}
+
+
+def test_bloom_dedup_forced_false_positives(spark):
+    """expected=1 forces the minimum 64-bit bitmap with ~44 hashes; a
+    30-key index saturates it, so every batch row is a Bloom 'maybe' —
+    the exact confirm join must kill every false positive."""
+    from tsne_flink_spark.pipeline.dedup import (
+        build_fingerprint_bloom,
+        fingerprint_index,
+        incremental_dedup_annotate,
+        incremental_dedup_annotate_bloom,
+    )
+
+    ref = spark.createDataFrame(
+        [(100 + i, f"historical doc {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    index = fingerprint_index(ref)
+    bitmap, m, k = build_fingerprint_bloom(index, fpp=0.5, expected=1)
+    assert m == 64
+    # the tiny filter must be (near-)saturated for the test to bite
+    import numpy as np
+
+    assert np.unpackbits(bitmap).sum() >= 48
+
+    batch = spark.createDataFrame(
+        [(i, f"never seen before {i}") for i in range(50)]
+        + [(1000, "historical doc 7")],
+        "doc_id long, text string",
+    )
+    exact = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup_annotate(batch, index).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup_annotate_bloom(
+            batch, index, fpp=0.5, expected=1
+        ).collect()
+    }
+    assert bloom == exact
+    assert bloom[1000] == "ref_dup"
+    assert all(v == "kept" for i, v in bloom.items() if i != 1000)
+
+
+def test_bloom_dedup_empty_index_and_index_miss(spark):
+    """Empty index -> zero bitmap -> every row short-circuits the join and
+    only in-batch statuses remain; disjoint index -> no ref_dup."""
+    from tsne_flink_spark.pipeline.dedup import (
+        fingerprint_index,
+        incremental_dedup_annotate_bloom,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "aa"), (2, "AA"), (3, "bb")], "doc_id long, text string"
+    )
+    ann = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup_annotate_bloom(
+            batch, fingerprint_index(empty)
+        ).collect()
+    }
+    assert ann == {1: "kept", 2: "batch_dup", 3: "kept"}
+
+    disjoint = spark.createDataFrame(
+        [(9, "zz"), (10, "yy")], "doc_id long, text string"
+    )
+    ann2 = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup_annotate_bloom(
+            batch, fingerprint_index(disjoint)
+        ).collect()
+    }
+    assert ann2 == {1: "kept", 2: "batch_dup", 3: "kept"}

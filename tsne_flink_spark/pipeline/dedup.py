@@ -225,6 +225,7 @@ def incremental_dedup_annotate_bloom(
     fpp: float = 0.001,
     text_col: str = "text",
     id_col: str = "doc_id",
+    expected: int | None = None,
 ) -> DataFrame:
     """``incremental_dedup_annotate`` with a Bloom prefilter — IDENTICAL
     output (same exact DuckDB oracle), different physics: the index join
@@ -234,12 +235,17 @@ def incremental_dedup_annotate_bloom(
     impossible (every indexed key set its bits), so the probabilistic
     stage can only shrink work, never change the answer.  The 100-TB
     incremental-ingestion pattern: the index's BITMAP ships to executors
-    once (closure broadcast) instead of the index table shuffling against
-    every batch.
+    once (``sc.broadcast``, torrent-distributed peer-to-peer) instead of
+    the index table shuffling against every batch.  Closure capture would
+    instead pickle the bitmap into the task binary and re-send it from the
+    driver with EVERY task — at the documented 1.8 GB boundary that is a
+    #tasks× driver-egress multiplier; the broadcast moves it once per
+    executor.
     """
     from pyspark.sql.functions import pandas_udf
 
-    bitmap, m, bloom_k = build_fingerprint_bloom(index, fpp=fpp)
+    bitmap, m, bloom_k = build_fingerprint_bloom(index, fpp=fpp, expected=expected)
+    bc = docs.sparkSession.sparkContext.broadcast(bitmap)
 
     @pandas_udf("boolean")
     def might_contain(pos):
@@ -247,8 +253,9 @@ def incremental_dedup_annotate_bloom(
 
         if not len(pos):
             return pd.Series([], dtype=bool)
+        bm = bc.value
         idx = np.stack(pos.to_numpy()).astype(np.int64)
-        bits = (bitmap[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        bits = (bm[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
         return pd.Series(bits.all(axis=1))
 
     fp = fingerprint(F.col(text_col))

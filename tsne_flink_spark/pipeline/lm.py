@@ -193,6 +193,8 @@ def perplexity_split_exact(
     """
     from tsne_flink_spark.operators.knn import _global_rank_by, ntile_from_rank
 
+    from tsne_flink_spark.operators.optimize import materialize
+
     alp = F.round("avg_logprob", 6)
     scored = ngram_lm_scores(docs, k, text_col, id_col).select(
         id_col,
@@ -200,6 +202,10 @@ def perplexity_split_exact(
         alp.alias("avg_logprob"),
         F.round(F.exp(-alp), 4).alias("perplexity"),
     )
+    # Materialize once: count() below would otherwise execute the full
+    # shuffle-heavy LM-scoring plan, and _global_rank_by would execute it
+    # a second time.  The pinned result is reused by both.
+    scored = materialize(scored)
     n = scored.count()
     if n == 0:
         return scored.withColumn("bucket", F.lit(0).cast("long"))

@@ -78,7 +78,14 @@ def brute_force_top_k(
     scored = (
         q.crossJoin(c)
         .where(F.col("q") != F.col("c"))
-        .select("q", "c", (dot / (F.col("__nq") * F.col("__nc"))).alias("sim"))
+        # zero-vector guard (matches all other rerank kernels): NaN sorts
+        # above every double in Spark, so 0/0 would rank first in the top-k
+        .select(
+            "q",
+            "c",
+            (dot / F.greatest(F.col("__nq") * F.col("__nc"), F.lit(1e-12)))
+            .alias("sim"),
+        )
     )
     w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("c").asc())
     return (
@@ -210,7 +217,8 @@ def lsh_top_k(
             "c",
             (
                 dot_unrolled(F.col("__vq"), F.col("__vc"), dim)
-                / (F.col("__nq") * F.col("__nc"))
+                # zero-vector guard: NaN sorts above every double in Spark
+                / F.greatest(F.col("__nq") * F.col("__nc"), F.lit(1e-12))
             ).alias("sim"),
         )
         .dropDuplicates(["q", "c"])
@@ -347,7 +355,8 @@ def ivf_top_k(
             "c",
             (
                 dot_unrolled(F.col("__vq"), F.col("__vc"), dim)
-                / (F.col("__nq") * F.col("__nc"))
+                # zero-vector guard: NaN sorts above every double in Spark
+                / F.greatest(F.col("__nq") * F.col("__nc"), F.lit(1e-12))
             ).alias("sim"),
         )
         .dropDuplicates(["q", "c"])
@@ -598,12 +607,15 @@ def pq_top_k(
 
     vq = _normed(queries, "q", "__vq", "__nq")
     vc = _normed(corpus, "c", "__vc", "__nc")
+    # Denominator floored like the ADC kernel's 1e-12 guard: a zero vector
+    # would otherwise yield NaN sims, and Spark orders NaN ABOVE any double,
+    # so NaN rows would rank first in the top-k window.
     scored = short.join(vq, "q").join(vc, "c").select(
         "q",
         "c",
         (
             dot_unrolled(F.col("__vq"), F.col("__vc"), dim)
-            / (F.col("__nq") * F.col("__nc"))
+            / F.greatest(F.col("__nq") * F.col("__nc"), F.lit(1e-12))
         ).alias("sim"),
     )
     w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("c").asc())
