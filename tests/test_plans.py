@@ -155,6 +155,64 @@ def test_ntile_from_rank_matches_sql_ntile(spark):
         assert le == lg, f"n={n}: {le} vs {lg}"
 
 
+# Queries whose physical plans legitimately contain a Window with an EMPTY
+# partitioning (a single-task global sort at scale — banned everywhere
+# else, see test_customer_rfm_no_global_window): each runs the window over
+# a provably CONSTANT/bounded-size input, never the fact table.
+GLOBAL_WINDOW_ALLOWED = {
+    # cumulative share over the <= 64-row power-of-2 frequency-band table
+    "term_frequency_spectrum",
+    # lag() over the n_buckets-row (3) per-bucket min/max aggregate
+    "perplexity_buckets_check",
+    # step-ordering window over the k-row (3) funnel-step dimension
+    "event_funnel",
+    # share-of-total over the per-source aggregate (|distinct sources|
+    # rows; the corpus has a handful of sources by construction)
+    "mixture_weights",
+}
+
+
+def _groups(line: str) -> list[str]:
+    """Top-level [...] groups of a formatted-plan Arguments line."""
+    groups, depth, cur = [], 0, ""
+    for ch in line:
+        if ch == "[":
+            depth += 1
+            cur = cur + ch if depth > 1 else ""
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+            else:
+                cur += ch
+        elif depth > 0:
+            cur += ch
+    return groups
+
+
+def _has_global_window(plan: str) -> bool:
+    """True if any Window node has an empty partition spec.  Formatted
+    Arguments are [exprs], [partitionSpec], [orderSpec]; the middle group
+    is omitted for global windows — so 2 groups where the second carries
+    sort markers (or 1 group) means global, while 2 groups without sort
+    markers is a partitioned, unordered full-frame window.  Matches
+    `(N) Window` exactly (WindowGroupLimit prints a different shape)."""
+    import re
+
+    for block in plan.split("\n\n"):
+        if not re.fullmatch(r"\(\d+\) Window", block.split("\n")[0].strip()):
+            continue
+        for line in block.split("\n"):
+            if not line.startswith("Arguments:"):
+                continue
+            g = _groups(line)
+            if len(g) < 2 or (
+                len(g) == 2 and (" ASC" in g[1] or " DESC" in g[1])
+            ):
+                return True
+    return False
+
+
 def test_plan_sweep_no_cartesian_no_row_udfs(spark):
     """ONE pass over every registered query plan (plan construction runs
     real driver actions for the iterative queries, so sweep once):
@@ -163,15 +221,23 @@ def test_plan_sweep_no_cartesian_no_row_udfs(spark):
       all-pairs baselines (NLJ_ALLOWED);
     - Python appears only as Arrow-batched eval (mapInPandas / grouped
       map / cogroup / pandas UDF) — never BatchEvalPython, the
-      row-at-a-time path that is 10-100x slower.
+      row-at-a-time path that is 10-100x slower;
+    - no Window with an empty partitioning over an unbounded input (a
+      single-partition sort of the fact table at 100 TB) outside the
+      constant-size whitelist (GLOBAL_WINDOW_ALLOWED).
     """
     m = _entry()
-    cartesian, row_udfs = [], []
+    cartesian, row_udfs, global_windows = [], [], []
     for name, fn in m.queries().items():
         plan = _plan(fn(spark, SF_DIR))
         if "CartesianProduct" in plan and name not in NLJ_ALLOWED:
             cartesian.append(name)
         if "BatchEvalPython" in plan:
             row_udfs.append(name)
+        if _has_global_window(plan) and name not in GLOBAL_WINDOW_ALLOWED:
+            global_windows.append(name)
     assert not cartesian, f"unsanctioned cartesian joins in: {cartesian}"
     assert not row_udfs, f"row-at-a-time Python UDFs in: {row_udfs}"
+    assert not global_windows, (
+        f"unwhitelisted global (unpartitioned) windows in: {global_windows}"
+    )
