@@ -1146,12 +1146,13 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join — the ~98% payload cut that matters at corpus
     scale), exact rerank of the per-query shortlist only.  Approximate,
     rows-only; q_ann_pq_check carries the verified invariants and
-    tools/probe_pq_recall.py the measured recall (0.74 @ sf0.01 vs
-    0.55 for plain IVF at the same probe budget)."""
+    tools/probe_pq_recall.py the measured recall (ksub=256 default:
+    0.55 @ sf0.1 p8 vs plain IVF's 0.5625 at the same probe budget —
+    ADC ranking at near-IVF parity, B64)."""
     from tsne_flink_spark.pipeline.similarity import pq_top_k
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = pq_top_k(emb, emb, k=3, ksub=64, n_probe=8, shortlist=32)
+    out = pq_top_k(emb, emb, k=3, n_probe=8, shortlist=32)
     return out.select("q", "c", F.round("sim", 6).alias("sim"))
 
 

@@ -71,6 +71,21 @@ def main():
                 emb, emb, k, ksub=64, n_probe=8, shortlist=32, n_corpus=n
             ),
         ),
+        # the Jégou-default codebooks (ksub=256, now the operator default):
+        # the round-10 recall gap vs IVF at equal probes was ADC ranking
+        # error from 16-64-entry codebooks
+        (
+            "pq    p4 s16 ksub256",
+            lambda: pq_top_k(
+                emb, emb, k, n_probe=4, shortlist=16, n_corpus=n
+            ),
+        ),
+        (
+            "pq    p8 s32 ksub256",
+            lambda: pq_top_k(
+                emb, emb, k, n_probe=8, shortlist=32, n_corpus=n
+            ),
+        ),
     ]
     for name, build in variants:
         t0 = time.time()
@@ -114,7 +129,7 @@ def main():
     cpq = {
         (r["q"], r["c"])
         for r in pq_top_k(
-            cemb, cemb, k, ksub=64, n_probe=8, shortlist=32, n_corpus=n_c
+            cemb, cemb, k, n_probe=8, shortlist=32, n_corpus=n_c
         ).collect()
     }
     t_cp = time.time() - t0

@@ -376,7 +376,7 @@ def pq_top_k(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = 8,
-    ksub: int = 16,
+    ksub: int = 256,
     n_lists: int | None = None,
     n_probe: int = 4,
     shortlist: int | None = None,
@@ -400,8 +400,13 @@ def pq_top_k(
        the shuffle survivable when the corpus is 100 TB of vectors.
     3. CANDIDATES + ADC: queries probe their ``n_probe`` nearest lists
        (equi-join on list id, never all-pairs); each candidate is
-       scored by asymmetric distance — exact query vector against the
-       candidate's reconstruction, one batched GEMM per Arrow batch.
+       scored by asymmetric distance via per-query LOOKUP TABLES (the
+       paper's ADC formulation): one ``m x ksub`` table of
+       query-subvector x codebook-entry dots per distinct query in the
+       Arrow batch (one einsum), then each candidate costs ``m`` table
+       lookups + the coarse-centroid dot — identical numbers to
+       reconstructing the candidate, without materializing a
+       ``B x dim`` reconstruction per batch.
     4. RERANK: only the per-query ADC ``shortlist`` (default
        ``max(4k, 16)``) joins back to exact vectors; reported sims are
        EXACT cosines, so ``topk_invariants`` applies unchanged and
@@ -430,6 +435,8 @@ def pq_top_k(
         n_lists = max(4, min(4096, int(np.sqrt(max(n_corpus, 1)))))
     if shortlist is None:
         shortlist = max(4 * k, 16)
+    # ksub * 8 keeps >= 8 training points per codebook entry at the Jégou
+    # default ksub=256 (sample floor 2048; still a bounded driver collect)
     target = max(n_lists * 20, ksub * 8, 200)
     if n_corpus <= target:
         sample = corpus.select(vec_col).collect()
@@ -474,7 +481,10 @@ def pq_top_k(
         sub = Rs[:, j * dsub : (j + 1) * dsub]
         cb = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
         for _ in range(8):
-            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            # argmin ||r - c||^2 = argmin ||c||^2 - 2 r.c — one GEMM per
+            # iteration instead of a B x ksub x dsub broadcast (matters at
+            # ksub=256: the naive form is 5.5M doubles PER iteration)
+            d2 = (cb**2).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
             a = np.argmin(d2, axis=1)
             for t in range(ksub):
                 members = sub[a == t]
@@ -540,15 +550,28 @@ def pq_top_k(
             )
 
     def adc_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-query LUT ADC (Jégou et al. §III.C): q . recon(list, code)
+        # = q . coarse[list] + sum_j LUT[q][j, code_j], where LUT[q] is the
+        # m x ksub table of query-subvector x codebook-entry dots.  One
+        # einsum + one GEMM per DISTINCT query in the batch, then m
+        # integer lookups per candidate row — identical numbers to the
+        # explicit B x dim reconstruction it replaces.
         for pdf in it:
             if not len(pdf):
                 continue
-            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vq"]])
-            R = _recon(
-                pdf["__list"].to_numpy(),
-                np.array(list(pdf["__code"]), dtype=np.int32),
+            qi, _ = pd.factorize(pdf["q"])
+            first = np.unique(qi, return_index=True)[1]
+            Vu = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__vq"].iloc[first]]
             )
-            adc = (V * R).sum(axis=1) / np.maximum(
+            lut = np.einsum("qjd,jtd->qjt", Vu.reshape(len(Vu), m, dsub), books)
+            coarse_dot = Vu @ coarse.T
+            lists = pdf["__list"].to_numpy()
+            codes = np.array(list(pdf["__code"]), dtype=np.int64)
+            num = coarse_dot[qi, lists] + lut[
+                qi[:, None], np.arange(m)[None, :], codes
+            ].sum(axis=1)
+            adc = num / np.maximum(
                 pdf["__nq"].to_numpy() * pdf["__rn"].to_numpy(), 1e-12
             )
             yield pd.DataFrame(
