@@ -96,11 +96,11 @@ def main():
 
     raw = dim * 8
     m = 8
-    coded = m * 4 + 4 + 8  # codes (int32 in the Spark schema) + list + norm
+    coded = m + 4 + 8  # m packed uint8 code bytes (binary) + list + norm
     print(
         f"candidate payload/vector: raw {raw} B vs coded {coded} B "
-        f"({100 * (1 - coded / raw):.1f}% cut; int8 codes at ksub<=256 "
-        f"would make it {m + 4 + 8} B)"
+        f"({100 * (1 - coded / raw):.1f}% cut; codes travel as one "
+        f"{m}-byte binary at ksub<=256)"
     )
 
     # The driver's synthetic embeddings are near-iid — the regime where ANY

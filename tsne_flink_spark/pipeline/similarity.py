@@ -414,8 +414,10 @@ def pq_top_k(
        ``tools/probe_pq_recall.py``).
 
     ``m`` is clipped to the largest divisor of the dimension; ``ksub``
-    to the training-sample size.  Same ``n_corpus`` contract as
-    ``ivf_top_k``.
+    to the training-sample size and to 256 — the code word travels as
+    ``m`` PACKED uint8 bytes in one binary column (dim=64/m=8: 8 code
+    bytes + list id + norm ≈ 20 B/vector vs 512 B raw).  Same
+    ``n_corpus`` contract as ``ivf_top_k``.
     """
     from typing import Iterator
 
@@ -450,7 +452,7 @@ def pq_top_k(
     while dim % m:  # largest divisor of dim not above the requested m
         m -= 1
     dsub = dim // m
-    ksub = min(ksub, len(X))
+    ksub = min(ksub, len(X), 256)  # codes must fit one uint8 each
     rng = np.random.default_rng(seed)
 
     # coarse quantizer: identical scheme to ivf_top_k (spherical k-means
@@ -524,7 +526,9 @@ def pq_top_k(
                 {
                     "c": pdf["c"].to_numpy(),
                     "__list": lists,
-                    "__code": list(codes),
+                    # m packed uint8 bytes per vector (ksub <= 256), the
+                    # minimal candidate payload
+                    "__code": [r.tobytes() for r in codes.astype(np.uint8)],
                     "__rn": rnorm,
                 }
             )
@@ -567,7 +571,11 @@ def pq_top_k(
             lut = np.einsum("qjd,jtd->qjt", Vu.reshape(len(Vu), m, dsub), books)
             coarse_dot = Vu @ coarse.T
             lists = pdf["__list"].to_numpy()
-            codes = np.array(list(pdf["__code"]), dtype=np.int64)
+            codes = (
+                np.frombuffer(b"".join(pdf["__code"]), dtype=np.uint8)
+                .reshape(-1, m)
+                .astype(np.int64)
+            )
             num = coarse_dot[qi, lists] + lut[
                 qi[:, None], np.arange(m)[None, :], codes
             ].sum(axis=1)
@@ -582,7 +590,7 @@ def pq_top_k(
         F.col(id_col).alias("c"), _as_double(F.col(vec_col)).alias("__v")
     ).mapInPandas(
         encode_kernel,
-        schema=f"c {id_type}, __list int, __code array<int>, __rn double",
+        schema=f"c {id_type}, __list int, __code binary, __rn double",
     )
     qr = queries.select(
         F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("__v")
