@@ -121,6 +121,8 @@ def main() -> None:
         "exact_substr_dedup",
         "corpus_shards",
         "incremental_dedup",
+        "incremental_dedup_bloom",
+        "link_triangles",
         "corpus_diff",
         "term_drift",
         "minhash_dedup",

@@ -44,6 +44,8 @@ AUDITED = [
     "profile_lineitem",
     "mixture_weights",
     "incremental_dedup",
+    "incremental_dedup_bloom",
+    "link_triangles",
     "exact_substr_dedup",
     "corpus_shards",
     "bm25_scores",
