@@ -2831,6 +2831,24 @@ def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain centrality prior from the WARC link graph: the DIRECTED
+    PageRank (dangling mass redistributed uniformly — the stochastic
+    completion) over the same extract_links-mined domain edges as
+    link_triangles.  This is the domain-quality prior CommonCrawl-derived
+    corpora weight by, and the first oracle gate on the operator's
+    directed path (dup_pagerank exercises only the symmetrized one).
+    Exact DuckDB oracle unrolls the same 10 iterations WITH the per-
+    iteration dangling term (_link_pagerank_oracle_sql)."""
+    from tsne_flink_spark.operators.graph import pagerank
+
+    edges = _link_graph_edges(spark, sf_dir)
+    out = pagerank(edges, iters=10, damping=0.85, undirected=False)
+    return out.select(
+        F.col("id").alias("dom"), F.round("rank", 6).alias("rank")
+    )
+
+
 def q_compression_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified invariants for the compression-ratio quality signal
     (pipeline/quality.compression_ratio; zlib output is not identical
@@ -2996,9 +3014,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_check": q_compression_check,
         "corpus_diff": q_corpus_diff,
         "dsir_weights": q_dsir_weights,
-        "dsir_sample": q_dsir_sample,
+        # --- (b'') late round-11 addition: directed-path PageRank gate ---
+        "link_pagerank": q_link_pagerank,
         # ------------- below the driver's 50-query window -------------
         # driver-green in r09 (-> round-12 rotation):
+        "dsir_sample": q_dsir_sample,
         "gopher_quality": q_gopher_quality,
         "heavy_hitters": q_heavy_hitters,
         "dup_pagerank": q_dup_pagerank,
@@ -3431,6 +3451,53 @@ WITH toks AS (
 )""")
     parts.append(f"""
 SELECT id, round(rank, 6) AS rank FROM r{iters}""")
+    return "".join(parts)
+
+
+def _link_pagerank_oracle_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """Exact oracle for ``link_pagerank``: the arithmetic link-graph
+    replay (same edge CTE as the link_triangles oracle, kept DIRECTED)
+    feeding ``iters`` unrolled power iterations with the per-iteration
+    dangling-mass term — domains that only ever appear as link TARGETS
+    hold rank but no out-edges, and their mass redistributes uniformly,
+    exactly mirroring the Spark operator's directed path."""
+    parts = ["""
+WITH tgt AS (
+  SELECT (doc_id % 997)::BIGINT AS s, 0::BIGINT AS d FROM documents
+  UNION ALL
+  SELECT (doc_id % 997)::BIGINT, ((doc_id * 7 + 13) % 997)::BIGINT FROM documents
+  UNION ALL
+  SELECT (doc_id % 997)::BIGINT, ((doc_id * 31 + 5) % 997)::BIGINT FROM documents
+), e AS MATERIALIZED (
+  SELECT DISTINCT s, d FROM tgt WHERE s <> d
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT id
+  FROM (SELECT s AS id FROM e UNION ALL SELECT d AS id FROM e)
+), nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes
+), deg AS MATERIALIZED (
+  SELECT s, count(*)::DOUBLE AS dg FROM e GROUP BY s
+), r0 AS MATERIALIZED (
+  SELECT id, 1.0::DOUBLE AS rank FROM nodes
+)"""]
+    for t in range(iters):
+        parts.append(f""", d{t} AS (
+  SELECT coalesce(sum(r.rank), 0.0)::DOUBLE AS m
+  FROM r{t} r LEFT JOIN deg ON deg.s = r.id
+  WHERE deg.s IS NULL
+), r{t + 1} AS MATERIALIZED (
+  SELECT n.id,
+         {1.0 - damping!r} + {damping!r} * (coalesce(c.inr, 0.0)
+           + (SELECT m FROM d{t}) / (SELECT n FROM nn)) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS id, sum(r.rank / dg.dg) AS inr
+    FROM e
+    JOIN r{t} r ON r.id = e.s
+    JOIN deg dg ON dg.s = e.s
+    GROUP BY e.d
+  ) c ON c.id = n.id
+)""")
+    parts.append(f"""
+SELECT id AS dom, round(rank, 6) AS rank FROM r{iters}""")
     return "".join(parts)
 
 
@@ -4795,6 +4862,7 @@ SELECT source, n_docs, n_tokens,
 FROM wt
 """,
         "dup_pagerank": _pagerank_oracle_sql(),
+        "link_pagerank": _link_pagerank_oracle_sql(),
         "dup_triangles": _TRIANGLES_ORACLE,
         "dup_best_rep": """
 WITH RECURSIVE toks AS (

@@ -123,6 +123,7 @@ def main() -> None:
         "incremental_dedup",
         "incremental_dedup_bloom",
         "link_triangles",
+        "link_pagerank",
         "corpus_diff",
         "term_drift",
         "minhash_dedup",

@@ -46,6 +46,7 @@ AUDITED = [
     "incremental_dedup",
     "incremental_dedup_bloom",
     "link_triangles",
+    "link_pagerank",
     "exact_substr_dedup",
     "corpus_shards",
     "bm25_scores",
