@@ -558,11 +558,14 @@ def pq_top_k(
         # = q . coarse[list] + sum_j LUT[q][j, code_j], where LUT[q] is the
         # m x ksub table of query-subvector x codebook-entry dots.  One
         # einsum + one GEMM per DISTINCT query in the batch, then m
-        # integer lookups per candidate row — identical numbers to the
-        # explicit B x dim reconstruction it replaces.
+        # integer lookups per candidate — identical numbers to the explicit
+        # reconstruction it replaces.  Input rows are (query, list) PAIRS
+        # carrying the whole list's aligned candidate arrays — the
+        # candidates unpack to numpy per batch, never per pair.
         for pdf in it:
             if not len(pdf):
                 continue
+            counts = pdf["__cs"].map(len).to_numpy()
             qi, _ = pd.factorize(pdf["q"])
             first = np.unique(qi, return_index=True)[1]
             Vu = np.array(
@@ -570,20 +573,29 @@ def pq_top_k(
             )
             lut = np.einsum("qjd,jtd->qjt", Vu.reshape(len(Vu), m, dsub), books)
             coarse_dot = Vu @ coarse.T
-            lists = pdf["__list"].to_numpy()
+            row = np.repeat(np.arange(len(pdf)), counts)
+            qrow = qi[row]
+            lists = pdf["__list"].to_numpy()[row]
+            cs = np.concatenate([np.asarray(x) for x in pdf["__cs"]])
             codes = (
-                np.frombuffer(b"".join(pdf["__code"]), dtype=np.uint8)
+                np.frombuffer(
+                    b"".join(b"".join(r) for r in pdf["__codes"]),
+                    dtype=np.uint8,
+                )
                 .reshape(-1, m)
                 .astype(np.int64)
             )
-            num = coarse_dot[qi, lists] + lut[
-                qi[:, None], np.arange(m)[None, :], codes
+            rns = np.concatenate(
+                [np.asarray(x, dtype=np.float64) for x in pdf["__rns"]]
+            )
+            num = coarse_dot[qrow, lists] + lut[
+                qrow[:, None], np.arange(m)[None, :], codes
             ].sum(axis=1)
             adc = num / np.maximum(
-                pdf["__nq"].to_numpy() * pdf["__rn"].to_numpy(), 1e-12
+                pdf["__nq"].to_numpy()[row] * rns, 1e-12
             )
             yield pd.DataFrame(
-                {"q": pdf["q"].to_numpy(), "c": pdf["c"].to_numpy(), "__adc": adc}
+                {"q": pdf["q"].to_numpy()[row], "c": cs, "__adc": adc}
             )
 
     enc = corpus.select(
@@ -598,20 +610,33 @@ def pq_top_k(
         probe_kernel,
         schema=f"q {id_type}, __vq array<double>, __nq double, __list int",
     )
+    # The encoded corpus is GROUPED per coarse list before the candidate
+    # join: three index-aligned collect_list buffers (one aggregation pass
+    # appends every buffer in the same row order) so a (query, list) join
+    # row carries the WHOLE list's ids/codes/norms.  Without this, the
+    # per-PAIR join rows each carried the dim-double query vector into the
+    # Arrow boundary — at 40k corpus x 8 probes that is ~800 MB through
+    # Python vs ~4 MB for the grouped form (probe_pq_scale.py measured the
+    # ungrouped ADC stage 4.7x slower than IVF's JVM dot at equal
+    # candidates; the codes were already small — the QUERY VECTOR copies
+    # were the transfer).  Per-list payload is ~24 B x list size and must
+    # fit a task (bounded by the spherical-k-means balance ~N/n_lists, the
+    # same boundary the per-list processing always had).
+    #
     # Explicit repartition of the QUERY SIDE on the join key, not of the
-    # joined pairs: (a) the user repartition keeps AQE's byte-based
-    # coalescing from collapsing the CPU-heavy ADC batch-GEMM stage — the
-    # join output streams straight into mapInPandas in the same stage, so
-    # the join's task count IS the Python stage's task count (the
-    # documented cpu-per-row blind spot); (b) repartitioning the pair rows
-    # instead would put Q x n_probe x list_size copies of the dim-double
-    # query vector on the wire — the vectors must only ever move
-    # Q x n_probe times (the two join INPUT shuffles), the pair rows never.
+    # joined rows: the user repartition keeps AQE's byte-based coalescing
+    # from collapsing the CPU-heavy ADC stage (join output streams into
+    # mapInPandas in the same stage, so the join's task count IS the
+    # Python stage's task count — the documented cpu-per-row blind spot).
     # Cost: a user-origin shuffle opts this join out of AQE skew
-    # splitting; acceptable here because list sizes are bounded by the
-    # spherical-k-means balance (~N/n_lists), unlike the LSH band join
-    # (B17) where skew is adversarial.
-    cand = qr.repartition("__list").join(enc, "__list")
+    # splitting; acceptable because list sizes are k-means-balanced,
+    # unlike the LSH band join (B17) where skew is adversarial.
+    grouped = enc.groupBy("__list").agg(
+        F.collect_list("c").alias("__cs"),
+        F.collect_list("__code").alias("__codes"),
+        F.collect_list("__rn").alias("__rns"),
+    )
+    cand = qr.repartition("__list").join(grouped, "__list")
     adc = cand.mapInPandas(
         adc_kernel, schema=f"q {id_type}, c {id_type}, __adc double"
     ).where(F.col("q") != F.col("c"))
