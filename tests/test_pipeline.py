@@ -667,3 +667,30 @@ def test_pq_top_k_m_clipped_to_dimension_divisor(spark):
         by_q.setdefault(r["q"], []).append(r["c"])
     assert all(len(cs) <= 2 for cs in by_q.values())
     assert len(by_q) >= 30
+
+
+def test_pq_top_k_tiny_corpus_exhaustive(spark):
+    """Degenerate scale: a 3-vector corpus with every list probed must
+    return the exact brute-force ranking (the grouped per-list candidate
+    arrays and the uint8 code packing have no room to hide edge bugs at
+    n=3: single-member lists, ksub clipped to the sample size)."""
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.similarity import (
+        brute_force_top_k,
+        pq_top_k,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(0, 1, 8).tolist()) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = sorted(
+        (r["q"], r["c"]) for r in brute_force_top_k(emb, emb, 2).collect()
+    )
+    got = sorted(
+        (r["q"], r["c"])
+        for r in pq_top_k(
+            emb, emb, 2, m=4, n_lists=3, n_probe=3, shortlist=3
+        ).collect()
+    )
+    assert got == exact
