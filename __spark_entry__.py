@@ -949,6 +949,60 @@ def q_sketch_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches, the shard-then-merge pattern a
+    100-TB pipeline persists: per (event_type, shard) Apache DataSketches
+    HLL binaries over user_id (pipeline/sketches.sketch_shards), then the
+    corpus-wide per-type estimate from re-unioning the kilobyte sketches
+    (sketch_union) — no fact-table rescan.  Deterministic for fixed input
+    but not DuckDB-reproducible (DataSketches registers) — rows-only;
+    q_sketch_union_check carries the verified invariants."""
+    from tsne_flink_spark.pipeline.sketches import sketch_shards, sketch_union
+
+    ev = _t(spark, sf_dir, "events")
+    shards = sketch_shards(
+        ev, ["event_type"], "user_id",
+        F.pmod(F.xxhash64(F.col("ts")), F.lit(8)),
+    )
+    return sketch_union(shards, ["event_type"]).orderBy("event_type")
+
+
+def q_sketch_union_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the sketch shard/union path (oracle:
+    constant zero row): the re-unioned estimate lands within 15% of the
+    exact distinct-user count per event_type; union is register-monotone
+    (estimate >= every member shard's estimate, an exact property of
+    pointwise register max, not a statistical one); every non-empty type
+    estimates positive."""
+    from tsne_flink_spark.pipeline.sketches import sketch_shards, sketch_union
+
+    ev = _t(spark, sf_dir, "events")
+    shards = sketch_shards(
+        ev, ["event_type"], "user_id",
+        F.pmod(F.xxhash64(F.col("ts")), F.lit(8)),
+    )
+    unions = sketch_union(shards, ["event_type"])
+    shard_max = shards.groupBy("event_type").agg(
+        F.max("shard_estimate").alias("__mx")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("__e")
+    )
+    g = unions.join(shard_max, "event_type").join(exact, "event_type")
+    bad = (
+        (
+            F.abs(F.col("est_distinct") - F.col("__e"))
+            / F.greatest(F.col("__e"), F.lit(1))
+            > 0.15
+        )
+        | (F.col("est_distinct") < F.col("__mx"))
+        | ((F.col("est_distinct") <= 0) & (F.col("__e") > 0))
+    )
+    return g.agg(
+        F.sum(bad.cast("int")).cast("long").alias("bad_groups")
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-column pipeline: synthesize deterministic WAV/PCM payloads,
     decode with the real dependency-free RIFF parser, extract DSP features
@@ -3012,12 +3066,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_promo_revenue": q_brand_promo_revenue,
         "c4_clean": q_c4_clean,
         "compression_check": q_compression_check,
-        "corpus_diff": q_corpus_diff,
-        "dsir_weights": q_dsir_weights,
-        # --- (b'') late round-11 addition: directed-path PageRank gate ---
+        # --- (b'') late round-11 additions: directed-path PageRank gate,
+        #     mergeable HLL sketch shard/union pair ---
         "link_pagerank": q_link_pagerank,
+        "sketch_union": q_sketch_union,
+        "sketch_union_check": q_sketch_union_check,
         # ------------- below the driver's 50-query window -------------
         # driver-green in r09 (-> round-12 rotation):
+        "corpus_diff": q_corpus_diff,
+        "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "gopher_quality": q_gopher_quality,
         "heavy_hitters": q_heavy_hitters,
@@ -4863,6 +4920,9 @@ FROM wt
 """,
         "dup_pagerank": _pagerank_oracle_sql(),
         "link_pagerank": _link_pagerank_oracle_sql(),
+        "sketch_union_check": """
+SELECT 0::BIGINT AS bad_groups
+""",
         "dup_triangles": _TRIANGLES_ORACLE,
         "dup_best_rep": """
 WITH RECURSIVE toks AS (

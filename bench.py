@@ -124,6 +124,7 @@ def main() -> None:
         "incremental_dedup_bloom",
         "link_triangles",
         "link_pagerank",
+        "sketch_union",
         "corpus_diff",
         "term_drift",
         "minhash_dedup",

@@ -140,3 +140,39 @@ def test_streaming_heavy_hitters_state_merge(spark, tmp_path):
     }
     assert len(final) <= 8
     assert "hot" in final  # 100 occurrences across batches, the global max
+
+
+def test_sketch_union_equals_single_shot(spark):
+    """Re-unioning per-shard HLL sketches must estimate exactly what one
+    sketch over all rows estimates (register max is associative over any
+    partitioning of the rows), and land on the exact distinct count for a
+    small cardinality."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.sketches import sketch_shards, sketch_union
+
+    df = spark.range(5000).select(
+        "id", (F.col("id") % 3).alias("k"), (F.col("id") % 211).alias("u")
+    )
+    # shard by row id, NOT by value: the same u lands in several shards,
+    # so the union actually has overlapping registers to reconcile
+    shards = sketch_shards(df, ["k"], "u", F.pmod(F.col("id"), F.lit(7)))
+    assert shards.count() == 21
+    merged = {
+        r["k"]: (r["n_shards"], r["est_distinct"])
+        for r in sketch_union(shards, ["k"]).collect()
+    }
+    single = {
+        r["k"]: r["e"]
+        for r in df.groupBy("k")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("e"))
+        .collect()
+    }
+    exact = {
+        r["k"]: r["e"]
+        for r in df.groupBy("k").agg(F.countDistinct("u").alias("e")).collect()
+    }
+    for k in exact:
+        assert merged[k][0] == 7
+        assert merged[k][1] == single[k]          # associativity
+        assert merged[k][1] == exact[k]           # small-cardinality exact

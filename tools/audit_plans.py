@@ -47,6 +47,7 @@ AUDITED = [
     "incremental_dedup_bloom",
     "link_triangles",
     "link_pagerank",
+    "sketch_union",
     "exact_substr_dedup",
     "corpus_shards",
     "bm25_scores",

@@ -98,6 +98,46 @@ def heavy_hitters(
     )
 
 
+def sketch_shards(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    shard_col,
+) -> DataFrame:
+    """(key..., shard, sketch, shard_estimate): per-(key, shard) HLL
+    distinct-count sketches of ``value_col`` — the artifact a 100-TB
+    incremental pipeline PERSISTS per ingestion shard (a binary column in
+    a plain parquet table), so corpus-wide cardinalities come from
+    re-unioning kilobyte sketches instead of rescanning the fact tables.
+
+    Built on Spark's Apache DataSketches HLL surface (``hll_sketch_agg``,
+    3.5+): sketches of the same column are mergeable with
+    ``hll_union_agg`` across any partitioning of the rows — see
+    :func:`sketch_union`."""
+    return df.groupBy(*key_cols, shard_col.alias("shard")).agg(
+        F.hll_sketch_agg(value_col).alias("sketch")
+    ).withColumn(
+        "shard_estimate", F.hll_sketch_estimate("sketch")
+    )
+
+
+def sketch_union(
+    shards: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """(key..., n_shards, est_distinct): re-union persisted per-shard HLL
+    sketches per key and estimate the distinct count of the ORIGINAL
+    value column — no rescan of the rows that built the shards.  The
+    union maxes HLL registers pointwise, so the estimate is monotonically
+    >= every member shard's estimate (asserted by the gate's check
+    query)."""
+    return shards.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "est_distinct"
+        ),
+    )
+
+
 def merge_heavy_hitter_state(
     prev_state: DataFrame | None,
     batch_counts: DataFrame,
