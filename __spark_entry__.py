@@ -3006,15 +3006,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (a) the 39 queries whose last driver row is CORRECTNESS_r08 (two
     #     rounds stale) — including the flagship tsne_embedding pair, which
     #     belongs in at least every other window (verdict r10 item 8);
-    # (b) the three round-11 additions: incremental_dedup_bloom (placed
-    #     adjacent to incremental_dedup, whose exact oracle it shares) and
+    # (b) the six round-11 additions: incremental_dedup_bloom (placed
+    #     adjacent to incremental_dedup, whose exact oracle it shares),
     #     the link_triangles pair (WARC link graph -> degree-oriented
-    #     census, exact oracle);
-    # (c) stale fill — 8 queries last driver-green in CORRECTNESS_r09.
+    #     census, exact oracle), link_pagerank (the directed-path gate),
+    #     and the sketch_union pair (mergeable HLL shard/union);
+    # (c) stale fill — 6 queries last driver-green in CORRECTNESS_r09.
     # Everything below position 50 is driver-green in r09 or r10; the
-    # remaining r09 block (listed first) is slated for the round-12
-    # rotation, with the flagship pair rejoining the r12 window per the
-    # every-other-round constraint.
+    # remaining r09 block (listed first, 34 queries starting at
+    # corpus_diff) is slated for the round-12 rotation, with the flagship
+    # pair rejoining the r12 window per the every-other-round constraint.
     return {
         # --- (a) r08-stale rotation + (b) round-11 additions interleaved ---
         "tsne_embedding": q_tsne_embedding,
