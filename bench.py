@@ -19,6 +19,60 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+
+def emit_output_lines(timings, total, sf, cpus, n_queries, calib):
+    """The stdout contract, as data (unit-tested without Spark).
+
+    The bench driver retains only a ~4 KB stdout TAIL; a single JSON line
+    with all ~100 per-query entries (~4.5 KB) gets its head truncated,
+    which in r09 made the artifact unparseable and in r10 (one giant line
+    + compact summary) lost the per-query HEAD — 12 of 28 r1-comparable
+    timings were invisible to the driver.  Emitted instead:
+
+    1-2. per-query timings split across two compact chunk lines
+         (~1.2 KB each, all tail-survivable), under a DISTINCT metric
+         name so a consumer scanning every line never double-counts the
+         suite total;
+    3.   the canonical summary record LAST (the position r10 proved the
+         driver parses), with "summary": true to disambiguate it from
+         historical full-dict records bearing the same metric name.
+    """
+    ok = [v for v in timings.values() if v >= 0]
+    names = list(timings)
+    half = (len(names) + 1) // 2
+    lines = []
+    for part, chunk in enumerate((names[:half], names[half:]), start=1):
+        lines.append(
+            json.dumps(
+                {
+                    "metric": f"per_query_wall_sec_{part}of2",
+                    "unit": "sec",
+                    "sf": sf,
+                    "queries": {n: timings[n] for n in chunk},
+                },
+                separators=(",", ":"),
+            )
+        )
+    lines.append(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_headline_queries",
+                "summary": True,
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "cpus": cpus,
+                "n_queries": n_queries,
+                "n_failed": len(timings) - len(ok),
+                "queries": {"tsne_embedding": timings.get("tsne_embedding")},
+                "calibration": calib,
+            },
+            separators=(",", ":"),
+        )
+    )
+    return lines
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -225,49 +279,10 @@ def main() -> None:
         "end_sec": calib_end,
         "end_over_start": round(calib_end / max(calib_start, 1e-9), 3),
     }
-    # The bench driver retains only a ~4 KB stdout TAIL; a single JSON line
-    # with all ~100 per-query entries (~4.5 KB) gets its head truncated,
-    # which in r09 made the artifact unparseable and in r10 (one giant line
-    # + compact summary) lost the per-query HEAD — 12 of 28 r1-comparable
-    # timings were invisible to the driver.  Emit instead:
-    #   1-2. per-query timings split across two compact chunk lines
-    #        (~1.2 KB each, all tail-survivable), under a DISTINCT metric
-    #        name so a consumer scanning every line never double-counts
-    #        the suite total;
-    #   3.   the canonical summary record LAST (the position r10 proved the
-    #        driver parses), with "summary": true to disambiguate it from
-    #        historical full-dict records bearing the same metric name.
-    names = list(timings)
-    half = (len(names) + 1) // 2
-    for part, chunk in enumerate((names[:half], names[half:]), start=1):
-        print(
-            json.dumps(
-                {
-                    "metric": f"per_query_wall_sec_{part}of2",
-                    "unit": "sec",
-                    "sf": float(sf),
-                    "queries": {n: timings[n] for n in chunk},
-                },
-                separators=(",", ":"),
-            )
-        )
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_headline_queries",
-                "summary": True,
-                "value": total,
-                "unit": "sec",
-                "sf": float(sf),
-                "cpus": int(cpus),
-                "n_queries": len(headline),
-                "n_failed": len(timings) - len(ok),
-                "queries": {"tsne_embedding": timings.get("tsne_embedding")},
-                "calibration": calib,
-            },
-            separators=(",", ":"),
-        )
-    )
+    for line in emit_output_lines(
+        timings, total, float(sf), int(cpus), len(headline), calib
+    ):
+        print(line)
 
 
 if __name__ == "__main__":

@@ -101,3 +101,32 @@ def test_driver_window_keeps_check_pairs_together():
             if f"{n}_check" not in window:
                 split.append(f"{n} (rows-only) in-window without its check")
     assert not split, split
+
+
+def test_bench_output_lines_tail_survivable():
+    """The bench stdout contract (no Spark needed): every per-query timing
+    recoverable from the emitted lines; exactly ONE record carries the
+    canonical total metric (flagged "summary": true, positioned LAST); all
+    lines together fit the driver's ~4 KB tail capture at the current
+    headline size."""
+    import json
+
+    import bench
+
+    timings = {f"query_{i:03d}": round(0.1 * i, 3) for i in range(102)}
+    timings["tsne_embedding"] = 29.6
+    timings["query_007"] = -1.0  # a failed query
+    calib = {"start_sec": 0.3, "end_sec": 0.25, "end_over_start": 0.833}
+    lines = bench.emit_output_lines(timings, 215.0, 0.1, 32, len(timings), calib)
+    assert sum(len(line) + 1 for line in lines) < 4096
+    parsed = [json.loads(line) for line in lines]
+    canonical = [p for p in parsed if p["metric"] == "total_wall_sec_headline_queries"]
+    assert len(canonical) == 1 and canonical[0] is parsed[-1]
+    assert canonical[0]["summary"] is True
+    assert canonical[0]["n_failed"] == 1
+    assert canonical[0]["queries"]["tsne_embedding"] == 29.6
+    recovered = {}
+    for p in parsed[:-1]:
+        assert p["metric"].startswith("per_query_wall_sec_")
+        recovered.update(p["queries"])
+    assert recovered == timings
