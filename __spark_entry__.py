@@ -3437,7 +3437,7 @@ WITH toks AS (
   FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
   GROUP BY 1
 ), w AS (
-  SELECT sum(d * (d - 1) / 2) AS n_wedges, count(*)::BIGINT AS n_nodes
+  SELECT coalesce(sum(d * (d - 1) / 2), 0.0) AS n_wedges, count(*)::BIGINT AS n_nodes
   FROM deg
 ), t AS (
   SELECT count(*)::BIGINT AS n_triangles
@@ -5517,7 +5517,8 @@ WITH tgt AS (
   FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
   GROUP BY v
 ), w AS (
-  SELECT sum(d * (d - 1) / 2) AS wedges, count(*)::BIGINT AS n_nodes FROM deg
+  SELECT coalesce(sum(d * (d - 1) / 2), 0.0) AS wedges,
+         count(*)::BIGINT AS n_nodes FROM deg
 ), tri AS (
   SELECT count(*)::BIGINT AS n_triangles
   FROM e e1

@@ -109,3 +109,45 @@ def test_triangle_census_orientations_agree(spark):
     oriented = triangle_stats(df, orient_by_degree=True).collect()[0].asDict()
     assert plain == oriented
     assert plain["n_triangles"] == brute
+
+
+def test_round11_ops_on_empty_inputs(spark):
+    """Zero-row inputs flow through the round-11 operators: the census
+    emits one fully-typed zero row (no NULL wedge count), directed
+    PageRank and the sketch union return empty, and the Bloom annotate
+    handles an empty batch against a non-empty index."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.operators.graph import pagerank, triangle_stats
+    from tsne_flink_spark.pipeline.dedup import (
+        fingerprint_index,
+        incremental_dedup_annotate_bloom,
+    )
+    from tsne_flink_spark.pipeline.sketches import sketch_shards, sketch_union
+
+    empty_edges = spark.createDataFrame([], "a long, b long")
+    for oriented in (False, True):
+        row = triangle_stats(empty_edges, orient_by_degree=oriented).collect()
+        assert len(row) == 1
+        r = row[0].asDict()
+        assert r == {
+            "n_nodes": 0, "n_edges": 0, "n_wedges": 0,
+            "n_triangles": 0, "clustering_coefficient": 0.0,
+        }, r
+    assert pagerank(empty_edges, undirected=False).collect() == []
+
+    empty_ev = spark.createDataFrame(
+        [], "event_type string, user_id long, ts timestamp"
+    )
+    shards = sketch_shards(
+        empty_ev, ["event_type"], "user_id",
+        F.pmod(F.xxhash64("ts"), F.lit(8)),
+    )
+    assert sketch_union(shards, ["event_type"]).collect() == []
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "AA")], "doc_id long, text string"
+    )
+    out = incremental_dedup_annotate_bloom(empty_docs, fingerprint_index(docs))
+    assert out.collect() == []

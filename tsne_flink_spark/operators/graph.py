@@ -261,7 +261,11 @@ def triangle_stats(edges: DataFrame, orient_by_degree: bool = False) -> DataFram
         .agg(F.count(F.lit(1)).cast("double").alias("d"))
     )
     wedges = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges"),
+        # coalesce: an empty graph's census row carries typed zeros, not a
+        # NULL wedge count (sum over zero rows is NULL in both engines)
+        F.coalesce(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0.0)
+        ).alias("n_wedges"),
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
     )
     if orient_by_degree:
