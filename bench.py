@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+three compact JSON lines (see emit_output_lines): two per-query timing
+chunks under per_query_wall_sec_{1,2}of2, then the canonical summary
+record {"metric": "total_wall_sec_headline_queries", "summary": true,
+"value": N, "unit": "sec", "queries": {flagship}, "sf": ...} LAST —
+every line sized so the whole set survives the driver's ~4 KB stdout
+tail capture.
 
 The headline set spans the engine's surface: relational (scan/join/agg/
 window), the t-SNE operator suite (kNN, affinities, joint distribution,
