@@ -1,11 +1,14 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-three compact JSON lines (see emit_output_lines): two per-query timing
-chunks under per_query_wall_sec_{1,2}of2, then the canonical summary
-record {"metric": "total_wall_sec_headline_queries", "summary": true,
-"value": N, "unit": "sec", "queries": {flagship}, "sf": ...} LAST —
-every line sized so the whole set survives the driver's ~4 KB stdout
-tail capture.
+TWO compact JSON lines (see emit_output_lines): one values-only
+per-query timing record (order = bench.HEADLINE, fingerprinted), then
+the canonical summary record {"metric":
+"total_wall_sec_headline_queries", "summary": true, "value": N,
+"unit": "sec", "queries": {flagship}, "sf": ...} LAST — both lines
+together sized under the driver's measured 2,000-byte stdout tail
+capture (BENCH_r10/r11 `tail` fields are exactly 2,000 bytes; the
+previous two-chunk contract was sized against an assumed ~4 KB and
+lost the first chunk's head in r11).
 
 The headline set spans the engine's surface: relational (scan/join/agg/
 window), the t-SNE operator suite (kNN, affinities, joint distribution,
@@ -15,6 +18,7 @@ Each query is timed as wall-clock to full materialization (count/collect).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -23,40 +27,165 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# Suite order, hoisted to a module constant so the values-only stdout
+# record is decodable offline: names = bench.HEADLINE at the same commit
+# (the emitted order_sha1_12 fingerprint verifies the match).
+# tsne_embedding (the flagship iterative query) runs FIRST: measured
+# in-suite tax of 8-20 s when it runs last (cache/JIT/heap pressure from
+# 50+ prior queries) vs its solo warm medians (B30) — leading with it
+# makes the recorded number reflect the plan, not suite state; the
+# calibration probe re-runs immediately after it (calib.post_flagship_sec)
+# so the artifact itself classifies the flagship reading against host
+# speed (three rounds of 0.62 end/start calibration drift rode on solo
+# rerun evidence before r12).
+HEADLINE = [
+    "tsne_embedding",
+    "pricing_summary",
+    "top_revenue_orders",
+    "promo_revenue_monthly",
+    "brand_promo_revenue",
+    "props_json",
+    "revenue_pivot",
+    "shipping_priority",
+    "order_priority",
+    "shipmode_priority",
+    "nation_trade_volume",
+    "market_share",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "waiting_suppliers",
+    "idle_customers",
+    "returned_item_revenue",
+    "regional_revenue",
+    "grouped_topk_orders",
+    "customer_rfm",
+    "quality_calibration",
+    "group_medians",
+    "global_aggregates",
+    "events_by_user_segment",
+    "user_peak_event",
+    "windowed_event_counts",
+    "sessionize",
+    "event_cube",
+    "event_funnel",
+    "user_cohorts",
+    "joint_distribution",
+    "knn_bruteforce",
+    "knn_partition",
+    "knn_project",
+    "pairwise_affinities",
+    "text_stats",
+    "pii_scrub",
+    "url_domains",
+    "url_dedup",
+    "unicode_normalize",
+    "boilerplate_lines",
+    "bigram_stats",
+    "language_id",
+    "language_id_ngram",
+    "repetition_stats",
+    "line_repetition",
+    "token_histogram",
+    "term_frequency_spectrum",
+    "lang_source_matrix",
+    "source_overlap",
+    "stratified_sample",
+    "mixture_weights",
+    "pack_sequences",
+    "chunk_documents",
+    "decontaminate",
+    "decontaminate_fuzzy",
+    "blocklist_filter",
+    "doc_fingerprint",
+    "winnow_overlap",
+    "exact_dedup",
+    "exact_substr_dedup",
+    "corpus_shards",
+    "incremental_dedup",
+    "incremental_dedup_bloom",
+    "link_triangles",
+    "link_pagerank",
+    "sketch_union",
+    "corpus_diff",
+    "term_drift",
+    "minhash_dedup",
+    "simhash_dedup",
+    "ngram_jaccard_pairs",
+    "containment_pairs",
+    # directly after ngram_jaccard_pairs ON PURPOSE: dup_clusters reuses
+    # the same miner, and its first execution pays a large one-time
+    # whole-stage-codegen compile (B18b) — adjacency shares the warm
+    # generated-code cache (measured 72 s cold-first vs 10 s after a
+    # warm miner run at sf0.1)
+    "dup_clusters",
+    "dup_pagerank",
+    "dup_best_rep",
+    "dup_triangles",
+    "curation_pipeline",
+    "tfidf_top_terms",
+    "bm25_scores",
+    "bm25_index",
+    "lm_perplexity",
+    "lm_perplexity_interp",
+    "perplexity_split_exact",
+    "dsir_weights",
+    "dsir_sample",
+    "bpe_tokens",
+    "embedding_dedup",
+    "semantic_dedup",
+    "ann_bruteforce",
+    "ann_lsh",
+    "ann_ivf",
+    "ann_pq",
+    "sliding_user_activity",
+    "quality_scores",
+    "c4_clean",
+    "gopher_quality",
+    "heavy_hitters",
+    "profile_lineitem",
+    "source_stats",
+    "multimodal_features",
+    "audio_features",
+]
+
 
 def emit_output_lines(timings, total, sf, cpus, n_queries, calib):
     """The stdout contract, as data (unit-tested without Spark).
 
-    The bench driver retains only a ~4 KB stdout TAIL; a single JSON line
-    with all ~100 per-query entries (~4.5 KB) gets its head truncated,
-    which in r09 made the artifact unparseable and in r10 (one giant line
-    + compact summary) lost the per-query HEAD — 12 of 28 r1-comparable
-    timings were invisible to the driver.  Emitted instead:
+    The bench driver retains only the LAST 2,000 bytes of stdout
+    (measured: BENCH_r10/r11 `tail` fields are exactly 2,000 bytes; the
+    r11 contract was sized against an assumed ~4 KB and lost the first
+    chunk's head — ~29 of 102 timings invisible).  Emitted instead:
 
-    1-2. per-query timings split across two compact chunk lines
-         (~1.2 KB each, all tail-survivable), under a DISTINCT metric
-         name so a consumer scanning every line never double-counts the
-         suite total;
-    3.   the canonical summary record LAST (the position r10 proved the
-         driver parses), with "summary": true to disambiguate it from
-         historical full-dict records bearing the same metric name.
+    1.  ONE values-only per-query record: `values[i]` is the wall time
+        of query `names[i]` at CENTISECOND precision, where `names` is
+        the iteration order of `timings` (== bench.HEADLINE in main();
+        the embedded order_sha1_12 fingerprint lets a consumer verify
+        that the HEADLINE list at this commit matches).  Values-only
+        keeps ~104 timings near ~800 bytes — names alone would be ~1.8
+        KB and re-overflow the tail.  Failed queries carry -1.0.
+    2.  the canonical summary record LAST (the position r10 proved the
+        driver parses), with "summary": true to disambiguate it from
+        historical full-dict records bearing the same metric name.
     """
     ok = [v for v in timings.values() if v >= 0]
     names = list(timings)
-    half = (len(names) + 1) // 2
-    lines = []
-    for part, chunk in enumerate((names[:half], names[half:]), start=1):
-        lines.append(
-            json.dumps(
-                {
-                    "metric": f"per_query_wall_sec_{part}of2",
-                    "unit": "sec",
-                    "sf": sf,
-                    "queries": {n: timings[n] for n in chunk},
-                },
-                separators=(",", ":"),
-            )
+    lines = [
+        json.dumps(
+            {
+                "metric": "per_query_wall_sec_values",
+                "unit": "sec",
+                "sf": sf,
+                "n": len(names),
+                "order": "bench.HEADLINE",
+                "order_sha1_12": hashlib.sha1(
+                    "\n".join(names).encode()
+                ).hexdigest()[:12],
+                "values": [round(timings[n], 2) for n in names],
+            },
+            separators=(",", ":"),
         )
+    ]
     lines.append(
         json.dumps(
             {
@@ -110,120 +239,10 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    # headline queries: representative + bounded runtime at sf0.1.
-    # tsne_embedding (the flagship iterative query) runs FIRST: measured
-    # in-suite tax of 8-20 s when it runs last (cache/JIT/heap pressure
-    # from 50+ prior queries) vs its solo warm medians (B30) — leading
-    # with it makes the recorded number reflect the plan, not suite state.
-    headline = [
-        "tsne_embedding",
-        "pricing_summary",
-        "top_revenue_orders",
-        "promo_revenue_monthly",
-        "brand_promo_revenue",
-        "props_json",
-        "revenue_pivot",
-        "shipping_priority",
-        "order_priority",
-        "shipmode_priority",
-        "nation_trade_volume",
-        "market_share",
-        "small_qty_revenue",
-        "large_volume_customers",
-        "waiting_suppliers",
-        "idle_customers",
-        "returned_item_revenue",
-        "regional_revenue",
-        "grouped_topk_orders",
-        "customer_rfm",
-        "quality_calibration",
-        "group_medians",
-        "global_aggregates",
-        "events_by_user_segment",
-        "user_peak_event",
-        "windowed_event_counts",
-        "sessionize",
-        "event_cube",
-        "event_funnel",
-        "user_cohorts",
-        "joint_distribution",
-        "knn_bruteforce",
-        "knn_partition",
-        "knn_project",
-        "pairwise_affinities",
-        "text_stats",
-        "pii_scrub",
-        "url_domains",
-        "url_dedup",
-        "unicode_normalize",
-        "boilerplate_lines",
-        "bigram_stats",
-        "language_id",
-        "language_id_ngram",
-        "repetition_stats",
-        "line_repetition",
-        "token_histogram",
-        "term_frequency_spectrum",
-        "lang_source_matrix",
-        "source_overlap",
-        "stratified_sample",
-        "mixture_weights",
-        "pack_sequences",
-        "chunk_documents",
-        "decontaminate",
-        "decontaminate_fuzzy",
-        "blocklist_filter",
-        "doc_fingerprint",
-        "winnow_overlap",
-        "exact_dedup",
-        "exact_substr_dedup",
-        "corpus_shards",
-        "incremental_dedup",
-        "incremental_dedup_bloom",
-        "link_triangles",
-        "link_pagerank",
-        "sketch_union",
-        "corpus_diff",
-        "term_drift",
-        "minhash_dedup",
-        "simhash_dedup",
-        "ngram_jaccard_pairs",
-        "containment_pairs",
-        # directly after ngram_jaccard_pairs ON PURPOSE: dup_clusters reuses
-        # the same miner, and its first execution pays a large one-time
-        # whole-stage-codegen compile (B18b) — adjacency shares the warm
-        # generated-code cache (measured 72 s cold-first vs 10 s after a
-        # warm miner run at sf0.1)
-        "dup_clusters",
-        "dup_pagerank",
-        "dup_best_rep",
-        "dup_triangles",
-        "curation_pipeline",
-        "tfidf_top_terms",
-        "bm25_scores",
-        "bm25_index",
-        "lm_perplexity",
-        "lm_perplexity_interp",
-        "perplexity_split_exact",
-        "dsir_weights",
-        "dsir_sample",
-        "bpe_tokens",
-        "embedding_dedup",
-        "semantic_dedup",
-        "ann_bruteforce",
-        "ann_lsh",
-        "ann_ivf",
-        "ann_pq",
-        "sliding_user_activity",
-        "quality_scores",
-        "c4_clean",
-        "gopher_quality",
-        "heavy_hitters",
-        "profile_lineitem",
-        "source_stats",
-        "multimodal_features",
-        "audio_features",
-    ]
+    # headline queries: representative + bounded runtime at sf0.1; the
+    # order is the module constant (see HEADLINE docstring for why the
+    # flagship leads and how names are recovered from the values record).
+    headline = HEADLINE
 
     import gc
 
@@ -256,6 +275,7 @@ def main() -> None:
     # deopt) by more than the cold-first tax they save; the known
     # cold-vs-solo-warm gaps (B30/B40) stay documented instead.
     timings: dict[str, float] = {}
+    calib_post_flagship = None
     for name in headline:
         fn = qs[name]
         t0 = time.time()
@@ -273,6 +293,11 @@ def main() -> None:
         df = None
         spark.catalog.clearCache()
         gc.collect()
+        if name == "tsne_embedding":
+            # bracket the flagship with calibration probes so the artifact
+            # itself says whether an out-of-band flagship reading was host
+            # slowness (probe slow too) or a plan change (probe nominal)
+            calib_post_flagship = calibration()
 
     calib_end = calibration()
 
@@ -280,6 +305,7 @@ def main() -> None:
     total = round(sum(ok), 3)
     calib = {
         "start_sec": calib_start,
+        "post_flagship_sec": calib_post_flagship,
         "end_sec": calib_end,
         "end_over_start": round(calib_end / max(calib_start, 1e-9), 3),
     }

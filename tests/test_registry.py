@@ -23,22 +23,17 @@ def test_every_oracle_has_a_query():
 
 
 def test_every_bench_headliner_is_registered():
+    import bench
+
     m = _entry()
     qs = m.queries()
-    tree = ast.parse(open("bench.py").read())
-    headline = set()
-    for node in ast.walk(tree):
-        if (
-            isinstance(node, ast.Assign)
-            and any(getattr(t, "id", None) == "headline" for t in node.targets)
-            and isinstance(node.value, ast.List)
-        ):
-            headline = {
-                c.value for c in node.value.elts if isinstance(c, ast.Constant)
-            }
-    assert headline, "bench.py headline list not found"
-    missing = headline - set(qs)
+    assert bench.HEADLINE, "bench.HEADLINE is empty"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headliner"
+    missing = set(bench.HEADLINE) - set(qs)
     assert not missing, f"bench headliners missing from queries(): {missing}"
+    # the flagship must run FIRST (its in-suite reading is position-sensitive,
+    # B30) and the values-only stdout record depends on this pinned order
+    assert bench.HEADLINE[0] == "tsne_embedding"
 
 
 def test_no_complex_types_in_query_output_schemas(spark):
@@ -107,26 +102,38 @@ def test_bench_output_lines_tail_survivable():
     """The bench stdout contract (no Spark needed): every per-query timing
     recoverable from the emitted lines; exactly ONE record carries the
     canonical total metric (flagged "summary": true, positioned LAST); all
-    lines together fit the driver's ~4 KB tail capture at the current
-    headline size."""
+    lines together fit the driver's MEASURED 2,000-byte tail capture
+    (BENCH_r10/r11 `tail` fields are exactly 2,000 bytes — r11's contract
+    assumed ~4 KB and lost ~29 timings).  Sized at the REAL headline list
+    with worst-case 4-digit timing values, not short synthetic names."""
+    import hashlib
     import json
 
     import bench
 
-    timings = {f"query_{i:03d}": round(0.1 * i, 3) for i in range(102)}
-    timings["tsne_embedding"] = 29.6
-    timings["query_007"] = -1.0  # a failed query
-    calib = {"start_sec": 0.3, "end_sec": 0.25, "end_over_start": 0.833}
-    lines = bench.emit_output_lines(timings, 215.0, 0.1, 32, len(timings), calib)
-    assert sum(len(line) + 1 for line in lines) < 4096
+    # worst case: every query slow (4-digit centisecond values), one failed
+    timings = {n: 1234.56 + i for i, n in enumerate(bench.HEADLINE)}
+    timings["tsne_embedding"] = 29.61
+    timings["pricing_summary"] = -1.0  # a failed query
+    calib = {
+        "start_sec": 0.3,
+        "post_flagship_sec": 0.31,
+        "end_sec": 0.25,
+        "end_over_start": 0.833,
+    }
+    lines = bench.emit_output_lines(timings, 99999.0, 0.1, 32, len(timings), calib)
+    assert sum(len(line) + 1 for line in lines) < 2000
     parsed = [json.loads(line) for line in lines]
     canonical = [p for p in parsed if p["metric"] == "total_wall_sec_headline_queries"]
     assert len(canonical) == 1 and canonical[0] is parsed[-1]
     assert canonical[0]["summary"] is True
     assert canonical[0]["n_failed"] == 1
-    assert canonical[0]["queries"]["tsne_embedding"] == 29.6
-    recovered = {}
-    for p in parsed[:-1]:
-        assert p["metric"].startswith("per_query_wall_sec_")
-        recovered.update(p["queries"])
-    assert recovered == timings
+    assert canonical[0]["queries"]["tsne_embedding"] == 29.61
+    # the values record decodes back to every timing via bench.HEADLINE
+    (vrec,) = [p for p in parsed[:-1] if p["metric"] == "per_query_wall_sec_values"]
+    assert vrec["n"] == len(bench.HEADLINE)
+    assert vrec["order"] == "bench.HEADLINE"
+    fp = hashlib.sha1("\n".join(bench.HEADLINE).encode()).hexdigest()[:12]
+    assert vrec["order_sha1_12"] == fp
+    recovered = dict(zip(bench.HEADLINE, vrec["values"]))
+    assert recovered == {n: round(v, 2) for n, v in timings.items()}
