@@ -1003,6 +1003,88 @@ def q_sketch_union_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _persisted_sketch_shards(spark: SparkSession, sf_dir: str):
+    """Shared persist-lifecycle plumbing for the sketch_union_persisted
+    pair: build per-(event_type, shard) HLL sketches, WRITE the binary
+    sketch column to a parquet store, and hand back (fresh-read shards,
+    original events) — the exact artifact a 100-TB pipeline would keep
+    per ingestion shard and re-union later without a fact-table rescan."""
+    import tempfile
+
+    from tsne_flink_spark.pipeline.sketches import sketch_shards
+
+    ev = _t(spark, sf_dir, "events")
+    shards = sketch_shards(
+        ev, ["event_type"], "user_id",
+        F.pmod(F.xxhash64(F.col("ts")), F.lit(8)),
+    )
+    store = tempfile.mkdtemp(prefix="sketch_store_")
+    shards.write.mode("overwrite").parquet(store)
+    return spark.read.parquet(store), ev
+
+
+def q_sketch_union_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full persist-then-re-union HLL lifecycle (what sketch_shards'
+    docstring sells, exercised end-to-end rather than in-plan): per-shard
+    sketches written to a parquet store, read back in a FRESH DataFrame,
+    then re-unioned per event_type.  DataSketches registers survive the
+    parquet roundtrip bit-exactly, so this returns the same estimates as
+    the in-plan q_sketch_union — asserted by _check.  Rows-only (register
+    estimates are not DuckDB-reproducible)."""
+    from tsne_flink_spark.pipeline.sketches import sketch_union
+
+    persisted, _ = _persisted_sketch_shards(spark, sf_dir)
+    return sketch_union(persisted, ["event_type"]).orderBy("event_type")
+
+
+def q_sketch_union_persisted_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the persisted lifecycle (oracle: constant
+    zero row): the roundtripped union is BIT-IDENTICAL to the in-plan
+    union (parquet must not disturb the sketch binaries), lands within
+    15% of the exact distinct count, and is register-monotone (>= every
+    persisted shard's estimate)."""
+    from tsne_flink_spark.pipeline.sketches import sketch_shards, sketch_union
+
+    persisted, ev = _persisted_sketch_shards(spark, sf_dir)
+    from_disk = sketch_union(persisted, ["event_type"])
+    in_plan = sketch_union(
+        sketch_shards(
+            ev, ["event_type"], "user_id",
+            F.pmod(F.xxhash64(F.col("ts")), F.lit(8)),
+        ),
+        ["event_type"],
+    ).withColumnRenamed("est_distinct", "__ip").withColumnRenamed(
+        "n_shards", "__ipn"
+    )
+    shard_max = persisted.groupBy("event_type").agg(
+        F.max("shard_estimate").alias("__mx")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("__e")
+    )
+    g = (
+        from_disk.join(in_plan, "event_type", "full")
+        .join(shard_max, "event_type", "full")
+        .join(exact, "event_type", "full")
+    )
+    bad = (
+        (F.col("est_distinct") != F.col("__ip"))
+        | (F.col("n_shards") != F.col("__ipn"))
+        | (
+            F.abs(F.col("est_distinct") - F.col("__e"))
+            / F.greatest(F.col("__e"), F.lit(1))
+            > 0.15
+        )
+        | (F.col("est_distinct") < F.col("__mx"))
+    )
+    # full joins: a key missing from any side is itself a violation
+    return g.agg(
+        F.sum(F.coalesce(bad, F.lit(True)).cast("int"))
+        .cast("long")
+        .alias("bad_groups")
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-column pipeline: synthesize deterministic WAV/PCM payloads,
     decode with the real dependency-free RIFF parser, extract DSP features
@@ -3002,24 +3084,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the FIRST
     # 50 entries, so the window rotates each round toward the queries with
     # the weakest driver evidence; check pairs stay adjacent
-    # (tests/test_registry.py pins pair integrity).  Round-11 window:
-    # (a) the 39 queries whose last driver row is CORRECTNESS_r08 (two
-    #     rounds stale) — including the flagship tsne_embedding pair, which
-    #     belongs in at least every other window (verdict r10 item 8);
-    # (b) the six round-11 additions: incremental_dedup_bloom (placed
-    #     adjacent to incremental_dedup, whose exact oracle it shares),
-    #     the link_triangles pair (WARC link graph -> degree-oriented
-    #     census, exact oracle), link_pagerank (the directed-path gate),
-    #     and the sketch_union pair (mergeable HLL shard/union);
-    # (c) stale fill — 6 queries last driver-green in CORRECTNESS_r09.
-    # Everything below position 50 is driver-green in r09 or r10; the
-    # remaining r09 block (listed first, 34 queries starting at
-    # corpus_diff) is slated for the round-12 rotation, with the flagship
-    # pair rejoining the r12 window per the every-other-round constraint.
+    # (tests/test_registry.py pins pair integrity).  Round-12 window:
+    # (a) the 34 r09-stale queries (+perplexity_buckets_check) — exactly
+    #     the block the r11 contract slated for this rotation — preceded
+    #     by the flagship tsne_embedding pair (every-other-round
+    #     constraint, verdict r10 item 8);
+    # (b) the round-12 addition: the sketch_union_persisted pair (the
+    #     persist-then-re-union HLL lifecycle, write/readback through a
+    #     parquet store — the in-plan sketch_union pair stayed r11-green);
+    # (c) oldest-r10 fill to 50 (knn_project .. ann_lsh), check pairs
+    #     adjacent.
+    # Everything below position 50 is driver-green in r10 or r11; the
+    # r10 block at the bottom (ann_ivf .. decontaminate) plus the
+    # r11-green block are the round-13 rotation candidates, with the
+    # flagship pair rejoining in r14 per the every-other-round constraint.
     return {
-        # --- (a) r08-stale rotation + (b) round-11 additions interleaved ---
+        # --- round-12 window: flagship pair (every-other-round constraint) ---
         "tsne_embedding": q_tsne_embedding,
         "tsne_embedding_check": q_tsne_embedding_check,
+        # --- (a) the 34 r09-stale queries (+1 check) slated by the r11 contract ---
+        "corpus_diff": q_corpus_diff,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
+        "gopher_quality": q_gopher_quality,
+        "heavy_hitters": q_heavy_hitters,
+        "dup_pagerank": q_dup_pagerank,
+        "line_repetition": q_line_repetition,
+        "revenue_pivot": q_revenue_pivot,
+        "term_frequency_spectrum": q_term_frequency_spectrum,
+        "dup_best_rep": q_dup_best_rep,
+        "perplexity_buckets": q_perplexity_buckets,
+        "perplexity_buckets_check": q_perplexity_buckets_check,
+        "dup_clusters": q_dup_clusters,
+        "market_share": q_market_share,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_volume_customers": q_large_volume_customers,
+        "waiting_suppliers": q_waiting_suppliers,
+        "term_drift": q_term_drift,
+        "props_json": q_props_json,
+        "quality_calibration": q_quality_calibration,
+        "dup_triangles": q_dup_triangles,
+        "user_peak_event": q_user_peak_event,
+        "group_medians": q_group_medians,
+        "event_cube": q_event_cube,
+        "user_cohorts": q_user_cohorts,
+        "containment_pairs": q_containment_pairs,
+        "promo_revenue_monthly": q_promo_revenue_monthly,
+        "windowed_event_counts": q_windowed_event_counts,
+        "sessionize": q_sessionize,
+        "sliding_user_activity": q_sliding_user_activity,
+        "regional_revenue": q_regional_revenue,
+        "events_by_user_segment": q_events_by_user_segment,
+        "text_stats": q_text_stats,
+        "stopword_ratio": q_stopword_ratio,
+        "language_id": q_language_id,
+        # --- (b) new in round 12: persisted HLL sketch lifecycle pair ---
+        "sketch_union_persisted": q_sketch_union_persisted,
+        "sketch_union_persisted_check": q_sketch_union_persisted_check,
+        # --- (c) oldest-r10 fill, check pairs adjacent ---
+        "knn_project": q_knn_project,
+        "knn_project_check": q_knn_project_check,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_check": q_minhash_dedup_check,
+        "simhash_dedup": q_simhash_dedup,
+        "simhash_dedup_check": q_simhash_dedup_check,
+        "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_check": q_embedding_dedup_check,
+        "ann_lsh": q_ann_lsh,
+        "ann_lsh_check": q_ann_lsh_check,
+        # ------------- below the driver's 50-query window -------------
+        # driver-green in r11:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_partition": q_knn_partition,
         "pairwise_affinities": q_pairwise_affinities,
@@ -3058,69 +3193,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_normalize": q_unicode_normalize,
         "bm25_scores": q_bm25_scores,
         "profile_lineitem": q_profile_lineitem,
-        # --- (b) new in round 11: WARC link graph, degree-oriented census ---
         "link_triangles": q_link_triangles,
         "link_triangles_check": q_link_triangles_check,
-        # --- (c) stale fill: last driver-green in CORRECTNESS_r09 ---
         "blocklist_filter": q_blocklist_filter,
         "bm25_index": q_bm25_index,
         "brand_promo_revenue": q_brand_promo_revenue,
         "c4_clean": q_c4_clean,
         "compression_check": q_compression_check,
-        # --- (b'') late round-11 additions: directed-path PageRank gate,
-        #     mergeable HLL sketch shard/union pair ---
         "link_pagerank": q_link_pagerank,
         "sketch_union": q_sketch_union,
         "sketch_union_check": q_sketch_union_check,
-        # ------------- below the driver's 50-query window -------------
-        # driver-green in r09 (-> round-12 rotation):
-        "corpus_diff": q_corpus_diff,
-        "dsir_weights": q_dsir_weights,
-        "dsir_sample": q_dsir_sample,
-        "gopher_quality": q_gopher_quality,
-        "heavy_hitters": q_heavy_hitters,
-        "dup_pagerank": q_dup_pagerank,
-        "line_repetition": q_line_repetition,
-        "revenue_pivot": q_revenue_pivot,
-        "term_frequency_spectrum": q_term_frequency_spectrum,
-        "dup_best_rep": q_dup_best_rep,
-        "perplexity_buckets": q_perplexity_buckets,
-        "perplexity_buckets_check": q_perplexity_buckets_check,
-        "dup_clusters": q_dup_clusters,
-        "market_share": q_market_share,
-        "small_qty_revenue": q_small_qty_revenue,
-        "large_volume_customers": q_large_volume_customers,
-        "waiting_suppliers": q_waiting_suppliers,
-        "term_drift": q_term_drift,
-        "props_json": q_props_json,
-        "quality_calibration": q_quality_calibration,
-        "dup_triangles": q_dup_triangles,
-        "user_peak_event": q_user_peak_event,
-        "group_medians": q_group_medians,
-        "event_cube": q_event_cube,
-        "user_cohorts": q_user_cohorts,
-        "containment_pairs": q_containment_pairs,
-        "promo_revenue_monthly": q_promo_revenue_monthly,
-        "windowed_event_counts": q_windowed_event_counts,
-        "sessionize": q_sessionize,
-        "sliding_user_activity": q_sliding_user_activity,
-        "regional_revenue": q_regional_revenue,
-        "events_by_user_segment": q_events_by_user_segment,
-        "text_stats": q_text_stats,
-        "stopword_ratio": q_stopword_ratio,
-        "language_id": q_language_id,
-        # driver-green in r10:
-        "knn_project": q_knn_project,
-        "knn_project_check": q_knn_project_check,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_dedup": q_minhash_dedup,
-        "minhash_dedup_check": q_minhash_dedup_check,
-        "simhash_dedup": q_simhash_dedup,
-        "simhash_dedup_check": q_simhash_dedup_check,
-        "embedding_dedup": q_embedding_dedup,
-        "embedding_dedup_check": q_embedding_dedup_check,
-        "ann_lsh": q_ann_lsh,
-        "ann_lsh_check": q_ann_lsh_check,
+        # driver-green in r10 (-> round-13 rotation candidates):
         "ann_ivf": q_ann_ivf,
         "ann_ivf_check": q_ann_ivf_check,
         "ann_bruteforce": q_ann_bruteforce,
@@ -4922,6 +5005,9 @@ FROM wt
         "dup_pagerank": _pagerank_oracle_sql(),
         "link_pagerank": _link_pagerank_oracle_sql(),
         "sketch_union_check": """
+SELECT 0::BIGINT AS bad_groups
+""",
+        "sketch_union_persisted_check": """
 SELECT 0::BIGINT AS bad_groups
 """,
         "dup_triangles": _TRIANGLES_ORACLE,

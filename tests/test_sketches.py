@@ -176,3 +176,54 @@ def test_sketch_union_equals_single_shot(spark):
         assert merged[k][0] == 7
         assert merged[k][1] == single[k]          # associativity
         assert merged[k][1] == exact[k]           # small-cardinality exact
+
+
+def test_sketch_union_survives_parquet_roundtrip(spark, tmp_path):
+    """The pattern sketch_shards SELLS — persist kilobyte sketches per
+    ingestion shard, re-union them later without rescanning the fact
+    rows — exercised end-to-end: write the binary sketch column to
+    parquet, read it back in a FRESH DataFrame, union that.  The
+    roundtripped union must be bit-identical to the in-plan union
+    (parquet must not disturb the DataSketches binary), land within 15%
+    of the exact distinct count, and stay register-monotone (>= every
+    member shard's estimate)."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.sketches import sketch_shards, sketch_union
+
+    df = spark.range(20000).select(
+        "id", (F.col("id") % 4).alias("k"), (F.col("id") % 997).alias("u")
+    )
+    # hash-shard, NOT id % 8: that would be correlated with k = id % 4
+    # (only 2 residues mod 8 per k), collapsing the shards-per-key count
+    shards = sketch_shards(df, ["k"], "u", F.pmod(F.xxhash64("id"), F.lit(8)))
+    store = str(tmp_path / "sketch_store")
+    shards.write.parquet(store)
+
+    persisted = spark.read.parquet(store)
+    assert dict(persisted.dtypes)["sketch"] == "binary"
+    in_plan = {
+        r["k"]: (r["n_shards"], r["est_distinct"])
+        for r in sketch_union(shards, ["k"]).collect()
+    }
+    from_disk = {
+        r["k"]: (r["n_shards"], r["est_distinct"])
+        for r in sketch_union(persisted, ["k"]).collect()
+    }
+    assert from_disk == in_plan  # bit-identical registers after roundtrip
+
+    exact = {
+        r["k"]: r["e"]
+        for r in df.groupBy("k").agg(F.countDistinct("u").alias("e")).collect()
+    }
+    shard_max = {
+        r["k"]: r["m"]
+        for r in persisted.groupBy("k")
+        .agg(F.max("shard_estimate").alias("m"))
+        .collect()
+    }
+    for k, e in exact.items():
+        n_shards, est = from_disk[k]
+        assert n_shards == 8
+        assert abs(est - e) / e <= 0.15
+        assert est >= shard_max[k]
