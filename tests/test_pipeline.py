@@ -694,3 +694,29 @@ def test_pq_top_k_tiny_corpus_exhaustive(spark):
         ).collect()
     )
     assert got == exact
+
+
+def test_pq_top_k_ksub_clamp_warns(spark):
+    """ksub > 256 cannot fit the packed-uint8 code path; the clamp must
+    be VISIBLE (a warning naming the clamp), not silent, and the result
+    must equal an explicit ksub=256 run."""
+    import warnings
+
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.similarity import pq_top_k
+
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.normal(0, 1, 8).tolist()) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        clamped = pq_top_k(emb, emb, 2, m=4, ksub=1024, n_lists=4, n_probe=4)
+        got = sorted((r["q"], r["c"]) for r in clamped.collect())
+    assert any("ksub=1024 clamped to 256" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught_ok:
+        warnings.simplefilter("always")
+        explicit = pq_top_k(emb, emb, 2, m=4, ksub=256, n_lists=4, n_probe=4)
+        want = sorted((r["q"], r["c"]) for r in explicit.collect())
+    assert not [w for w in caught_ok if "clamped" in str(w.message)]
+    assert got == want

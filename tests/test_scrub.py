@@ -465,3 +465,77 @@ def test_bloom_dedup_empty_index_and_index_miss(spark):
         ).collect()
     }
     assert ann2 == {1: "kept", 2: "batch_dup", 3: "kept"}
+
+
+def test_bloom_bitmap_tree_merge_at_64_partitions(spark):
+    """The bitmap build OR-merges per-partition blobs with treeAggregate
+    (driver receives O(1) blobs, not #partitions).  At 64 index
+    partitions — the scale the pre-r12 collect() path would have shipped
+    64 bitmaps to the driver — the merged bitmap must be IDENTICAL to the
+    1-partition build, and probing through it must stay output-identical
+    to the exact annotate."""
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.dedup import (
+        build_fingerprint_bloom,
+        fingerprint_index,
+        incremental_dedup_annotate,
+        incremental_dedup_annotate_bloom,
+    )
+
+    ref = spark.createDataFrame(
+        [(1000 + i, f"historical doc {i}") for i in range(500)],
+        "doc_id long, text string",
+    )
+    index = fingerprint_index(ref)
+    bm1, m1, k1 = build_fingerprint_bloom(index.coalesce(1), expected=500)
+    bm64, m64, k64 = build_fingerprint_bloom(
+        index.repartition(64), expected=500
+    )
+    assert (m1, k1) == (m64, k64)
+    assert np.array_equal(bm1, bm64)
+
+    batch = spark.createDataFrame(
+        [(i, f"historical doc {i % 500}") for i in range(0, 100, 2)]
+        + [(i, f"fresh text {i}") for i in range(1, 100, 2)],
+        "doc_id long, text string",
+    )
+    exact = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup_annotate(batch, index).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup_annotate_bloom(
+            batch, index.repartition(64), expected=500
+        ).collect()
+    }
+    assert bloom == exact
+
+
+def test_bloom_state_exposes_unpersistable_broadcast(spark):
+    """bloom_state={} hands back the bitmap broadcast so per-batch
+    incremental callers can unpersist it (the documented lifecycle) —
+    and unpersisting after consumption must not break a fresh probe."""
+    from tsne_flink_spark.pipeline.dedup import (
+        fingerprint_index,
+        incremental_dedup_annotate_bloom,
+    )
+
+    ref = spark.createDataFrame(
+        [(100 + i, f"historical doc {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(0, "historical doc 3"), (1, "fresh")], "doc_id long, text string"
+    )
+    index = fingerprint_index(ref)
+    state: dict = {}
+    out = incremental_dedup_annotate_bloom(batch, index, bloom_state=state)
+    got = {r["doc_id"]: r["status"] for r in out.collect()}
+    assert got == {0: "ref_dup", 1: "kept"}
+    assert state["m"] % 8 == 0 and state["k"] >= 1
+    state["broadcast"].unpersist(blocking=True)
+    # a NEW annotate (fresh broadcast) still works after the old one is gone
+    out2 = incremental_dedup_annotate_bloom(batch, index)
+    assert {r["doc_id"]: r["status"] for r in out2.collect()} == got

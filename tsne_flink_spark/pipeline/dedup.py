@@ -171,20 +171,25 @@ def build_fingerprint_bloom(
 
     Bit positions are seeded ``xxhash64`` Column passes (JVM-side); each
     partition sets its bits into a local numpy bitmap inside one Arrow
-    batch kernel, and the driver ORs the per-partition bitmaps.  Not
+    batch kernel, and the per-partition bitmaps are OR-merged with an RDD
+    ``treeAggregate`` — executors combine blobs level by level, so the
+    driver receives O(1) blobs (= O(m/8) bytes) regardless of how many
+    partitions the index has, instead of the pre-r12 ``collect()`` that
+    shipped #partitions × m/8 bytes to the driver (1.8 GB bitmaps × 64
+    partitions would have been ~115 GB of driver ingress).  Not
     ``df.stat.bloomFilter``: Spark's own sketch has no Column-side
     ``might_contain`` in PySpark, so probing it would mean a row-at-a-time
     Python UDF against a py4j handle — this formulation keeps build AND
     probe Arrow-vectorized.
 
-    Scale boundary (documented, not hidden): the driver reduce moves
-    #partitions × m/8 bytes and the probe closure broadcasts m/8 bytes to
-    every executor — at 1e9 index keys and fpp=1e-3, ~1.8 GB.  That is
-    the Bloom tradeoff everywhere (the filter must fit where the probe
-    runs); past it, shard the index and dedup per shard, or fall back to
-    the plain fingerprint join (incremental_dedup_annotate), which never
-    materializes the index anywhere.
+    Scale boundary (documented, not hidden): the probe closure broadcasts
+    m/8 bytes to every executor — at 1e9 index keys and fpp=1e-3, ~1.8 GB.
+    That is the Bloom tradeoff everywhere (the filter must fit where the
+    probe runs); past it, shard the index and dedup per shard, or fall
+    back to the plain fingerprint join (incremental_dedup_annotate),
+    which never materializes the index anywhere.
     """
+    import math
     from typing import Iterator
 
     import pandas as pd
@@ -208,14 +213,28 @@ def build_fingerprint_bloom(
         if any_rows:
             yield pd.DataFrame({"bm": [bm.tobytes()]})
 
-    blobs = (
-        index.select(_bloom_positions(F.col(fp_col), m, bloom_k).alias("p"))
-        .mapInPandas(kernel, schema="bm binary")
-        .collect()
+    def or_blobs(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return (
+            np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
+        ).tobytes()
+
+    blobs = index.select(
+        _bloom_positions(F.col(fp_col), m, bloom_k).alias("p")
+    ).mapInPandas(kernel, schema="bm binary").rdd.map(lambda r: bytes(r["bm"]))
+    # depth so the tree's final fan-in (what the driver actually ingests)
+    # stays ~4 blobs at any partition count: 4^depth >= #partitions
+    n_parts = max(blobs.getNumPartitions(), 1)
+    depth = max(2, math.ceil(math.log(n_parts, 4))) if n_parts > 1 else 2
+    merged = blobs.treeAggregate(None, or_blobs, or_blobs, depth=depth)
+    bitmap = (
+        np.frombuffer(merged, dtype=np.uint8).copy()
+        if merged is not None
+        else np.zeros(nbytes, dtype=np.uint8)
     )
-    bitmap = np.zeros(nbytes, dtype=np.uint8)
-    for r in blobs:
-        bitmap |= np.frombuffer(r["bm"], dtype=np.uint8)
     return bitmap, m, bloom_k
 
 
@@ -226,6 +245,7 @@ def incremental_dedup_annotate_bloom(
     text_col: str = "text",
     id_col: str = "doc_id",
     expected: int | None = None,
+    bloom_state: dict | None = None,
 ) -> DataFrame:
     """``incremental_dedup_annotate`` with a Bloom prefilter — IDENTICAL
     output (same exact DuckDB oracle), different physics: the index join
@@ -241,11 +261,21 @@ def incremental_dedup_annotate_bloom(
     driver with EVERY task — at the documented 1.8 GB boundary that is a
     #tasks× driver-egress multiplier; the broadcast moves it once per
     executor.
+
+    Broadcast lifecycle: the bitmap broadcast lives until the
+    ContextCleaner reaps it.  A caller running repeated per-batch
+    incremental ingestion should pass ``bloom_state={}`` to receive
+    ``{"broadcast": <handle>, "m": ..., "k": ...}`` and call
+    ``bloom_state["broadcast"].unpersist()`` once the returned DataFrame
+    has been fully consumed — otherwise up-to-1.8 GB bitmaps accumulate
+    on executors for the session lifetime, one per batch.
     """
     from pyspark.sql.functions import pandas_udf
 
     bitmap, m, bloom_k = build_fingerprint_bloom(index, fpp=fpp, expected=expected)
     bc = docs.sparkSession.sparkContext.broadcast(bitmap)
+    if bloom_state is not None:
+        bloom_state.update(broadcast=bc, m=m, k=bloom_k)
 
     @pandas_udf("boolean")
     def might_contain(pos):

@@ -452,6 +452,17 @@ def pq_top_k(
     while dim % m:  # largest divisor of dim not above the requested m
         m -= 1
     dsub = dim // m
+    if ksub > 256:
+        # visible, not silent: a caller tuning recall with ksub=1024
+        # should know the packed-uint8 code path caps the codebook
+        import warnings
+
+        warnings.warn(
+            f"pq_top_k: ksub={ksub} clamped to 256 (codes are packed as "
+            "one uint8 per sub-space; raise m for finer quantization "
+            "instead)",
+            stacklevel=2,
+        )
     ksub = min(ksub, len(X), 256)  # codes must fit one uint8 each
     rng = np.random.default_rng(seed)
 
