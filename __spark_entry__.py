@@ -1796,6 +1796,80 @@ def q_ann_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_invariants(ivf_top_k(emb, emb, k=3), emb, k=3)
 
 
+def _ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared plumbing for the ann_ivf_persisted pair: build the IVF
+    index (centroids + per-vector list/vec/norm), WRITE both halves to a
+    parquet store, read them back in fresh DataFrames, and serve top-k
+    from the roundtripped artifact — the build-once / query-many
+    lifecycle a 100-TB corpus needs (re-training per query batch would
+    rescan the corpus every time)."""
+    import tempfile
+
+    from tsne_flink_spark.pipeline.similarity import (
+        build_ivf_index,
+        ivf_query_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids_df, index_df = build_ivf_index(emb)
+    store = tempfile.mkdtemp(prefix="ivf_index_")
+    centroids_df.write.mode("overwrite").parquet(f"{store}/centroids")
+    index_df.write.mode("overwrite").parquet(f"{store}/index")
+    return ivf_query_index(
+        emb,
+        spark.read.parquet(f"{store}/centroids"),
+        spark.read.parquet(f"{store}/index"),
+        k=3,
+    )
+
+
+def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served from a PERSISTED index (pipeline/similarity.
+    build_ivf_index → parquet → ivf_query_index): identical math to
+    ann_ivf, different lifecycle — the coarse centroids and the encoded
+    corpus (list id + vector + norm per row) survive as plain parquet
+    tables and queries re-join them without re-training or re-encoding.
+    Approximate, rows-only; the _check pins bit-exact equality with the
+    one-shot ivf_top_k."""
+    out = _ivf_persisted_topk(spark, sf_dir)
+    return out.select("q", "c", F.round("sim", 6).alias("sim"))
+
+
+def q_ann_ivf_persisted_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariant for the persisted IVF lifecycle (oracle:
+    constant zero row): serving from the parquet-roundtripped index must
+    reproduce the one-shot ivf_top_k EXACTLY — bit-equal sims, zero
+    extra/missing rows in either direction (array<double> is lossless
+    through parquet and the serving join recomputes nothing).  Compared
+    via a 1:1 full outer join on (q, c) — exceptAll trips an internal
+    Catalyst rewrite bug (ATTRIBUTE_NOT_FOUND) over these windowed
+    subplans on Spark 4.1."""
+    from tsne_flink_spark.pipeline.similarity import ivf_top_k
+
+    served = _ivf_persisted_topk(spark, sf_dir).select(
+        F.col("q").alias("__sq"), F.col("c").alias("__sc"),
+        F.col("sim").alias("__ss"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    direct = ivf_top_k(emb, emb, k=3).select(
+        F.col("q").alias("__dq"), F.col("c").alias("__dc"),
+        F.col("sim").alias("__ds"),
+    )
+    j = served.join(
+        direct,
+        (F.col("__sq") == F.col("__dq")) & (F.col("__sc") == F.col("__dc")),
+        "full",
+    )
+    bad = (
+        F.col("__sq").isNull()
+        | F.col("__dq").isNull()
+        | ~F.col("__ss").eqNullSafe(F.col("__ds"))
+    )
+    return j.agg(
+        F.sum(bad.cast("int")).cast("long").alias("mismatched_rows")
+    )
+
+
 def q_ann_pq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified invariants for the IVF-PQ ANN (oracle: constant zero
     row) — rerank sims must equal exact cosines (the PQ approximation
@@ -3089,11 +3163,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     the block the r11 contract slated for this rotation — preceded
     #     by the flagship tsne_embedding pair (every-other-round
     #     constraint, verdict r10 item 8);
-    # (b) the round-12 addition: the sketch_union_persisted pair (the
+    # (b) the round-12 additions: the sketch_union_persisted pair (the
     #     persist-then-re-union HLL lifecycle, write/readback through a
-    #     parquet store — the in-plan sketch_union pair stayed r11-green);
-    # (c) oldest-r10 fill to 50 (knn_project .. ann_lsh), check pairs
-    #     adjacent.
+    #     parquet store — the in-plan sketch_union pair stayed r11-green)
+    #     and the ann_ivf_persisted pair (IVF ANN served from a
+    #     parquet-persisted index, checked bit-equal to one-shot ivf_top_k);
+    # (c) oldest-r10 fill to 50 (knn_project .. embedding_dedup), check
+    #     pairs adjacent; the ann_lsh pair yielded its fill slots to the
+    #     ann_ivf_persisted pair and rotates in r13.
     # Everything below position 50 is driver-green in r10 or r11; the
     # r10 block at the bottom (ann_ivf .. decontaminate) plus the
     # r11-green block are the round-13 rotation candidates, with the
@@ -3151,8 +3228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup_check": q_simhash_dedup_check,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_check": q_embedding_dedup_check,
-        "ann_lsh": q_ann_lsh,
-        "ann_lsh_check": q_ann_lsh_check,
+        # --- (b') new in round 12: persisted IVF ANN index lifecycle pair ---
+        "ann_ivf_persisted": q_ann_ivf_persisted,
+        "ann_ivf_persisted_check": q_ann_ivf_persisted_check,
         # ------------- below the driver's 50-query window -------------
         # driver-green in r11:
         "knn_bruteforce": q_knn_bruteforce,
@@ -3204,6 +3282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_union": q_sketch_union,
         "sketch_union_check": q_sketch_union_check,
         # driver-green in r10 (-> round-13 rotation candidates):
+        "ann_lsh": q_ann_lsh,
+        "ann_lsh_check": q_ann_lsh_check,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_check": q_ann_ivf_check,
         "ann_bruteforce": q_ann_bruteforce,
@@ -5009,6 +5089,9 @@ SELECT 0::BIGINT AS bad_groups
 """,
         "sketch_union_persisted_check": """
 SELECT 0::BIGINT AS bad_groups
+""",
+        "ann_ivf_persisted_check": """
+SELECT 0::BIGINT AS mismatched_rows
 """,
         "dup_triangles": _TRIANGLES_ORACLE,
         "dup_best_rep": """

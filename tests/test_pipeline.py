@@ -720,3 +720,44 @@ def test_pq_top_k_ksub_clamp_warns(spark):
         want = sorted((r["q"], r["c"]) for r in explicit.collect())
     assert not [w for w in caught_ok if "clamped" in str(w.message)]
     assert got == want
+
+
+def test_ivf_index_persist_lifecycle(spark, tmp_path):
+    """build_ivf_index's artifact contract: write both index halves to
+    parquet, read them back in fresh DataFrames, serve with
+    ivf_query_index — the result must equal the one-shot ivf_top_k
+    EXACTLY (array<double> is lossless through parquet, so sims are
+    bit-equal), and the index schema must be the documented one."""
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.similarity import (
+        build_ivf_index,
+        ivf_query_index,
+        ivf_top_k,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(0, 1, 16).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    centroids_df, index_df = build_ivf_index(emb, n_corpus=200)
+    assert dict(index_df.dtypes) == {
+        "vec_id": "bigint",
+        "list": "int",
+        "vec": "array<double>",
+        "norm": "double",
+    }
+    centroids_df.write.parquet(str(tmp_path / "centroids"))
+    index_df.write.parquet(str(tmp_path / "index"))
+
+    served = ivf_query_index(
+        emb,
+        spark.read.parquet(str(tmp_path / "centroids")),
+        spark.read.parquet(str(tmp_path / "index")),
+        k=3,
+    )
+    direct = ivf_top_k(emb, emb, k=3, n_corpus=200)
+    got = sorted((r["q"], r["c"], r["sim"]) for r in served.collect())
+    want = sorted((r["q"], r["c"], r["sim"]) for r in direct.collect())
+    assert got == want  # bit-equal, not approx
+    assert len({g[0] for g in got}) >= 190  # nearly every query served

@@ -231,46 +231,17 @@ def lsh_top_k(
     )
 
 
-def ivf_top_k(
-    queries: DataFrame,
+def _train_ivf_centroids(
     corpus: DataFrame,
-    k: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_lists: int | None = None,
-    n_probe: int = 4,
-    seed: int = 42,
-    n_corpus: int | None = None,
-) -> DataFrame:
-    """IVF-style approximate top-k.
-
-    ``n_corpus``: caller-supplied corpus row count.  When given, the
-    per-call ``corpus.count()`` scan is skipped — useful when issuing many
-    queries against one corpus whose size is already known (the count only
-    sizes ``n_lists`` and the sampling fraction, so a stale-but-close value
-    is harmless).
-
-    Coarse centroids come from a seeded uniform ``sample`` of the corpus
+    vec_col: str,
+    n_lists: int,
+    seed: int,
+    n_corpus: int,
+) -> np.ndarray:
+    """Coarse IVF centroids from a seeded uniform ``sample`` of the corpus
     (``limit`` would take the first-scanned rows — on sorted or
     partition-skewed input the quantizer degenerates), refined with a few
-    driver-side Lloyd iterations over the sample.  ``n_lists`` defaults to
-    ~sqrt(N) so list size and list count stay balanced as the corpus grows;
-    every corpus vector joins its nearest list, every query probes its
-    n_probe nearest lists.  Centroids are broadcast; the candidate join is
-    an equi-join on list id.
-    """
-    from typing import Iterator
-
-    import pandas as pd
-
-    # the count feeds the sqrt(N) list sizing AND the uniform sampling
-    # fraction (any exact uniform sample needs N).  Without a caller hint it
-    # is one column-pruned scan, amortized by the heavier assignment pass an
-    # IVF build pays anyway.
-    if n_corpus is None:
-        n_corpus = corpus.count()
-    if n_lists is None:
-        n_lists = max(4, min(4096, int(np.sqrt(max(n_corpus, 1)))))
+    driver-side spherical-k-means Lloyd iterations over the sample."""
     target = max(n_lists * 20, 200)
     if n_corpus <= target:
         sample = corpus.select(vec_col).collect()
@@ -293,53 +264,129 @@ def ivf_top_k(
             if len(members):
                 centroids[j] = members.mean(axis=0)
         centroids /= np.maximum(np.linalg.norm(centroids, axis=1)[:, None], 1e-12)
-    dim = int(centroids.shape[1])
+    return centroids
 
-    def assign_lists(alias: str, n: int):
-        """mapInPandas kernel: top-n nearest centroids per vector, one output
-        row per (vector, list).  A whole Arrow batch is assigned with one
-        GEMM — unlike an unrolled Column formulation this scales with
-        n_lists (the scale path wants ~sqrt(N) lists) and generates no
-        JIT-hostile code.  Also emits the norm for the verify dot."""
 
-        def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in it:
-                if not len(pdf):
-                    continue
-                V = np.array(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
-                )
-                sims = V @ centroids.T
-                top = np.argsort(-sims, axis=1)[:, :n]
-                norms = np.linalg.norm(V, axis=1)
-                yield pd.DataFrame(
-                    {
-                        alias: pdf[alias].to_numpy().repeat(n),
-                        "__v": [v for v in pdf["__v"] for _ in range(n)],
-                        "__list": top.reshape(-1),
-                        "__norm": norms.repeat(n),
-                    }
-                )
+def _ivf_assign(centroids: np.ndarray, alias: str, n: int):
+    """mapInPandas kernel: top-n nearest centroids per vector, one output
+    row per (vector, list).  A whole Arrow batch is assigned with one
+    GEMM — unlike an unrolled Column formulation this scales with
+    n_lists (the scale path wants ~sqrt(N) lists) and generates no
+    JIT-hostile code.  Also emits the norm for the verify dot."""
+    from typing import Iterator
 
-        return kernel
+    import pandas as pd
 
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            sims = V @ centroids.T
+            top = np.argsort(-sims, axis=1)[:, :n]
+            norms = np.linalg.norm(V, axis=1)
+            yield pd.DataFrame(
+                {
+                    alias: pdf[alias].to_numpy().repeat(n),
+                    "__v": [v for v in pdf["__v"] for _ in range(n)],
+                    "__list": top.reshape(-1),
+                    "__norm": norms.repeat(n),
+                }
+            )
+
+    return kernel
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int | None = None,
+    seed: int = 42,
+    n_corpus: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids_df, index_df): the PERSISTABLE IVF index — the
+    build-once / query-many lifecycle a 100-TB corpus wants (the encode
+    pass scans every vector; re-training it per query batch would rescan
+    the corpus every time).  Both halves are plain parquet-writable
+    DataFrames; read back and handed to :func:`ivf_query_index` they
+    reproduce :func:`ivf_top_k` bit-exactly (array<double> survives the
+    roundtrip losslessly — asserted by the ann_ivf_persisted gate pair):
+
+    - ``centroids_df``: (list int, centroid array<double>) — ``n_lists``
+      rows (≤ 4096 by the sqrt(N) cap, a few MB at dim 64: bounded).
+    - ``index_df``: (<id_col>, list int, vec array<double>,
+      norm double) — one row per corpus vector, its nearest coarse list
+      plus the precomputed norm, so the serving join never recomputes
+      either.  Partition/bucket BY ``list`` when persisting at scale and
+      the per-query probe join prunes to n_probe lists' files.
+
+    ``n_corpus``: caller-supplied corpus row count.  When given, the
+    per-call ``corpus.count()`` scan is skipped (the count only sizes
+    ``n_lists`` and the sampling fraction, so a stale-but-close value is
+    harmless)."""
+    if n_corpus is None:
+        n_corpus = corpus.count()
+    if n_lists is None:
+        n_lists = max(4, min(4096, int(np.sqrt(max(n_corpus, 1)))))
+    centroids = _train_ivf_centroids(corpus, vec_col, n_lists, seed, n_corpus)
+    spark = corpus.sparkSession
+    centroids_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list int, centroid array<double>",
+    )
     id_type = dict(corpus.dtypes)[id_col]
-    c = (
+    index_df = (
         corpus.select(
-            F.col(id_col).alias("c"), _as_double(F.col(vec_col)).alias("__v")
+            F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
         )
         .mapInPandas(
-            assign_lists("c", 1),
-            schema=f"c {id_type}, __v array<double>, __list int, __norm double",
+            _ivf_assign(centroids, "__id", 1),
+            schema=f"__id {id_type}, __v array<double>, __list int, __norm double",
         )
-        .select("c", F.col("__v").alias("__vc"), "__list", F.col("__norm").alias("__nc"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__list").alias("list"),
+            F.col("__v").alias("vec"),
+            F.col("__norm").alias("norm"),
+        )
+    )
+    return centroids_df, index_df
+
+
+def ivf_query_index(
+    queries: DataFrame,
+    centroids_df: DataFrame,
+    index_df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Serve approximate top-k from a built (possibly parquet-roundtripped)
+    IVF index — see :func:`build_ivf_index` for the artifact contract.
+    The centroid table is a bounded driver collect (≤ 4096 × dim doubles);
+    queries are assigned to their ``n_probe`` nearest lists in one
+    Arrow-batched GEMM pass and candidates come from an equi-join on list
+    id — never all-pairs."""
+    rows = centroids_df.orderBy("list").collect()
+    centroids = np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
+    dim = int(centroids.shape[1]) if len(centroids) else 0
+    id_type = dict(queries.dtypes)[id_col]
+    c = index_df.select(
+        F.col(id_col).alias("c"),
+        F.col("vec").alias("__vc"),
+        F.col("list").alias("__list"),
+        F.col("norm").alias("__nc"),
     )
     q = (
         queries.select(
             F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("__v")
         )
         .mapInPandas(
-            assign_lists("q", min(n_probe, len(centroids))),
+            _ivf_assign(centroids, "q", min(n_probe, len(centroids))),
             schema=f"q {id_type}, __v array<double>, __list int, __norm double",
         )
         .select("q", F.col("__v").alias("__vq"), "__list", F.col("__norm").alias("__nq"))
@@ -366,6 +413,34 @@ def ivf_top_k(
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def ivf_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int | None = None,
+    n_probe: int = 4,
+    seed: int = 42,
+    n_corpus: int | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: the one-shot composition of
+    :func:`build_ivf_index` + :func:`ivf_query_index` (train coarse
+    centroids, assign every corpus vector to its nearest list, probe each
+    query's ``n_probe`` nearest lists via an equi-join on list id).
+    ``n_lists`` defaults to ~sqrt(N) so list size and list count stay
+    balanced as the corpus grows.  For repeated query batches against one
+    corpus, build the index ONCE with :func:`build_ivf_index`, persist
+    it, and serve with :func:`ivf_query_index` — identical results, no
+    per-batch re-train/re-encode."""
+    centroids_df, index_df = build_ivf_index(
+        corpus, id_col, vec_col, n_lists, seed, n_corpus
+    )
+    return ivf_query_index(
+        queries, centroids_df, index_df, k, id_col, vec_col, n_probe
     )
 
 
