@@ -227,3 +227,59 @@ def test_sketch_union_survives_parquet_roundtrip(spark, tmp_path):
         assert n_shards == 8
         assert abs(est - e) / e <= 0.15
         assert est >= shard_max[k]
+
+
+def test_streaming_sketch_shards_union_matches_exact(spark, tmp_path):
+    """Streaming producer for the persisted HLL lifecycle: two JSONL
+    micro-batches land as two shard directories; re-unioning the WHOLE
+    store gives per-key estimates equal to the exact distinct counts of
+    everything ingested (small cardinalities are exact in HLL), with one
+    shard row per (key, batch)."""
+    import json
+    import os
+    import time
+
+    from tsne_flink_spark.pipeline.sketches import (
+        sketch_union,
+        streaming_sketch_shards,
+    )
+
+    in_dir = tmp_path / "ev_in"
+    store = str(tmp_path / "sketch_store")
+    os.makedirs(in_dir)
+
+    stream = spark.readStream.schema("k string, u long").json(str(in_dir))
+    q = streaming_sketch_shards(
+        stream, store, ["k"], "u",
+        checkpoint_dir=str(tmp_path / "ckpt_sk"),
+    )
+
+    def write_batch(name, rows):
+        with open(in_dir / name, "w") as f:
+            for k, u in rows:
+                f.write(json.dumps({"k": k, "u": u}) + "\n")
+
+    try:
+        # batch 1: a 0..39, b 0..19; batch 2 overlaps a 20..59, b 10..29
+        write_batch("b1.json", [("a", i) for i in range(40)]
+                    + [("b", i) for i in range(20)])
+        deadline = time.time() + 60
+        while time.time() < deadline and not os.path.isdir(f"{store}/batch=0"):
+            time.sleep(0.5)
+        write_batch("b2.json", [("a", i) for i in range(20, 60)]
+                    + [("b", i) for i in range(10, 30)])
+        deadline = time.time() + 60
+        while time.time() < deadline and not os.path.isdir(f"{store}/batch=1"):
+            time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    shards = spark.read.parquet(store)
+    assert shards.count() == 4  # 2 keys x 2 batches
+    got = {
+        r["k"]: (r["n_shards"], r["est_distinct"])
+        for r in sketch_union(shards, ["k"]).collect()
+    }
+    # exact at these cardinalities: a = |0..59| = 60, b = |0..29| = 30
+    assert got == {"a": (2, 60), "b": (2, 30)}

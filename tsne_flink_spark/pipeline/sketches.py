@@ -218,3 +218,44 @@ def streaming_heavy_hitters(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_sketch_shards(
+    stream_df: DataFrame,
+    store_dir: str,
+    key_cols: list[str],
+    value_col: str,
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int = 1,
+):
+    """Continuous producer for the persisted HLL lifecycle: each
+    micro-batch's per-key sketches land as ONE shard (shard = batch id)
+    under ``store_dir/batch=<id>`` — kilobytes per batch, appended
+    forever; corpus-wide cardinalities at any time come from
+    ``sketch_union(spark.read.parquet(store_dir), key_cols)`` with no
+    rescan of the ingested rows.
+
+    Idempotent under micro-batch replay (the failure mode foreachBatch
+    documents): batch N's shard is a pure function of batch N's data,
+    written to batch N's OWN directory with mode=overwrite — a
+    reprocessed batch replaces its shard, never double-registers.  The
+    union is insensitive to replay anyway (register max is idempotent),
+    but the per-directory layout also keeps the store list-able by batch.
+
+    Returns the StreamingQuery."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        shards = sketch_shards(
+            batch_df, key_cols, value_col,
+            F.lit(int(batch_id)).cast("long"),
+        )
+        shards.write.mode("overwrite").parquet(
+            f"{store_dir}/batch={batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(step).trigger(
+        processingTime=f"{trigger_seconds} seconds"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
