@@ -1870,6 +1870,85 @@ def q_ann_ivf_persisted_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared plumbing for the ann_pq_persisted pair: train the IVF-PQ
+    model and encode the corpus ONCE (pipeline/similarity.build_pq_index),
+    WRITE the model (coarse centroids + residual codebooks) and the
+    ~20 B/vector coded corpus to a parquet store, read both back fresh,
+    and serve top-k from the roundtripped artifact — at 100 TB the
+    encode pass is the expensive scan, so persisting it is what makes
+    repeated query batches affordable."""
+    import tempfile
+
+    from tsne_flink_spark.pipeline.similarity import (
+        build_pq_index,
+        pq_query_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model_df, codes_df = build_pq_index(emb, ksub=64)
+    store = tempfile.mkdtemp(prefix="pq_index_")
+    model_df.write.mode("overwrite").parquet(f"{store}/model")
+    codes_df.write.mode("overwrite").parquet(f"{store}/codes")
+    return pq_query_index(
+        emb,
+        spark.read.parquet(f"{store}/model"),
+        spark.read.parquet(f"{store}/codes"),
+        emb,
+        k=3,
+        n_probe=8,
+        shortlist=32,
+    )
+
+
+def q_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN served from a PERSISTED index (build_pq_index →
+    parquet → pq_query_index): identical math to ann_pq, different
+    lifecycle — train + encode once, serve later query batches from the
+    stored model + coded corpus without rescanning raw vectors (the
+    exact rerank joins the base embeddings table, which a pipeline
+    already persists).  Approximate, rows-only; the _check pins
+    bit-exact equality with the one-shot pq_top_k."""
+    out = _pq_persisted_topk(spark, sf_dir)
+    return out.select("q", "c", F.round("sim", 6).alias("sim"))
+
+
+def q_ann_pq_persisted_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariant for the persisted IVF-PQ lifecycle (oracle:
+    constant zero row): serving from the parquet-roundtripped index must
+    reproduce the one-shot pq_top_k EXACTLY — same seed ⇒ same model,
+    and floats/packed-uint8 codes are lossless through parquet.
+    Compared via a 1:1 full outer join on (q, c) (exceptAll trips an
+    internal Catalyst rewrite bug over these windowed subplans on
+    Spark 4.1 — see ann_ivf_persisted_check)."""
+    from tsne_flink_spark.pipeline.similarity import pq_top_k
+
+    served = _pq_persisted_topk(spark, sf_dir).select(
+        F.col("q").alias("__sq"), F.col("c").alias("__sc"),
+        F.col("sim").alias("__ss"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    direct = pq_top_k(
+        emb, emb, k=3, ksub=64, n_probe=8, shortlist=32
+    ).select(
+        F.col("q").alias("__dq"), F.col("c").alias("__dc"),
+        F.col("sim").alias("__ds"),
+    )
+    j = served.join(
+        direct,
+        (F.col("__sq") == F.col("__dq")) & (F.col("__sc") == F.col("__dc")),
+        "full",
+    )
+    bad = (
+        F.col("__sq").isNull()
+        | F.col("__dq").isNull()
+        | ~F.col("__ss").eqNullSafe(F.col("__ds"))
+    )
+    return j.agg(
+        F.sum(bad.cast("int")).cast("long").alias("mismatched_rows")
+    )
+
+
 def q_ann_pq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified invariants for the IVF-PQ ANN (oracle: constant zero
     row) — rerank sims must equal exact cosines (the PQ approximation
@@ -3166,11 +3245,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (b) the round-12 additions: the sketch_union_persisted pair (the
     #     persist-then-re-union HLL lifecycle, write/readback through a
     #     parquet store — the in-plan sketch_union pair stayed r11-green)
-    #     and the ann_ivf_persisted pair (IVF ANN served from a
-    #     parquet-persisted index, checked bit-equal to one-shot ivf_top_k);
-    # (c) oldest-r10 fill to 50 (knn_project .. embedding_dedup), check
-    #     pairs adjacent; the ann_lsh pair yielded its fill slots to the
-    #     ann_ivf_persisted pair and rotates in r13.
+    #     and the ann_ivf_persisted / ann_pq_persisted pairs (ANN served
+    #     from parquet-persisted indexes, each checked bit-equal to its
+    #     one-shot operator);
+    # (c) oldest-r10 fill to 50 (knn_project .. simhash pair), check
+    #     pairs adjacent; the ann_lsh and embedding_dedup pairs yielded
+    #     their fill slots to the persisted-ANN pairs and rotate in r13.
     # Everything below position 50 is driver-green in r10 or r11; the
     # r10 block at the bottom (ann_ivf .. decontaminate) plus the
     # r11-green block are the round-13 rotation candidates, with the
@@ -3226,11 +3306,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_check": q_minhash_dedup_check,
         "simhash_dedup": q_simhash_dedup,
         "simhash_dedup_check": q_simhash_dedup_check,
-        "embedding_dedup": q_embedding_dedup,
-        "embedding_dedup_check": q_embedding_dedup_check,
-        # --- (b') new in round 12: persisted IVF ANN index lifecycle pair ---
+        # --- (b') new in round 12: persisted ANN index lifecycle pairs ---
         "ann_ivf_persisted": q_ann_ivf_persisted,
         "ann_ivf_persisted_check": q_ann_ivf_persisted_check,
+        "ann_pq_persisted": q_ann_pq_persisted,
+        "ann_pq_persisted_check": q_ann_pq_persisted_check,
         # ------------- below the driver's 50-query window -------------
         # driver-green in r11:
         "knn_bruteforce": q_knn_bruteforce,
@@ -3282,6 +3362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_union": q_sketch_union,
         "sketch_union_check": q_sketch_union_check,
         # driver-green in r10 (-> round-13 rotation candidates):
+        "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_check": q_embedding_dedup_check,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_check": q_ann_lsh_check,
         "ann_ivf": q_ann_ivf,
@@ -5091,6 +5173,9 @@ SELECT 0::BIGINT AS bad_groups
 SELECT 0::BIGINT AS bad_groups
 """,
         "ann_ivf_persisted_check": """
+SELECT 0::BIGINT AS mismatched_rows
+""",
+        "ann_pq_persisted_check": """
 SELECT 0::BIGINT AS mismatched_rows
 """,
         "dup_triangles": _TRIANGLES_ORACLE,

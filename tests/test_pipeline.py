@@ -761,3 +761,56 @@ def test_ivf_index_persist_lifecycle(spark, tmp_path):
     want = sorted((r["q"], r["c"], r["sim"]) for r in direct.collect())
     assert got == want  # bit-equal, not approx
     assert len({g[0] for g in got}) >= 190  # nearly every query served
+
+
+def test_pq_index_persist_lifecycle(spark, tmp_path):
+    """build_pq_index's artifact contract: write the model (coarse
+    centroids + residual codebooks) and the coded corpus to parquet,
+    read them back fresh, serve with pq_query_index — the result must
+    equal the one-shot pq_top_k EXACTLY (same seed ⇒ same model; floats
+    and packed uint8 codes are lossless through parquet)."""
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.similarity import (
+        build_pq_index,
+        pq_query_index,
+        pq_top_k,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = [(i, rng.normal(0, 1, 16).tolist()) for i in range(150)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    model_df, codes_df = build_pq_index(emb, m=4, ksub=16, n_corpus=150)
+    assert dict(codes_df.dtypes) == {
+        "vec_id": "bigint",
+        "list": "int",
+        "code": "binary",
+        "rnorm": "double",
+    }
+    model_df.write.parquet(str(tmp_path / "model"))
+    codes_df.write.parquet(str(tmp_path / "codes"))
+
+    served = pq_query_index(
+        emb,
+        spark.read.parquet(str(tmp_path / "model")),
+        spark.read.parquet(str(tmp_path / "codes")),
+        emb,
+        k=3,
+        n_probe=4,
+    )
+    direct = pq_top_k(emb, emb, 3, m=4, ksub=16, n_probe=4, n_corpus=150)
+    got = sorted((r["q"], r["c"], r["sim"]) for r in served.collect())
+    want = sorted((r["q"], r["c"], r["sim"]) for r in direct.collect())
+    assert got == want
+    assert len({g[0] for g in got}) >= 140
+
+
+def test_build_pq_index_empty_corpus_raises(spark):
+    from tsne_flink_spark.pipeline.similarity import build_pq_index
+
+    import pytest as _pytest
+
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        build_pq_index(emb)

@@ -444,81 +444,45 @@ def ivf_top_k(
     )
 
 
-def pq_top_k(
-    queries: DataFrame,
+def build_pq_index(
     corpus: DataFrame,
-    k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = 8,
     ksub: int = 256,
     n_lists: int | None = None,
-    n_probe: int = 4,
-    shortlist: int | None = None,
     seed: int = 42,
     n_corpus: int | None = None,
-) -> DataFrame:
-    """IVF-PQ approximate top-k (Jégou/Douze/Schmid, "Product
-    quantization for nearest neighbor search", PAMI 2011), Spark-first:
+) -> tuple[DataFrame, DataFrame]:
+    """(model_df, codes_df): the PERSISTABLE IVF-PQ index — training and
+    the corpus encode pass happen ONCE; later query batches serve from
+    the stored artifact via :func:`pq_query_index` bit-identically to
+    one-shot :func:`pq_top_k` (asserted by its gate check).  Both halves
+    are plain parquet-writable DataFrames:
 
-    1. TRAIN (driver, on a seeded uniform sample): spherical-k-means
-       coarse centroids (shared with ``ivf_top_k``'s scheme) plus ``m``
-       per-sub-space L2 codebooks of ``ksub`` centroids each, trained
-       on RESIDUALS from the assigned coarse centroid (the paper's
-       IVFADC variant — raw-vector PQ collapses tight clusters onto one
-       code word and cannot rank within them).
-    2. ENCODE (one Arrow-batched pass over the corpus): each vector ->
-       its nearest coarse list + an ``m``-code PQ word + the norm of
-       its RECONSTRUCTION.  After this pass the candidate stage never
-       touches the raw embedding again — at dim=64 the code word is
-       m=8 small ints vs 64 doubles, the ~98% payload cut that makes
-       the shuffle survivable when the corpus is 100 TB of vectors.
-    3. CANDIDATES + ADC: queries probe their ``n_probe`` nearest lists
-       (equi-join on list id, never all-pairs); each candidate is
-       scored by asymmetric distance via per-query LOOKUP TABLES (the
-       paper's ADC formulation): one ``m x ksub`` table of
-       query-subvector x codebook-entry dots per distinct query in the
-       Arrow batch (one einsum), then each candidate costs ``m`` table
-       lookups + the coarse-centroid dot — identical numbers to
-       reconstructing the candidate, without materializing a
-       ``B x dim`` reconstruction per batch.
-    4. RERANK: only the per-query ADC ``shortlist`` (default
-       ``max(16k, 64)``) joins back to exact vectors; reported sims are
-       EXACT cosines, so ``topk_invariants`` applies unchanged and
-       recall-vs-brute is the only approximation surface (probed in
-       ``tools/probe_pq_recall.py``).
+    - ``model_df``: (part string, a int, b int, vec array<double>) —
+      ``part='coarse'`` rows (a = list id) hold the coarse centroids;
+      ``part='book'`` rows (a = sub-space, b = code index) hold the
+      ``m × ksub`` residual-codebook entries.  Bounded small
+      (n_lists×dim + m×ksub×dsub doubles — ~1.3 MB at the defaults).
+    - ``codes_df``: (<id_col>, list int, code binary, rnorm double) —
+      one ~20 B row per corpus vector: packed uint8 code word, coarse
+      list id, reconstruction norm.  The candidate/ADC stage reads ONLY
+      this table; the exact rerank joins back to the ORIGINAL corpus
+      table, which a pipeline already persists as its base artifact.
 
-    ``m`` is clipped to the largest divisor of the dimension; ``ksub``
-    to the training-sample size and to 256 — the code word travels as
-    ``m`` PACKED uint8 bytes in one binary column (dim=64/m=8: 8 code
-    bytes + list id + norm ≈ 20 B/vector vs 512 B raw).  Same
-    ``n_corpus`` contract as ``ivf_top_k``.
-    """
-    from typing import Iterator
-
-    import pandas as pd
-
+    Training is the IVFADC scheme documented on :func:`pq_top_k` (same
+    seed ⇒ same model).  ``m`` is clipped to the largest divisor of the
+    dimension; ``ksub`` to the sample size and 256 (warns above 256).
+    Raises ``ValueError`` on an empty corpus — there is nothing to
+    train; one-shot :func:`pq_top_k` handles that case by returning an
+    empty result."""
     if n_corpus is None:
         n_corpus = corpus.count()
     if n_corpus == 0:
-        return (
-            queries.select(
-                F.col(id_col).alias("q"),
-                F.col(id_col).alias("c"),
-                F.lit(0.0).alias("sim"),
-            ).where(F.lit(False))
-        )
+        raise ValueError("build_pq_index: empty corpus (nothing to train)")
     if n_lists is None:
         n_lists = max(4, min(4096, int(np.sqrt(max(n_corpus, 1)))))
-    if shortlist is None:
-        # 16k/64 floor, not 4k/16: the rerank is exact, so overfetch is
-        # the free recall lever — B69 measured 0.5513 -> 0.5730 recall@3
-        # (ABOVE the 0.5625 IVF parity target at equal probes/lists) on
-        # near-iid sf0.1 vectors going 32 -> 64, with no wall change and
-        # zero effect on the 20 B/vector candidate payload (the shortlist
-        # only sizes the per-query exact-rerank join); saturation at s128
-        # is the probed-candidate ceiling, not an ADC floor
-        shortlist = max(16 * k, 64)
     # ksub * 8 keeps >= 8 training points per codebook entry at the Jégou
     # default ksub=256 (sample floor 2048; still a bounded driver collect)
     target = max(n_lists * 20, ksub * 8, 200)
@@ -540,8 +504,8 @@ def pq_top_k(
         import warnings
 
         warnings.warn(
-            f"pq_top_k: ksub={ksub} clamped to 256 (codes are packed as "
-            "one uint8 per sub-space; raise m for finer quantization "
+            f"build_pq_index: ksub={ksub} clamped to 256 (codes are packed "
+            "as one uint8 per sub-space; raise m for finer quantization "
             "instead)",
             stacklevel=2,
         )
@@ -604,27 +568,115 @@ def pq_top_k(
             [books[j][codes[:, j]] for j in range(m)], axis=1
         )
 
+    from typing import Iterator
+
+    import pandas as pd
+
     id_type = dict(corpus.dtypes)[id_col]
 
     def encode_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not len(pdf):
                 continue
-            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__id_v"]])
             Vn = V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-12)
             lists = np.argmax(Vn @ coarse.T, axis=1)
             codes = _codes(Vn - coarse[lists])
             rnorm = np.linalg.norm(_recon(lists, codes), axis=1)
             yield pd.DataFrame(
                 {
-                    "c": pdf["c"].to_numpy(),
-                    "__list": lists,
+                    "__id": pdf["__id"].to_numpy(),
+                    "list": lists,
                     # m packed uint8 bytes per vector (ksub <= 256), the
                     # minimal candidate payload
-                    "__code": [r.tobytes() for r in codes.astype(np.uint8)],
-                    "__rn": rnorm,
+                    "code": [r.tobytes() for r in codes.astype(np.uint8)],
+                    "rnorm": rnorm,
                 }
             )
+
+    codes_df = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            _as_double(F.col(vec_col)).alias("__id_v"),
+        )
+        .mapInPandas(
+            encode_kernel,
+            schema=f"__id {id_type}, list int, code binary, rnorm double",
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+    spark = corpus.sparkSession
+    rows = [
+        ("coarse", int(i), 0, [float(x) for x in c])
+        for i, c in enumerate(coarse)
+    ] + [
+        ("book", int(j), int(t), [float(x) for x in books[j][t]])
+        for j in range(m)
+        for t in range(ksub)
+    ]
+    model_df = spark.createDataFrame(
+        rows, "part string, a int, b int, vec array<double>"
+    )
+    return model_df, codes_df
+
+
+def pq_query_index(
+    queries: DataFrame,
+    model_df: DataFrame,
+    codes_df: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Serve IVF-PQ approximate top-k from a built (possibly
+    parquet-roundtripped) index — see :func:`build_pq_index` for the
+    artifact contract and :func:`pq_top_k` for the probe/ADC/rerank
+    dataflow, which is identical here.  The model table is a bounded
+    driver collect (~1.3 MB at the defaults); ``corpus`` supplies the
+    raw vectors ONLY to the exact rerank of the per-query shortlist —
+    the candidate/ADC stage touches nothing but ``codes_df``."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    if shortlist is None:
+        # 16k/64 floor, not 4k/16: the rerank is exact, so overfetch is
+        # the free recall lever — B69 measured 0.5513 -> 0.5730 recall@3
+        # (ABOVE the 0.5625 IVF parity target at equal probes/lists) on
+        # near-iid sf0.1 vectors going 32 -> 64, with no wall change and
+        # zero effect on the 20 B/vector candidate payload (the shortlist
+        # only sizes the per-query exact-rerank join); saturation at s128
+        # is the probed-candidate ceiling, not an ADC floor
+        shortlist = max(16 * k, 64)
+    mr = model_df.collect()
+    coarse = np.array(
+        [
+            v
+            for _, v in sorted(
+                (r["a"], list(r["vec"])) for r in mr if r["part"] == "coarse"
+            )
+        ],
+        dtype=np.float64,
+    )
+    book_rows = [(r["a"], r["b"], list(r["vec"])) for r in mr if r["part"] == "book"]
+    if not len(coarse) or not book_rows:
+        return queries.select(
+            F.col(id_col).alias("q"),
+            F.col(id_col).alias("c"),
+            F.lit(0.0).alias("sim"),
+        ).where(F.lit(False))
+    m = 1 + max(a for a, _, _ in book_rows)
+    ksub = 1 + max(b for _, b, _ in book_rows)
+    dsub = len(book_rows[0][2])
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for a, b, v in book_rows:
+        books[a, b] = v
+    dim = int(coarse.shape[1])
+
+    id_type = dict(queries.dtypes)[id_col]
 
     def probe_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = min(n_probe, len(coarse))
@@ -691,11 +743,11 @@ def pq_top_k(
                 {"q": pdf["q"].to_numpy()[row], "c": cs, "__adc": adc}
             )
 
-    enc = corpus.select(
-        F.col(id_col).alias("c"), _as_double(F.col(vec_col)).alias("__v")
-    ).mapInPandas(
-        encode_kernel,
-        schema=f"c {id_type}, __list int, __code binary, __rn double",
+    enc = codes_df.select(
+        F.col(id_col).alias("c"),
+        F.col("list").alias("__list"),
+        F.col("code").alias("__code"),
+        F.col("rnorm").alias("__rn"),
     )
     qr = queries.select(
         F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("__v")
@@ -772,6 +824,81 @@ def pq_top_k(
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def pq_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 256,
+    n_lists: int | None = None,
+    n_probe: int = 4,
+    shortlist: int | None = None,
+    seed: int = 42,
+    n_corpus: int | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou/Douze/Schmid, "Product
+    quantization for nearest neighbor search", PAMI 2011), Spark-first —
+    the one-shot composition of :func:`build_pq_index` +
+    :func:`pq_query_index`:
+
+    1. TRAIN (driver, on a seeded uniform sample): spherical-k-means
+       coarse centroids (shared with ``ivf_top_k``'s scheme) plus ``m``
+       per-sub-space L2 codebooks of ``ksub`` centroids each, trained
+       on RESIDUALS from the assigned coarse centroid (the paper's
+       IVFADC variant — raw-vector PQ collapses tight clusters onto one
+       code word and cannot rank within them).
+    2. ENCODE (one Arrow-batched pass over the corpus): each vector ->
+       its nearest coarse list + an ``m``-code PQ word + the norm of
+       its RECONSTRUCTION.  After this pass the candidate stage never
+       touches the raw embedding again — at dim=64 the code word is
+       m=8 small ints vs 64 doubles, the ~98% payload cut that makes
+       the shuffle survivable when the corpus is 100 TB of vectors.
+    3. CANDIDATES + ADC: queries probe their ``n_probe`` nearest lists
+       (equi-join on list id, never all-pairs); each candidate is
+       scored by asymmetric distance via per-query LOOKUP TABLES (the
+       paper's ADC formulation): one ``m x ksub`` table of
+       query-subvector x codebook-entry dots per distinct query in the
+       Arrow batch (one einsum), then each candidate costs ``m`` table
+       lookups + the coarse-centroid dot — identical numbers to
+       reconstructing the candidate, without materializing a
+       ``B x dim`` reconstruction per batch.
+    4. RERANK: only the per-query ADC ``shortlist`` (default
+       ``max(16k, 64)``) joins back to exact vectors; reported sims are
+       EXACT cosines, so ``topk_invariants`` applies unchanged and
+       recall-vs-brute is the only approximation surface (probed in
+       ``tools/probe_pq_recall.py``).
+
+    ``m`` is clipped to the largest divisor of the dimension; ``ksub``
+    to the training-sample size and to 256 — the code word travels as
+    ``m`` PACKED uint8 bytes in one binary column (dim=64/m=8: 8 code
+    bytes + list id + norm ≈ 20 B/vector vs 512 B raw).  Same
+    ``n_corpus`` contract as ``ivf_top_k``.  For repeated query batches
+    against one corpus, build the index ONCE with
+    :func:`build_pq_index`, persist it, and serve with
+    :func:`pq_query_index` — identical results, no per-batch
+    re-train/re-encode.
+    """
+    if n_corpus is None:
+        n_corpus = corpus.count()
+    if n_corpus == 0:
+        return (
+            queries.select(
+                F.col(id_col).alias("q"),
+                F.col(id_col).alias("c"),
+                F.lit(0.0).alias("sim"),
+            ).where(F.lit(False))
+        )
+    model_df, codes_df = build_pq_index(
+        corpus, id_col, vec_col, m, ksub, n_lists, seed, n_corpus
+    )
+    return pq_query_index(
+        queries, model_df, codes_df, corpus, k, id_col, vec_col,
+        n_probe, shortlist,
     )
 
 
