@@ -776,6 +776,22 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (pipeline/curation.
+    leakage_safe_split): whole near-duplicate FAMILIES (same exact
+    2-gram-Jaccard transitive closure as dup_clusters) are assigned to
+    one split via the deterministic LCG bucket of the family id against
+    90/95 thresholds — a test document can never have a near-dup twin in
+    train.  Exact DuckDB oracle (shared recursive-CTE components + the
+    same LCG arithmetic)."""
+    from tsne_flink_spark.pipeline.curation import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, threshold=0.5, shingle_n=2).select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"), "split"
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: training docs (doc_id % 10 != 0) are
     flagged when they share any distinct word 5-gram with the held-out
@@ -3244,13 +3260,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     constraint, verdict r10 item 8);
     # (b) the round-12 additions: the sketch_union_persisted pair (the
     #     persist-then-re-union HLL lifecycle, write/readback through a
-    #     parquet store — the in-plan sketch_union pair stayed r11-green)
-    #     and the ann_ivf_persisted / ann_pq_persisted pairs (ANN served
+    #     parquet store — the in-plan sketch_union pair stayed r11-green),
+    #     the ann_ivf_persisted / ann_pq_persisted pairs (ANN served
     #     from parquet-persisted indexes, each checked bit-equal to its
-    #     one-shot operator);
-    # (c) oldest-r10 fill to 50 (knn_project .. simhash pair), check
-    #     pairs adjacent; the ann_lsh and embedding_dedup pairs yielded
-    #     their fill slots to the persisted-ANN pairs and rotate in r13.
+    #     one-shot operator), and leakage_split (family-level train/val/
+    #     test split, exact oracle sharing dup_clusters' recursive CTE);
+    # (c) oldest-r10 fill to 50 (knn_project pair, ngram_jaccard_pairs,
+    #     minhash pair, exact_dedup), check pairs adjacent; the ann_lsh,
+    #     embedding_dedup, and simhash pairs yielded their fill slots to
+    #     the round-12 additions and rotate in r13.
     # Everything below position 50 is driver-green in r10 or r11; the
     # r10 block at the bottom (ann_ivf .. decontaminate) plus the
     # r11-green block are the round-13 rotation candidates, with the
@@ -3304,8 +3322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_check": q_minhash_dedup_check,
-        "simhash_dedup": q_simhash_dedup,
-        "simhash_dedup_check": q_simhash_dedup_check,
+        # --- (b'') new in round 12: leakage-safe family split (exact oracle) ---
+        "leakage_split": q_leakage_split,
+        "exact_dedup": q_exact_dedup,
         # --- (b') new in round 12: persisted ANN index lifecycle pairs ---
         "ann_ivf_persisted": q_ann_ivf_persisted,
         "ann_ivf_persisted_check": q_ann_ivf_persisted_check,
@@ -3364,12 +3383,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green in r10 (-> round-13 rotation candidates):
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_check": q_embedding_dedup_check,
+        "simhash_dedup": q_simhash_dedup,
+        "simhash_dedup_check": q_simhash_dedup_check,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_check": q_ann_lsh_check,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_check": q_ann_ivf_check,
         "ann_bruteforce": q_ann_bruteforce,
-        "exact_dedup": q_exact_dedup,
         "top_revenue_orders": q_top_revenue_orders,
         "grouped_topk_orders": q_grouped_topk_orders,
         "distinct_pairs": q_distinct_pairs,
@@ -4053,8 +4073,51 @@ FROM dws WHERE len(ws) = 0""")
     return "".join(parts)
 
 
+# Shared recursive-CTE: exact 2-gram-Jaccard near-dup connected components
+# (threshold 0.5) — the transitive-closure computation behind BOTH the
+# dup_clusters oracle and the leakage_split oracle.  Ends with comps(id,
+# comp); callers append their own final SELECT.
+_DUP_COMPS_CTE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ltok
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(ltok) - 1, 1) + 1),
+           i -> array_to_string(list_slice(ltok, i, i + 1), ' ')
+         )) AS grams
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), cands AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT c.a, c.b FROM cands c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b
+  WHERE len(list_intersect(sa.grams, sb.grams))
+        / greatest(len(list_distinct(list_concat(sa.grams, sb.grams))), 1) >= 0.5
+), sym AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+), walk AS (
+  SELECT a AS id, a AS comp FROM sym GROUP BY a
+  UNION
+  SELECT s.b AS id, w.comp FROM walk w JOIN sym s ON s.a = w.id
+), comps AS (
+  SELECT id, MIN(comp) AS comp FROM walk GROUP BY id
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from tsne_flink_spark.pipeline.curation import lcg_bucket_sql
+
     _LCG_BUCKET_SQL = _lcg_bucket_sql_expr()
+    _CLUSTER_BUCKET_SQL = lcg_bucket_sql("COALESCE(c.comp, d.doc_id)")
     sql = {
         "knn_bruteforce": _KNN_ORACLE,
         "knn_partition": _KNN_ORACLE,
@@ -4714,42 +4777,18 @@ SELECT doc_id,
         + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')))::BIGINT AS n_bpe_tokens
 FROM documents
 """,
-        "dup_clusters": """
-WITH RECURSIVE toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ltok
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(ltok) - 1, 1) + 1),
-           i -> array_to_string(list_slice(ltok, i, i + 1), ' ')
-         )) AS grams
-  FROM toks
-), ex AS (
-  SELECT doc_id, unnest(grams) AS g FROM sh
-), cands AS (
-  SELECT x.doc_id AS a, y.doc_id AS b
-  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT c.a, c.b FROM cands c
-  JOIN sh sa ON sa.doc_id = c.a
-  JOIN sh sb ON sb.doc_id = c.b
-  WHERE len(list_intersect(sa.grams, sb.grams))
-        / greatest(len(list_distinct(list_concat(sa.grams, sb.grams))), 1) >= 0.5
-), sym AS (
-  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
-), walk AS (
-  SELECT a AS id, a AS comp FROM sym GROUP BY a
-  UNION
-  SELECT s.b AS id, w.comp FROM walk w JOIN sym s ON s.a = w.id
-), comps AS (
-  SELECT id, MIN(comp) AS comp FROM walk GROUP BY id
-)
+        "dup_clusters": _DUP_COMPS_CTE + """
 SELECT d.doc_id,
        COALESCE(c.comp, d.doc_id)::BIGINT AS cluster_id,
        (COALESCE(c.comp, d.doc_id) = d.doc_id)::INT AS keep
+FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+""",
+        "leakage_split": _DUP_COMPS_CTE + f"""
+SELECT d.doc_id,
+       COALESCE(c.comp, d.doc_id)::BIGINT AS cluster_id,
+       CASE WHEN {_CLUSTER_BUCKET_SQL} < 90 THEN 'train'
+            WHEN {_CLUSTER_BUCKET_SQL} < 95 THEN 'val'
+            ELSE 'test' END AS split
 FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
 """,
         "decontaminate": """

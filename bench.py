@@ -106,6 +106,7 @@ HEADLINE = [
     "link_triangles",
     "link_pagerank",
     "sketch_union",
+    "sketch_union_persisted",
     "corpus_diff",
     "term_drift",
     "minhash_dedup",
@@ -121,6 +122,7 @@ HEADLINE = [
     "dup_pagerank",
     "dup_best_rep",
     "dup_triangles",
+    "leakage_split",
     "curation_pipeline",
     "tfidf_top_terms",
     "bm25_scores",
@@ -136,7 +138,9 @@ HEADLINE = [
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",
+    "ann_ivf_persisted",
     "ann_pq",
+    "ann_pq_persisted",
     "sliding_user_activity",
     "quality_scores",
     "c4_clean",

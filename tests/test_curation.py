@@ -1050,3 +1050,53 @@ def test_decontaminate_fuzzy_catches_paraphrase_exact_misses(spark):
         train, holdout, threshold=0.5
     ).collect()[0]
     assert all(v == 0 for v in inv.asDict().values()), inv
+
+
+def test_leakage_safe_split_families_never_span_splits(spark):
+    """The operator's reason to exist: every near-duplicate family lands
+    in exactly ONE split (a per-doc random split would leak twins across
+    train/test); all docs assigned; deterministic across invocations;
+    ratios respected in aggregate on singleton-heavy data."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.curation import leakage_safe_split
+
+    rows = []
+    # 30 duplicate families of 3 near-identical docs + 210 singletons
+    for f in range(30):
+        base = f"shared family text number {f} lorem ipsum dolor sit amet"
+        rows += [
+            (f * 3, base),
+            (f * 3 + 1, base + " extra"),
+            (f * 3 + 2, base.replace("lorem", "lorem lorem")),
+        ]
+    rows += [(1000 + i, f"totally unique document {i} {i * 7} {i * 13}")
+             for i in range(210)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = leakage_safe_split(docs, threshold=0.4).collect()
+    assert len(out) == len(rows)
+    by_family: dict = {}
+    for r in out:
+        by_family.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_family.values())  # no family spans
+    n_fams = len(by_family)
+    assert n_fams <= 30 + 210  # families merged, never split
+    splits = {s for ss in by_family.values() for s in ss}
+    assert splits <= {"train", "val", "test"}
+    counts = {s: sum(1 for r in out if r["split"] == s) for s in splits}
+    assert counts.get("train", 0) > 0.7 * len(rows)  # ~90% target
+    # deterministic replay
+    again = {(r["doc_id"], r["split"]) for r in
+             leakage_safe_split(docs, threshold=0.4).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in out}
+
+
+def test_leakage_safe_split_rejects_bad_ratios(spark):
+    import pytest as _pytest
+
+    from tsne_flink_spark.pipeline.curation import leakage_safe_split
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(docs, ratios={"train": 0.5, "test": 0.1})

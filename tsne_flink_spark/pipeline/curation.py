@@ -149,6 +149,61 @@ def decontaminate(
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    ratios: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 2,
+    pairs: DataFrame | None = None,
+    buckets: int = 100,
+) -> DataFrame:
+    """(id, cluster_id, split): train/val/test assignment where whole
+    NEAR-DUPLICATE FAMILIES go to one split — a per-document random
+    split leaks test content into train whenever a test document has a
+    near-dup twin (boilerplate variants, re-crawls, quotes), which is
+    exactly what eval decontamination exists to prevent; splitting by
+    family id closes that hole by construction.
+
+    Families come from :func:`near_dup_clusters` (exact transitive
+    closure of the n-gram-Jaccard pair graph; pass ``pairs`` to split on
+    LSH-bounded candidates at scale).  Assignment is the deterministic
+    LCG bucket of the FAMILY id against cumulative ``ratios`` thresholds
+    — the same arithmetic as :func:`stratified_sample`, so any engine
+    replays the identical split (DuckDB-verifiable), re-splitting is
+    reproducible, and singleton families (the common case) spread
+    uniformly.  ``ratios`` values must sum to 1; insertion order defines
+    the bucket layout (default train 0.9 / val 0.05 / test 0.05)."""
+    if ratios is None:
+        ratios = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(ratios.values()) - 1.0) > 1e-9 or any(
+        v <= 0 for v in ratios.values()
+    ):
+        raise ValueError(f"ratios must be positive and sum to 1: {ratios}")
+    clusters = near_dup_clusters(
+        docs, text_col=text_col, id_col=id_col,
+        threshold=threshold, shingle_n=shingle_n, pairs=pairs,
+    )
+    b = _lcg_bucket(F.col("cluster_id"), buckets)
+    # CASE over cumulative thresholds: earlier entries take lower buckets
+    cum = 0.0
+    conds = []
+    for name, frac in ratios.items():
+        cum += frac
+        conds.append((name, int(round(cum * buckets))))
+    expr = None
+    for name, hi in conds[:-1]:
+        c = b < F.lit(hi)
+        expr = F.when(c, F.lit(name)) if expr is None else expr.when(c, F.lit(name))
+    expr = (
+        expr.otherwise(F.lit(conds[-1][0]))
+        if expr is not None
+        else F.lit(conds[-1][0])
+    )
+    return clusters.select(id_col, "cluster_id", expr.alias("split"))
+
+
 def _lcg_bucket(key: Column, buckets: int = 100) -> Column:
     h = F.pmod(key, F.lit(_LCG_M))
     h = (h * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M)
