@@ -48,6 +48,10 @@ AUDITED = [
     "link_triangles",
     "link_pagerank",
     "sketch_union",
+    "sketch_union_persisted",
+    "ann_ivf_persisted",
+    "ann_pq_persisted",
+    "leakage_split",
     "exact_substr_dedup",
     "corpus_shards",
     "bm25_scores",
@@ -94,6 +98,33 @@ AUDITED = [
 
 
 NOTES = {
+    "sketch_union_persisted": (
+        "Persisted-artifact serving: the audited plan is the READ leg — "
+        "binary sketch column scanned from the parquet store, one "
+        "groupBy(event_type) hll_union_agg; the shard-build/write leg ran "
+        "once before it.  No fact-table scan anywhere in the plan."
+    ),
+    "ann_ivf_persisted": (
+        "Persisted-index serving: centroid table collected driver-side "
+        "(bounded <= 4096 rows), queries assigned to n_probe lists in one "
+        "Arrow pass, then an equi-join of the query probes against the "
+        "parquet-scanned (list, vec, norm) index — same candidate shape "
+        "as the audited ann_lsh/ivf path, with the encode pass absent "
+        "because it was paid at build time."
+    ),
+    "ann_pq_persisted": (
+        "Persisted-index serving: model table (coarse + codebooks) "
+        "collected driver-side (~1.3 MB), probe pass, per-list grouped "
+        "candidate buffers from the parquet-scanned 20 B/vector codes "
+        "table, LUT-ADC in one Arrow stage, exact rerank joining the raw "
+        "embeddings ONLY for the per-query shortlist."
+    ),
+    "leakage_split": (
+        "The audited dup_clusters shape (pair mining + log-diameter "
+        "component propagation) plus one zero-exchange projection: the "
+        "LCG bucket of the family id folds to a CASE over constant "
+        "thresholds — split assignment adds no shuffle to clustering."
+    ),
     "c4_clean": (
         "Zero-exchange narrow map: line split, per-line rule filter, and "
         "page-kill flags are one codegen projection over the pruned "
