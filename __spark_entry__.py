@@ -3154,6 +3154,80 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities (operators/graph.
+    label_propagation: synchronous LPA, 4 rounds, min-label tie-break)
+    over the WARC link graph with the d0 super-hub stripped first —
+    the standard pre-filter for community detection (a hub adjacent to
+    everything carries no community signal and at web scale alone
+    dominates the message volume); the hubless graph resolves into
+    ~250 genuine communities instead of one hub-absorbed blob.
+    Complements the reachability operators: dup_clusters answers
+    "connected?", this answers "densely linked?".  Exact DuckDB oracle
+    unrolls the same 4 rounds (_link_communities_oracle_sql)."""
+    from tsne_flink_spark.operators.graph import label_propagation
+
+    edges = _link_graph_edges(spark, sf_dir).where(
+        (F.col("a") != 0) & (F.col("b") != 0)
+    )
+    out = label_propagation(edges, iters=4)
+    return out.select(F.col("id").alias("dom"), "community")
+
+
+def q_link_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 link predictions over the WARC link graph: Adamic-Adar
+    score sum 1/ln(deg) over common neighbors for NON-adjacent domain
+    pairs (operators/graph.adamic_adar) — the "which domains should be
+    linked / which dup families are about to merge" ranking.  Wedge
+    enumeration centered on the shared neighbor, anti-join against the
+    edge set, top-k as TakeOrderedAndProject.  Exact DuckDB oracle
+    replays the same wedges on the arithmetic edge CTE."""
+    from tsne_flink_spark.operators.graph import adamic_adar
+
+    out = adamic_adar(_link_graph_edges(spark, sf_dir), k=100)
+    return out.select("x", "y", F.round("score", 6).alias("score"))
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted without-replacement sample, k=200, weight = n_chars + 1
+    (pipeline/curation.weighted_sample): Efraimidis-Spirtakis A-ES keys
+    ln(u)/w with u from the explicit LCG, top-k by key — the quality-
+    weighted corpus-downsampling primitive, reproducible in any engine.
+    Narrow map + TakeOrderedAndProject (no global sort).  Exact DuckDB
+    oracle ranks by the identical key arithmetic
+    (curation.weighted_sample_key_sql)."""
+    from tsne_flink_spark.pipeline.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, 200, F.col("n_chars") + F.lit(1))
+    return out.select(
+        "doc_id", "lang", "n_chars",
+        F.round("sample_key", 6).alias("sample_key"),
+    )
+
+
+def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history from the event log (streaming/events.
+    state_history): per user, consecutive runs of the same event_type
+    collapse into half-open validity intervals [valid_from, valid_to)
+    with valid_to = next interval's start (NULL for the current state)
+    — the CDC/dimension-history primitive.  Gaps-and-islands in two
+    per-user windows over one shuffle; total (ts, event_id) ordering so
+    same-timestamp events replay identically.  Exact DuckDB oracle with
+    the identical windows."""
+    from tsne_flink_spark.streaming.events import state_history
+
+    ev = _t(spark, sf_dir, "events")
+    out = state_history(ev)
+    return out.select(
+        "user_id",
+        "event_type",
+        _utc_wall("valid_from").alias("valid_from"),
+        _utc_wall("valid_to").alias("valid_to"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def q_compression_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified invariants for the compression-ratio quality signal
     (pipeline/quality.compression_ratio; zlib output is not identical
@@ -3265,10 +3339,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     from parquet-persisted indexes, each checked bit-equal to its
     #     one-shot operator), and leakage_split (family-level train/val/
     #     test split, exact oracle sharing dup_clusters' recursive CTE);
-    # (c) oldest-r10 fill to 50 (knn_project pair, ngram_jaccard_pairs,
-    #     minhash pair, exact_dedup), check pairs adjacent; the ann_lsh,
-    #     embedding_dedup, and simhash pairs yielded their fill slots to
-    #     the round-12 additions and rotate in r13.
+    # (c) oldest-r10 fill to 50 (knn_project pair), check pairs adjacent;
+    #     the ann_lsh, embedding_dedup, simhash, minhash pairs,
+    #     ngram_jaccard_pairs, and exact_dedup yielded their fill slots
+    #     to the round-12 additions and rotate in r13;
+    # (d) the second round-12 batch, each with an exact oracle and no
+    #     check needed: link_communities (synchronous LPA, unrolled
+    #     oracle), link_adamic_adar (link prediction), weighted_sample
+    #     (A-ES weighted without-replacement sampling), and
+    #     user_state_history (SCD2 gaps-and-islands).
     # Everything below position 50 is driver-green in r10 or r11; the
     # r10 block at the bottom (ann_ivf .. decontaminate) plus the
     # r11-green block are the round-13 rotation candidates, with the
@@ -3319,12 +3398,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (c) oldest-r10 fill, check pairs adjacent ---
         "knn_project": q_knn_project,
         "knn_project_check": q_knn_project_check,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_dedup": q_minhash_dedup,
-        "minhash_dedup_check": q_minhash_dedup_check,
+        # --- (d) second round-12 batch: graph/sampling/CDC, exact oracles ---
+        "link_communities": q_link_communities,
+        "link_adamic_adar": q_link_adamic_adar,
+        "weighted_sample": q_weighted_sample,
+        "user_state_history": q_user_state_history,
         # --- (b'') new in round 12: leakage-safe family split (exact oracle) ---
         "leakage_split": q_leakage_split,
-        "exact_dedup": q_exact_dedup,
         # --- (b') new in round 12: persisted ANN index lifecycle pairs ---
         "ann_ivf_persisted": q_ann_ivf_persisted,
         "ann_ivf_persisted_check": q_ann_ivf_persisted_check,
@@ -3381,6 +3461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_union": q_sketch_union,
         "sketch_union_check": q_sketch_union_check,
         # driver-green in r10 (-> round-13 rotation candidates):
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_check": q_minhash_dedup_check,
+        "exact_dedup": q_exact_dedup,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_check": q_embedding_dedup_check,
         "simhash_dedup": q_simhash_dedup,
@@ -3824,6 +3908,53 @@ SELECT id AS dom, round(rank, 6) AS rank FROM r{iters}""")
     return "".join(parts)
 
 
+def _link_communities_oracle_sql(iters: int = 4) -> str:
+    """Exact oracle for ``link_communities``: the arithmetic link-graph
+    replay (hub d0 stripped, then symmetrized/deduped exactly like the
+    operator) feeding ``iters`` unrolled synchronous LPA rounds — per
+    round, each node's new label is the most frequent neighbor label,
+    smallest label on ties (max-count join + min aggregate, the SQL
+    spelling of the operator's single max-of-struct)."""
+    parts = ["""
+WITH tgt AS (
+  SELECT (doc_id % 997)::BIGINT AS s, 0::BIGINT AS d FROM documents
+  UNION ALL
+  SELECT (doc_id % 997)::BIGINT, ((doc_id * 7 + 13) % 997)::BIGINT FROM documents
+  UNION ALL
+  SELECT (doc_id % 997)::BIGINT, ((doc_id * 31 + 5) % 997)::BIGINT FROM documents
+), e AS MATERIALIZED (
+  SELECT DISTINCT s, d FROM (
+    SELECT s, d FROM tgt UNION ALL SELECT d AS s, s AS d FROM tgt
+  ) WHERE s <> d AND s <> 0 AND d <> 0
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT s AS id, s AS lab FROM e
+)"""]
+    for t in range(iters):
+        parts.append(f""", v{t} AS MATERIALIZED (
+  SELECT e.d AS id, l.lab, count(*) AS c
+  FROM e JOIN l{t} l ON l.id = e.s
+  GROUP BY e.d, l.lab
+), l{t + 1} AS MATERIALIZED (
+  SELECT v.id, min(v.lab) AS lab
+  FROM v{t} v
+  JOIN (SELECT id, max(c) AS mc FROM v{t} GROUP BY id) m
+    ON m.id = v.id AND v.c = m.mc
+  GROUP BY v.id
+)""")
+    parts.append(f"""
+SELECT id AS dom, lab AS community FROM l{iters}""")
+    return "".join(parts)
+
+
+def _weighted_sample_key() -> str:
+    """The weighted_sample oracle's A-ES key expression — the package's
+    own SQL spelling (curation.weighted_sample_key_sql), so both engines
+    rank by the exact same double."""
+    from tsne_flink_spark.pipeline.curation import weighted_sample_key_sql
+
+    return weighted_sample_key_sql("doc_id", "n_chars + 1")
+
+
 # Shared by bm25_scores (direct scorer) and bm25_index (index-served):
 # the two Spark implementations are numerically identical by construction
 # (tests/test_index.py::test_bm25_from_index_equals_direct), so they carry
@@ -4118,6 +4249,7 @@ def oracle_sql() -> dict[str, str]:
 
     _LCG_BUCKET_SQL = _lcg_bucket_sql_expr()
     _CLUSTER_BUCKET_SQL = lcg_bucket_sql("COALESCE(c.comp, d.doc_id)")
+    _ws_key = _weighted_sample_key()
     sql = {
         "knn_bruteforce": _KNN_ORACLE,
         "knn_partition": _KNN_ORACLE,
@@ -5205,6 +5337,67 @@ FROM wt
 """,
         "dup_pagerank": _pagerank_oracle_sql(),
         "link_pagerank": _link_pagerank_oracle_sql(),
+        "link_communities": _link_communities_oracle_sql(),
+        "link_adamic_adar": """
+WITH tgt AS (
+  SELECT (doc_id % 997)::BIGINT AS s, 0::BIGINT AS d FROM documents
+  UNION ALL
+  SELECT (doc_id % 997)::BIGINT, ((doc_id * 7 + 13) % 997)::BIGINT FROM documents
+  UNION ALL
+  SELECT (doc_id % 997)::BIGINT, ((doc_id * 31 + 5) % 997)::BIGINT FROM documents
+), e AS MATERIALIZED (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM tgt WHERE s <> d
+), sym AS MATERIALIZED (
+  SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e
+), deg AS (
+  SELECT z, count(*)::DOUBLE AS dg FROM sym GROUP BY z
+), adj AS MATERIALIZED (
+  SELECT sym.z, sym.n, deg.dg FROM sym JOIN deg USING (z)
+), wedge AS (
+  SELECT l.n AS x, r.n AS y, 1.0 / ln(l.dg) AS wt
+  FROM adj l JOIN adj r ON l.z = r.z AND l.n < r.n
+), scored AS (
+  SELECT x, y, sum(wt) AS score
+  FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.x AND e.b = w.y)
+  GROUP BY x, y
+)
+SELECT x, y, round(score, 6) AS score
+FROM scored ORDER BY score DESC, x, y LIMIT 100
+""",
+        "weighted_sample": f"""
+SELECT doc_id, lang, n_chars,
+       round({_ws_key}, 6) AS sample_key
+FROM documents
+ORDER BY {_ws_key} DESC, doc_id
+LIMIT 200
+""",
+        "user_state_history": """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM ordered
+), grouped AS (
+  SELECT user_id, island, min(event_type) AS event_type,
+         MIN(ts) AS valid_from, COUNT(*)::BIGINT AS n_events
+  FROM islands
+  GROUP BY user_id, island
+)
+SELECT user_id, event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(valid_from) OVER (PARTITION BY user_id ORDER BY island),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       n_events
+FROM grouped
+""",
         "sketch_union_check": """
 SELECT 0::BIGINT AS bad_groups
 """,

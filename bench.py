@@ -66,6 +66,7 @@ HEADLINE = [
     "user_peak_event",
     "windowed_event_counts",
     "sessionize",
+    "user_state_history",
     "event_cube",
     "event_funnel",
     "user_cohorts",
@@ -90,6 +91,7 @@ HEADLINE = [
     "lang_source_matrix",
     "source_overlap",
     "stratified_sample",
+    "weighted_sample",
     "mixture_weights",
     "pack_sequences",
     "chunk_documents",
@@ -105,6 +107,8 @@ HEADLINE = [
     "incremental_dedup_bloom",
     "link_triangles",
     "link_pagerank",
+    "link_communities",
+    "link_adamic_adar",
     "sketch_union",
     "sketch_union_persisted",
     "corpus_diff",

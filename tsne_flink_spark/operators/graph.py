@@ -213,6 +213,131 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    iters: int = 4,
+) -> DataFrame:
+    """(id, community) after ``iters`` SYNCHRONOUS label-propagation
+    rounds (Raghavan et al. 2007): every node adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label — the
+    deterministic variant, so the result is engine-replayable (the
+    DuckDB oracle unrolls the same rounds) unlike the classic
+    random-order asynchronous LPA.
+
+    Where connected_components answers "which nodes are reachable",
+    LPA answers "which nodes are DENSELY linked" — communities, not
+    components: a corpus-level template family inside a weakly bridged
+    near-dup graph, or topical domain clusters in a link graph, split
+    apart even though they are one component.
+
+    Dataflow per round: one equi-join of labels onto the symmetrized
+    edges + one groupBy(node, label) count + one groupBy(node)
+    max-of-struct — O(|E|) shuffled rows per round keyed by node id
+    (AQE-handled skew for hubs), all map-side combinable, nothing
+    driver-side.  Fixed ``iters`` (synchronous LPA can oscillate
+    2-cycles on bipartite structures, so a fixpoint loop could spin;
+    a bounded round count is the standard remedy and keeps the oracle
+    finite).  Node ids must be non-negative integers (the min-label
+    tie-break rides a negated struct field).  Isolated nodes never
+    appear (no edges => no votes); self-loops are dropped.
+    """
+    sym = materialize(
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .union(edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d")))
+        .where(F.col("__s") != F.col("__d"))
+        .distinct()
+    )
+    labels = materialize(
+        sym.select(F.col("__s").alias("id")).distinct()
+        .select("id", F.col("id").alias("community"))
+    )
+    for it in range(iters):
+        votes = (
+            sym.join(labels.select(F.col("id").alias("__s"), "community"), "__s")
+            .groupBy(F.col("__d").alias("id"), "community")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        # deterministic argmax in ONE aggregate (the user_peak_event
+        # idiom): lexicographic struct max = highest count, then highest
+        # -label = LOWEST label — no second max-count join, map-side
+        # combinable
+        labels = votes.groupBy("id").agg(
+            F.max(F.struct(F.col("__c"), (-F.col("community")).alias("__nl")))
+            .getField("__nl").alias("community")
+        ).select("id", (-F.col("community")).alias("community"))
+        # every round references the previous labels once (a chain, like
+        # undirected pagerank) — truncate on the same cadence
+        if it % 4 == 3 or it == iters - 1:
+            labels = materialize(labels)
+    return labels
+
+
+def adamic_adar(
+    edges: DataFrame,
+    k: int = 100,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Top-``k`` link predictions (x, y, score) over an undirected graph:
+    for every NON-adjacent pair sharing >= 1 neighbor, the Adamic-Adar
+    score sum_z 1/ln(deg(z)) over common neighbors z (Adamic & Adar
+    2003) — "which near-dup families are about to merge" / "which
+    domains should be linked" ranking.  Ordered by (score desc, x, y);
+    ties at the k-th score are broken by the pair ids, so top-k is
+    deterministic.
+
+    Dataflow: wedge enumeration centered on z — the symmetrized
+    adjacency self-joined on the center with x < y caps each candidate
+    pair to one row per shared neighbor — then a left_anti join against
+    the existing edge set and one groupBy(x, y) sum.  Wedge fan-out is
+    sum_z deg(z)^2: a power-law hub dominates it, so ``max_degree``
+    (the standard link-prediction mitigation) drops super-hub CENTERS
+    entirely — a hub shared by everything carries ~no signal anyway
+    (1/ln(deg) -> 0) and at web scale would alone emit O(deg^2) wedges.
+    Degree-1 centers produce no wedge, so ln(deg) >= ln 2 is always
+    safe.  Top-k lands as TakeOrderedAndProject (per-partition partial
+    top-k, no global sort).
+    """
+    e = materialize(
+        edges.select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.select(F.col("a").alias("z"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    deg = sym.groupBy("z").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    if max_degree is not None:
+        deg = deg.where(F.col("d") <= max_degree)
+    # adjacency annotated with its center's degree: referenced twice by
+    # the wedge self-join below
+    adj = materialize(sym.join(deg, "z"))
+    wedges = (
+        adj.alias("l")
+        .join(adj.alias("r"), "z")
+        .where(F.col("l.n") < F.col("r.n"))
+        .select(
+            F.col("l.n").alias("x"),
+            F.col("r.n").alias("y"),
+            (1.0 / F.log(F.col("l.d"))).alias("__w"),
+        )
+    )
+    scored = (
+        wedges.join(
+            e.select(F.col("a").alias("x"), F.col("b").alias("y")),
+            ["x", "y"],
+            "left_anti",
+        )
+        .groupBy("x", "y")
+        .agg(F.sum("__w").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), "x", "y").limit(k)
+
+
 def triangle_stats(edges: DataFrame, orient_by_degree: bool = False) -> DataFrame:
     """Global triangle census of an undirected graph: one row
     (n_nodes, n_edges, n_wedges, n_triangles, clustering_coefficient).

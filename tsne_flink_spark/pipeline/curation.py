@@ -273,6 +273,51 @@ def stratified_take(
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight: Column,
+    id_col: str = "doc_id",
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Weighted without-replacement sample of ``k`` rows: each row's
+    inclusion probability is proportional to its ``weight`` — the
+    quality-weighted corpus-downsampling primitive (keep 1M documents,
+    favoring long/high-scoring ones, in ONE pass with no weight
+    normalization or global state).
+
+    Algorithm A-ES (Efraimidis & Spirtakis 2006): draw u_i uniform in
+    (0, 1), keep the k largest keys u_i^(1/w_i) — provably equivalent
+    to sequential weighted draws without replacement.  The key is
+    computed in the monotone-equivalent log domain ln(u)/w (one libm
+    call instead of pow) and u_i comes from the explicit LCG over the
+    row id (same arithmetic as :func:`stratified_sample`), so ANY
+    engine selects the identical rows: no RNG state, resampling is
+    reproducible, and a DuckDB oracle replays the selection exactly.
+
+    Scale: a narrow map to compute keys, then top-k — Spark plans the
+    orderBy+limit as TakeOrderedAndProject (per-partition partial
+    top-k, driver merges k rows per partition; no global sort, no
+    shuffle of the corpus).  Weights must be strictly positive; ties
+    at the k-th key break by ``id_col``."""
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    u = (_lcg_bucket(F.col(id_col), 1 << 30).cast("double") + 0.5) / float(1 << 30)
+    key = F.log(u) / weight.cast("double")
+    return (
+        docs.withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def weighted_sample_key_sql(id_expr: str, weight_expr: str) -> str:
+    """The DuckDB/ANSI spelling of :func:`weighted_sample`'s A-ES key —
+    exported so oracles rank by the exact same double."""
+    b = lcg_bucket_sql(id_expr, 1 << 30)
+    return f"ln((({b})::DOUBLE + 0.5) / {float(1 << 30)!r}) / ({weight_expr})::DOUBLE"
+
+
 def curation_pipeline(
     docs: DataFrame,
     text_col: str = "text",

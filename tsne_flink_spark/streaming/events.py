@@ -134,6 +134,55 @@ def sessionize_streaming(
     )
 
 
+def state_history(
+    events: DataFrame,
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an event log: per
+    ``key_col``, consecutive runs of the same ``state_col`` collapse to
+    one validity interval (key, state, valid_from, valid_to, n_events)
+    — the CDC/merge primitive that turns "every click row" into "what
+    was this user's state during [t1, t2)".  ``valid_to`` is the NEXT
+    interval's start (half-open, the SCD2 convention) and NULL for the
+    current interval.
+
+    Gaps-and-islands in two windows, both partitioned by ``key_col``
+    (co-partitioned — ONE shuffle on the key, then per-user sorts;
+    no global window, scales with the key cardinality): island id =
+    running count of state CHANGES (lag + cumulative sum), then one
+    groupBy per island and a lead() for the half-open upper bound.
+    Ordering is total — (ts, tiebreak) — so same-timestamp events
+    replay identically in any engine.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changed = (
+        F.lag(state_col).over(w).isNull()
+        | (F.lag(state_col).over(w) != F.col(state_col))
+    ).cast("int")
+    islands = (
+        events.withColumn("__island", F.sum(changed).over(w))
+        .groupBy(key_col, "__island")
+        .agg(
+            F.first(state_col).alias(state_col),
+            F.min(ts_col).alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy("__island")
+    return islands.select(
+        key_col,
+        state_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
 def dedup_events(
     events: DataFrame,
     keys: tuple[str, ...] = ("event_id",),
