@@ -47,6 +47,10 @@ AUDITED = [
     "incremental_dedup_bloom",
     "link_triangles",
     "link_pagerank",
+    "link_communities",
+    "link_adamic_adar",
+    "weighted_sample",
+    "user_state_history",
     "sketch_union",
     "sketch_union_persisted",
     "ann_ivf_persisted",
