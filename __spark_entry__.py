@@ -3228,6 +3228,39 @@ def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of orders on (o_totalprice max, o_orderdate max)
+    — "largest AND most recent", the multi-criteria top no single ORDER
+    BY expresses (operators/skyline.pareto_frontier).  Per-partition
+    local skyline via an Arrow-batched numpy kernel (no fact-table
+    shuffle), then a single-task merge of the tiny survivor set.
+    Exact DuckDB oracle is the NOT EXISTS strict-dominance definition."""
+    from tsne_flink_spark.operators.skyline import pareto_frontier
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    out = pareto_frontier(orders, ["o_totalprice", "o_orderdate"])
+    return out.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+    )
+
+
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations by pointwise mutual information with
+    min_count=5 (pipeline/scrub.collocation_pmi): association-ranked
+    adjacent word pairs — the multi-word-unit signal frequency-ranked
+    bigram_stats cannot surface.  Exact DuckDB oracle reproduces the
+    PMI double via the same fixed association order."""
+    from tsne_flink_spark.pipeline.scrub import collocation_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    out = collocation_pmi(docs, min_count=5, k=100)
+    return out.select("w1", "w2", "n", F.round("pmi", 6).alias("pmi"))
+
+
 def q_compression_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified invariants for the compression-ratio quality signal
     (pipeline/quality.compression_ratio; zlib output is not identical
@@ -3339,15 +3372,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     from parquet-persisted indexes, each checked bit-equal to its
     #     one-shot operator), and leakage_split (family-level train/val/
     #     test split, exact oracle sharing dup_clusters' recursive CTE);
-    # (c) oldest-r10 fill to 50 (knn_project pair), check pairs adjacent;
-    #     the ann_lsh, embedding_dedup, simhash, minhash pairs,
-    #     ngram_jaccard_pairs, and exact_dedup yielded their fill slots
-    #     to the round-12 additions and rotate in r13;
+    # (c) every oldest-r10 fill candidate (knn_project, ann_lsh,
+    #     embedding_dedup, simhash, minhash pairs, ngram_jaccard_pairs,
+    #     exact_dedup) yielded its slot to the round-12 additions and
+    #     rotates in r13;
     # (d) the second round-12 batch, each with an exact oracle and no
     #     check needed: link_communities (synchronous LPA, unrolled
     #     oracle), link_adamic_adar (link prediction), weighted_sample
-    #     (A-ES weighted without-replacement sampling), and
-    #     user_state_history (SCD2 gaps-and-islands).
+    #     (A-ES weighted without-replacement sampling),
+    #     user_state_history (SCD2 gaps-and-islands), pareto_orders
+    #     (distributed skyline), and collocation_pmi (PMI collocations).
     # Everything below position 50 is driver-green in r10 or r11; the
     # r10 block at the bottom (ann_ivf .. decontaminate) plus the
     # r11-green block are the round-13 rotation candidates, with the
@@ -3395,10 +3429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (b) new in round 12: persisted HLL sketch lifecycle pair ---
         "sketch_union_persisted": q_sketch_union_persisted,
         "sketch_union_persisted_check": q_sketch_union_persisted_check,
-        # --- (c) oldest-r10 fill, check pairs adjacent ---
-        "knn_project": q_knn_project,
-        "knn_project_check": q_knn_project_check,
-        # --- (d) second round-12 batch: graph/sampling/CDC, exact oracles ---
+        # --- (d) second round-12 batch, exact oracles ---
+        "pareto_orders": q_pareto_orders,
+        "collocation_pmi": q_collocation_pmi,
         "link_communities": q_link_communities,
         "link_adamic_adar": q_link_adamic_adar,
         "weighted_sample": q_weighted_sample,
@@ -3461,6 +3494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_union": q_sketch_union,
         "sketch_union_check": q_sketch_union_check,
         # driver-green in r10 (-> round-13 rotation candidates):
+        "knn_project": q_knn_project,
+        "knn_project_check": q_knn_project_check,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_check": q_minhash_dedup_check,
@@ -5371,6 +5406,42 @@ SELECT doc_id, lang, n_chars,
 FROM documents
 ORDER BY {_ws_key} DESC, doc_id
 LIMIT 200
+""",
+        "pareto_orders": """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders p
+  WHERE p.o_totalprice >= o.o_totalprice AND p.o_orderdate >= o.o_orderdate
+    AND (p.o_totalprice > o.o_totalprice OR p.o_orderdate > o.o_orderdate)
+)
+""",
+        "collocation_pmi": """
+WITH toks AS (
+  SELECT list_filter(str_split(text, ' '), t -> t <> '') AS t FROM documents
+), uni AS MATERIALIZED (
+  SELECT w, count(*)::DOUBLE AS cu
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), tt AS (SELECT sum(cu) AS T FROM uni
+), bi_all AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS c FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                  i -> {'w1': t[i], 'w2': t[i + 1]}), recursive := true)
+    FROM toks
+  ) GROUP BY w1, w2
+), bt AS (SELECT sum(c)::DOUBLE AS B FROM bi_all
+), scored AS (
+  SELECT w1, w2, c::BIGINT AS n,
+         ln(((c::DOUBLE * T) * T) / ((B * cu1) * cu2)) AS pmi
+  FROM (SELECT b.w1, b.w2, b.c, u1.cu AS cu1, u2.cu AS cu2
+        FROM bi_all b
+        JOIN uni u1 ON u1.w = b.w1
+        JOIN uni u2 ON u2.w = b.w2
+        WHERE b.c >= 5), tt, bt
+)
+SELECT w1, w2, n, round(pmi, 6) AS pmi
+FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 100
 """,
         "user_state_history": """
 WITH ordered AS (

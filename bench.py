@@ -56,6 +56,7 @@ HEADLINE = [
     "waiting_suppliers",
     "idle_customers",
     "returned_item_revenue",
+    "pareto_orders",
     "regional_revenue",
     "grouped_topk_orders",
     "customer_rfm",
@@ -82,6 +83,7 @@ HEADLINE = [
     "unicode_normalize",
     "boilerplate_lines",
     "bigram_stats",
+    "collocation_pmi",
     "language_id",
     "language_id_ngram",
     "repetition_stats",

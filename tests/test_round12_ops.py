@@ -182,6 +182,116 @@ def test_weighted_sample_weight_bias(spark):
     assert heavy >= 90
 
 
+def _ref_skyline(rows, sign):
+    """Brute-force NOT EXISTS strict dominance."""
+    pts = [tuple(s * v for s, v in zip(sign, r)) for r in rows]
+    out = []
+    for i, p in enumerate(pts):
+        dominated = any(
+            all(qv >= pv for qv, pv in zip(q, p))
+            and any(qv > pv for qv, pv in zip(q, p))
+            for j, q in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            out.append(i)
+    return out
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """Random 2D and 3D point sets incl. exact duplicates, against the
+    NOT EXISTS reference; multi-partition result identical to
+    single-partition."""
+    import numpy as np
+
+    from tsne_flink_spark.operators.skyline import pareto_frontier
+
+    rng = np.random.default_rng(5)
+    for d in (2, 3):
+        pts = rng.integers(0, 12, size=(300, d)).astype(float).tolist()
+        pts += pts[:10]  # exact duplicates: all copies must be kept
+        rows = [(i, *p) for i, p in enumerate(pts)]
+        cols = [f"c{j}" for j in range(d)]
+        schema = "id bigint, " + ", ".join(f"{c} double" for c in cols)
+        df = spark.createDataFrame(rows, schema)
+        want = sorted(rows[i][0] for i in _ref_skyline(pts, [1] * d))
+        got = sorted(
+            r["id"] for r in pareto_frontier(df, cols).collect()
+        )
+        assert got == want, f"d={d}"
+        got_multi = sorted(
+            r["id"]
+            for r in pareto_frontier(df.repartition(13), cols).collect()
+        )
+        assert got_multi == want, f"d={d} multi-partition"
+
+
+def test_pareto_frontier_minimize_nulls_errors(spark):
+    from tsne_flink_spark.operators.skyline import pareto_frontier
+
+    rows = [(1, 1.0, 5.0), (2, 2.0, 7.0), (3, None, 0.0), (4, 3.0, 7.0)]
+    df = spark.createDataFrame(rows, "id bigint, a double, b double")
+    # maximize a, MINIMIZE b: (1,5) survives vs (2,7)? 2>1 but 7>5 ->
+    # incomparable; (4,7) dominates (2,7); null-a row dropped
+    got = sorted(
+        r["id"] for r in pareto_frontier(df, ["a", "b"], [True, False]).collect()
+    )
+    assert got == [1, 4]
+    with pytest.raises(ValueError):
+        pareto_frontier(df, [])
+    with pytest.raises(ValueError):
+        pareto_frontier(df, ["a"], [True, False])
+
+
+def test_pareto_frontier_dates(spark):
+    """Date criteria map to order-preserving epoch floats."""
+    from datetime import date
+
+    from tsne_flink_spark.operators.skyline import pareto_frontier
+
+    rows = [
+        (1, 10.0, date(2024, 1, 1)),
+        (2, 5.0, date(2024, 6, 1)),
+        (3, 10.0, date(2024, 6, 1)),  # dominates 1 and 2
+        (4, 1.0, date(2023, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v double, d date")
+    got = sorted(r["id"] for r in pareto_frontier(df, ["v", "d"]).collect())
+    assert got == [3]
+
+
+def test_collocation_pmi_reference(spark):
+    """Hand corpus: PMI values and (pmi desc, w1, w2) order against an
+    exact python computation; min_count filters rare pairs."""
+    docs = [
+        (1, "new york new york new york is big"),
+        (2, "new york has new york style"),
+        (3, "the cat and the dog and the cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    toks = [d[1].split(" ") for d in docs]
+    uni = Counter(w for t in toks for w in t)
+    bi = Counter((a, b) for t in toks for a, b in zip(t, t[1:]))
+    T = sum(uni.values())
+    B = sum(bi.values())
+    want = {
+        p: math.log(((c * T) * T) / ((B * uni[p[0]]) * uni[p[1]]))
+        for p, c in bi.items()
+        if c >= 2
+    }
+    from tsne_flink_spark.pipeline.scrub import collocation_pmi
+
+    got = collocation_pmi(df, min_count=2, k=100).collect()
+    assert {(r["w1"], r["w2"]) for r in got} == set(want)
+    for r in got:
+        assert r["pmi"] == pytest.approx(want[(r["w1"], r["w2"])], abs=1e-6)
+        assert r["n"] == bi[(r["w1"], r["w2"])]
+    order = [(r["w1"], r["w2"]) for r in got]
+    assert order == [
+        p for p, _ in sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
+
+
 def test_state_history_islands(spark):
     """A,A,B,A for one user -> three intervals with half-open bounds
     chaining valid_to == next valid_from, NULL-terminated; same-ts

@@ -49,6 +49,8 @@ AUDITED = [
     "link_pagerank",
     "link_communities",
     "link_adamic_adar",
+    "pareto_orders",
+    "collocation_pmi",
     "weighted_sample",
     "user_state_history",
     "sketch_union",

@@ -348,6 +348,77 @@ def bigram_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def collocation_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Top-``k`` collocations (w1, w2, n, pmi): adjacent word pairs
+    ranked by pointwise mutual information ln(p(w1,w2)/(p(w1)·p(w2)))
+    — association strength, not raw frequency, so "new york" style
+    multi-word units outrank "of the" style high-frequency noise.
+    ``min_count`` drops rare pairs whose PMI estimate is unstable (the
+    classic PMI-favors-hapax bias).
+
+    Dataflow: one token explode -> unigram counts, one pair explode ->
+    bigram counts (both map-side combinable), two equi-joins of the
+    bigram table onto the vocab-sized unigram table (AQE broadcasts it
+    when small), totals as 1-row broadcast side-inputs, top-k as
+    TakeOrderedAndProject.  The PMI double is computed in one fixed
+    association order — ((n·T)·T) / ((B·cu1)·cu2) — so the DuckDB
+    oracle reproduces it bit-for-bit.  Same single-space tokenization
+    and ``_let`` binding as :func:`bigram_stats` (the CollapseProject
+    re-inlining trap).
+    """
+    from tsne_flink_spark.pipeline.text import _let
+
+    raw = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    pairs = _let(
+        raw,
+        lambda toks: F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")),
+    )
+    uni = (
+        docs.select(F.explode(raw).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("cu"))
+    )
+    bi_all = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot_t = uni.agg(F.sum("cu").alias("T"))
+    tot_b = bi_all.agg(F.sum("c").cast("double").alias("B"))
+    scored = (
+        bi_all.where(F.col("c") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("n"),
+            F.log(
+                (F.col("c").cast("double") * F.col("T") * F.col("T"))
+                / (F.col("B") * F.col("cu1") * F.col("cu2"))
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)
+
+
 def canonical_url(url):
     """Canonicalize a URL for dedup/frontier purposes: scheme dropped
     (http and https are the same resource for crawl dedup), host
