@@ -97,6 +97,112 @@ def test_running_user_totals_streaming(spark, tmp_path, events):
     assert rows[2]["sum_value"] == pytest.approx(4.0)
 
 
+def test_state_history_streaming_parity(spark, tmp_path):
+    """Streaming SCD2 (applyInPandasWithState) emits exactly the CLOSED
+    intervals the batch operator computes, on the real sf0.001 events
+    table through a file stream."""
+    from tsne_flink_spark.streaming.events import state_history_streaming
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    path = str(tmp_path / "sh_ev")
+    ev.write.parquet(path)
+
+    def norm(df):
+        return sorted(
+            map(
+                tuple,
+                df.select(
+                    "user_id",
+                    "event_type",
+                    F.col("valid_from").cast("string"),
+                    F.col("valid_to").cast("string"),
+                    "n_events",
+                ).collect(),
+            )
+        )
+
+    want = norm(state_history_streaming(ev))  # batch fallback: closed rows
+    assert want, "expected closed intervals in the real table"
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    out = state_history_streaming(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sh_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert norm(spark.sql("select * from sh_stream")) == want
+
+
+def test_state_history_streaming_cross_batch(spark, tmp_path):
+    """An open interval must SURVIVE the micro-batch boundary in the
+    keyed state: events split across two files (one per batch) close
+    intervals spanning the boundary with the right counts."""
+    import os
+
+    from tsne_flink_spark.streaming.events import state_history_streaming
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    f1 = spark.createDataFrame(
+        [(1, base, 7, "A"), (2, base + dt.timedelta(minutes=1), 7, "A")],
+        schema,
+    )
+    f2 = spark.createDataFrame(
+        [
+            (3, base + dt.timedelta(minutes=2), 7, "B"),
+            (4, base + dt.timedelta(minutes=3), 7, "A"),
+        ],
+        schema,
+    )
+    path = tmp_path / "sh_batches"
+    f1.coalesce(1).write.parquet(str(path))
+    f2.coalesce(1).write.mode("append").parquet(str(path))
+    # force deterministic file pickup order (readStream orders by mtime):
+    # identify each part file by its CONTENT (names are uuid-random), then
+    # stamp mtimes in event order
+    import pyarrow.parquet as pq
+
+    parts = [p for p in os.listdir(path) if p.startswith("part-")]
+    assert len(parts) == 2
+    parts.sort(
+        key=lambda p: min(
+            pq.read_table(path / p, columns=["event_id"])
+            .column(0)
+            .to_pylist()
+        )
+    )
+    for i, p in enumerate(parts):
+        os.utime(path / p, (1_700_000_000 + 100 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(path))
+    )
+    q = (
+        state_history_streaming(stream)
+        .writeStream.format("memory")
+        .queryName("sh_xbatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["event_type"], r["n_events"])
+        for r in spark.sql("select * from sh_xbatch").collect()
+    )
+    # A-interval (2 events, file 1) closed by B (file 2); B closed by the
+    # final A, which stays open in state
+    assert got == [("A", 2), ("B", 1)]
+
+
 def test_dedup_events_streaming(spark, tmp_path, events):
     """dropDuplicatesWithinWatermark wiring on a duplicated file stream."""
     from tsne_flink_spark.streaming.events import dedup_events

@@ -183,6 +183,84 @@ def state_history(
     )
 
 
+def state_history_streaming(
+    events: DataFrame,
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of :func:`state_history`: CLOSED validity intervals
+    as a live CDC feed.
+
+    Streaming: ``applyInPandasWithState`` keeps the OPEN interval
+    (state, valid_from, n_events) per key and emits an interval the
+    moment a state CHANGE closes it (valid_to = the new state's
+    valid_from) — append semantics, the "dimension-update stream" a
+    downstream SCD2 merge consumes.  The open interval lives in the
+    keyed store, not the output; state is O(1) per key.  Events are
+    ordered (ts, tiebreak) WITHIN each micro-batch; cross-batch
+    ordering is the file/source order (the standard in-order-per-key
+    CDC assumption — a late event after its successor's batch would
+    fork history in any engine).
+
+    Batch: the same closed intervals — ``state_history`` minus the
+    NULL-``valid_to`` rows — so one call site serves both modes and
+    the parity test compares them row-for-row.
+    """
+    if not events.isStreaming:
+        return state_history(
+            events, state_col, ts_col, key_col, tiebreak_col
+        ).where(F.col("valid_to").isNotNull())
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} bigint, {state_col} string, valid_from timestamp, "
+        f"valid_to timestamp, n_events bigint"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        # state tuple: (open state's value, valid_from epoch-µs, n_events)
+        cur, vf_us, n = state.get if state.exists else (None, 0, 0)
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, tiebreak_col])
+            for s, t in zip(pdf[state_col], pdf[ts_col]):
+                t_us = int(pd.Timestamp(t).value // 1_000)
+                if cur is None:
+                    cur, vf_us, n = s, t_us, 1
+                elif s == cur:
+                    n += 1
+                else:
+                    closed.append((key[0], cur, vf_us, t_us, n))
+                    cur, vf_us, n = s, t_us, 1
+        state.update((cur, vf_us, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [c[0] for c in closed],
+                    state_col: [c[1] for c in closed],
+                    "valid_from": pd.to_datetime(
+                        [c[2] for c in closed], unit="us"
+                    ),
+                    "valid_to": pd.to_datetime(
+                        [c[3] for c in closed], unit="us"
+                    ),
+                    "n_events": [c[4] for c in closed],
+                }
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="s string, vf bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_events(
     events: DataFrame,
     keys: tuple[str, ...] = ("event_id",),
