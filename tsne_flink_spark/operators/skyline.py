@@ -43,28 +43,62 @@ def _as_float(s: pd.Series) -> np.ndarray:
     )
 
 
+def _skyline_2d(pts: np.ndarray) -> np.ndarray:
+    """2-criteria skyline, fully vectorized O(n log n): after a
+    descending lexicographic sort of the DISTINCT points, a point is
+    non-dominated iff its second coordinate strictly exceeds the running
+    max of every point before it (ties on the first coordinate resolve
+    correctly — the higher-second-coordinate twin precedes and raises
+    the running max past its sibling); exact duplicates are deduped
+    first and re-expanded, since equal points do not dominate each
+    other.  This keeps the SINGLE-TASK merge linear even when the
+    frontier itself is huge (anti-correlated data), where a
+    test-against-kept sweep would be O(n·s)."""
+    uniq, inverse = np.unique(pts, axis=0, return_inverse=True)
+    u = uniq[::-1]  # descending lex by (c0, c1)
+    runmax_before = np.concatenate(
+        ([-np.inf], np.maximum.accumulate(u[:-1, 1]))
+    )
+    keep_desc = u[:, 1] > runmax_before
+    mask = keep_desc[::-1][inverse]
+    return np.nonzero(mask)[0].astype(np.int64)
+
+
 def _skyline_indices(pts: np.ndarray) -> np.ndarray:
     """Row indices of the non-dominated points (maximize all columns).
 
-    Descending lexicographic sweep: a point can never dominate one that
+    d == 2 dispatches to the vectorized running-max sweep.  For d >= 3:
+    descending lexicographic order — a point can never dominate one that
     sorts before it (the earlier point is >= on the first differing
     column), so the kept set only grows and each candidate needs one
     vectorized test against it — O(n·s·d) with s the skyline size.
     """
     if len(pts) == 0:
         return np.empty(0, dtype=np.int64)
+    if pts.shape[1] == 2:
+        return _skyline_2d(pts)
     order = np.lexsort(
         tuple(pts[:, c] for c in range(pts.shape[1] - 1, -1, -1))
     )[::-1]
     kept_idx: list[int] = []
-    kept = np.empty((0, pts.shape[1]))
+    mat = np.empty((0, pts.shape[1]))  # bulk of the kept set
+    tail: list[np.ndarray] = []  # recent keeps, folded in batches of 256
+
+    def dominated_by(block: np.ndarray, p: np.ndarray) -> bool:
+        ge = (block >= p).all(axis=1)
+        return bool(ge.any() and (block[ge] > p).any(axis=1).any())
+
     for i in order:
         p = pts[i]
-        ge = (kept >= p).all(axis=1)
-        if ge.any() and (kept[ge] > p).any(axis=1).any():
+        if mat.shape[0] and dominated_by(mat, p):
+            continue
+        if tail and dominated_by(np.vstack(tail), p):
             continue
         kept_idx.append(int(i))
-        kept = np.concatenate([kept, p[None, :]])
+        tail.append(p)
+        if len(tail) >= 256:
+            mat = np.vstack([mat, *tail])
+            tail = []
     return np.array(sorted(kept_idx), dtype=np.int64)
 
 
@@ -72,6 +106,7 @@ def pareto_frontier(
     df: DataFrame,
     cols: list[str],
     maximize: list[bool] | None = None,
+    merge: bool = True,
 ) -> DataFrame:
     """All rows of ``df`` not strictly dominated on ``cols``.
 
@@ -79,6 +114,13 @@ def pareto_frontier(
     must be numeric or date/timestamp; NULL criteria rows are dropped
     (NULL is not comparable under dominance).  Output schema == input
     schema; row order is not defined (a skyline is a SET).
+
+    ``merge=False`` stops after phase 1 and returns the per-partition
+    LOCAL skylines — a superset of the global skyline that is
+    MERGEABLE: persist shards per ingestion batch and
+    ``pareto_frontier(union_of_shards, ...)`` later without rescanning
+    the batches (the same shard-then-merge lifecycle as the HLL
+    sketches), or feed the probe that measures the phase-1 reduction.
     """
     if not cols:
         raise ValueError("pareto_frontier needs at least one criterion")
@@ -106,6 +148,8 @@ def pareto_frontier(
             yield kept
 
     local_sky = df.dropna(subset=cols).mapInPandas(local, schema)
+    if not merge:
+        return local_sky
     # phase 2: merge the per-partition survivors on one task — input is
     # (#partitions x local skyline), not n; an explicit single-partition
     # exchange, not a global sort
