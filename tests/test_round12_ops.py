@@ -260,6 +260,42 @@ def test_pareto_frontier_dates(spark):
     assert got == [3]
 
 
+def test_pareto_frontier_shard_lifecycle(spark, tmp_path):
+    """merge=False local skylines are a persistable, MERGEABLE superset:
+    write per-batch shards to parquet, read them back, merge — identical
+    to the one-shot frontier over the union (the HLL shard/union
+    lifecycle, for skylines)."""
+    import numpy as np
+
+    from tsne_flink_spark.operators.skyline import pareto_frontier
+
+    rng = np.random.default_rng(3)
+    batches = [
+        [(int(1000 * b + i), float(x), float(y)) for i, (x, y) in
+         enumerate(rng.integers(0, 50, size=(400, 2)))]
+        for b in range(3)
+    ]
+    store = str(tmp_path / "sky_shards")
+    for rows in batches:
+        df = spark.createDataFrame(rows, "id bigint, a double, b double")
+        pareto_frontier(df, ["a", "b"], merge=False).write.mode(
+            "append"
+        ).parquet(store)
+
+    merged = pareto_frontier(spark.read.parquet(store), ["a", "b"])
+    all_rows = [r for rows in batches for r in rows]
+    one_shot = pareto_frontier(
+        spark.createDataFrame(all_rows, "id bigint, a double, b double"),
+        ["a", "b"],
+    )
+    assert sorted(r["id"] for r in merged.collect()) == sorted(
+        r["id"] for r in one_shot.collect()
+    )
+    # shards are a real reduction, not a passthrough
+    n_shard = spark.read.parquet(store).count()
+    assert n_shard < len(all_rows)
+
+
 def test_collocation_pmi_reference(spark):
     """Hand corpus: PMI values and (pmi desc, w1, w2) order against an
     exact python computation; min_count filters rare pairs."""
