@@ -260,6 +260,29 @@ def test_pareto_frontier_dates(spark):
     assert got == [3]
 
 
+def test_pareto_frontier_grouped(spark):
+    """by= computes one skyline per group, matching per-group brute
+    force — including a group whose frontier is everything."""
+    import numpy as np
+
+    from tsne_flink_spark.operators.skyline import pareto_frontier
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for g in ("r1", "r2", "r3"):
+        for i, (x, y) in enumerate(rng.integers(0, 20, size=(120, 2))):
+            rows.append((g, len(rows), float(x), float(y)))
+    rows.append(("lone", 10_000, 1.0, 1.0))
+    df = spark.createDataFrame(rows, "g string, id bigint, a double, b double")
+    got = {}
+    for r in pareto_frontier(df, ["a", "b"], by=["g"]).collect():
+        got.setdefault(r["g"], []).append(r["id"])
+    for g in ("r1", "r2", "r3", "lone"):
+        grp = [r for r in rows if r[0] == g]
+        want = sorted(grp[i][1] for i in _ref_skyline([r[2:] for r in grp], [1, 1]))
+        assert sorted(got[g]) == want, g
+
+
 def test_pareto_frontier_shard_lifecycle(spark, tmp_path):
     """merge=False local skylines are a persistable, MERGEABLE superset:
     write per-batch shards to parquet, read them back, merge — identical

@@ -107,6 +107,7 @@ def pareto_frontier(
     cols: list[str],
     maximize: list[bool] | None = None,
     merge: bool = True,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """All rows of ``df`` not strictly dominated on ``cols``.
 
@@ -121,6 +122,12 @@ def pareto_frontier(
     ``pareto_frontier(union_of_shards, ...)`` later without rescanning
     the batches (the same shard-then-merge lifecycle as the HLL
     sketches), or feed the probe that measures the phase-1 reduction.
+
+    ``by`` computes one skyline PER GROUP ("best orders per region"):
+    one shuffle on the group keys, then the same kernel per group via
+    applyInPandas — each group must fit one Arrow batch, the standard
+    grouped-map caveat (for corpus-sized groups, run the ungrouped
+    two-phase form per group value instead).
     """
     if not cols:
         raise ValueError("pareto_frontier needs at least one criterion")
@@ -130,6 +137,16 @@ def pareto_frontier(
         raise ValueError(f"maximize must match cols: {maximize} vs {cols}")
     sign = np.array([1.0 if m else -1.0 for m in maximize])
     schema = df.schema
+
+    if by:
+        def group_skyline(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.dropna(subset=cols)
+            if not len(pdf):
+                return pdf
+            pts = np.column_stack([_as_float(pdf[c]) for c in cols]) * sign
+            return pdf.iloc[_skyline_indices(pts)]
+
+        return df.groupBy(by).applyInPandas(group_skyline, schema)
 
     def local(batches):
         kept: pd.DataFrame | None = None
