@@ -404,6 +404,77 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+def q_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the exact near-dup similarity graph (operators/graph.
+    k_core over ngram_jaccard_pairs edges): the nodes surviving
+    synchronous peeling of degree-<2 nodes, with their in-core degree —
+    the graph-cleanup pass separating DENSE template families (cliques
+    survive) from incidental pairwise matches (chains/trees peel away),
+    run before spending cluster time on community mining.  Exact DuckDB
+    oracle unrolling the same synchronous peel rounds over the same
+    miner CTE (_kcore_oracle_sql); like the rest of the dup family the
+    oracle-side pair re-mining is gated at sf0.001/sf0.01."""
+    from tsne_flink_spark.operators.graph import k_core
+    from tsne_flink_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
+    return k_core(edges, k=2).orderBy("id")
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 6) -> str:
+    """Exact oracle for ``dup_kcore``: the ngram-Jaccard miner CTE (same
+    as dup_pagerank/_TRIANGLES_ORACLE) feeding ``rounds`` unrolled
+    synchronous peel rounds — delete every node of degree < k, repeat.
+    Extra rounds past the fixpoint are no-ops, so the unroll count only
+    needs to be >= the actual peel depth (measured: 1 round at
+    sf0.001/sf0.01; chains in the unit tests need 2-3; 6 is slack —
+    a deeper graph would surface as a gate mismatch, not silent error)."""
+    parts = [f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ltok
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(ltok) - 1, 1) + 1),
+           i -> array_to_string(list_slice(ltok, i, i + 1), ' ')
+         )) AS grams
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), cands AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), pairs AS MATERIALIZED (
+  SELECT c.a, c.b
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b
+  WHERE len(list_intersect(sa.grams, sb.grams))
+        / greatest(len(list_distinct(list_concat(sa.grams, sb.grams))), 1)
+        >= 0.5
+), e0 AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM pairs WHERE a <> b
+  UNION
+  SELECT b AS s, a AS d FROM pairs WHERE a <> b
+)"""]
+    for r in range(rounds):
+        parts.append(f""", bad{r} AS MATERIALIZED (
+  SELECT s FROM e{r} GROUP BY s HAVING count(*) < {k}
+), e{r+1} AS MATERIALIZED (
+  SELECT e.s, e.d FROM e{r} e
+  WHERE e.s NOT IN (SELECT s FROM bad{r})
+    AND e.d NOT IN (SELECT s FROM bad{r})
+)""")
+    parts.append(f"""
+SELECT s AS id, count(*)::BIGINT AS deg
+FROM e{rounds} GROUP BY s ORDER BY id""")
+    return "".join(parts)
+
+
 def _link_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic WARC-style domain link graph: each document becomes a
     synthetic HTML page whose three outlinks are arithmetic in doc_id —
@@ -1099,6 +1170,123 @@ def q_sketch_union_persisted_check(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("bad_groups")
     )
+
+
+def _kmv_user_day_sketches(spark: SparkSession, sf_dir: str, k: int = 512):
+    """Shared plumbing for the kmv_overlap pair: per-event_type KMV
+    sketches over the user-day activity key (user_id * 100 + day of
+    month) — a composite with real cross-type overlap structure
+    (Jaccard ~0.2 between types at sf0.01), unlike raw user_id where
+    every user triggers every type.  The engine-replayable LCG hash
+    keeps the whole sketch DuckDB-reproducible."""
+    from tsne_flink_spark.pipeline.sketches import kmv_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        (F.col("user_id") * F.lit(100) + F.dayofmonth("ts")).alias("ud"),
+    )
+    return kmv_sketch(keyed, ["event_type"], "ud", k=k), ev
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-overlap cardinalities from KMV / theta sketches
+    (pipeline/sketches.kmv_sketch + kmv_overlap_estimates): for every
+    event-type pair, estimated distinct user-days of each side, of the
+    intersection, the union, and the Jaccard — WITHOUT joining the fact
+    table against itself.  This is the capability the HLL shard path
+    (sketch_union) cannot express: HLL merges only by union; theta
+    sketches estimate intersections, the 100-TB "how much do these two
+    crawl snapshots overlap" question answered from kilobyte synopses.
+    Unlike the HLL gate (rows-only — DataSketches registers), the LCG
+    hash (a bijection mod 2^31, curation._lcg_bucket's constants) makes
+    the ENTIRE sketch pipeline engine-replayable: the DuckDB oracle
+    rebuilds the same sketches and set algebra hash-for-hash.  At
+    sf0.001 every sketch is exact (< k distinct); from sf0.01 up the
+    (k-1)/U(k) estimator path is live — both paths gated."""
+    from tsne_flink_spark.pipeline.sketches import kmv_overlap_estimates
+
+    k = 512
+    sk, _ = _kmv_user_day_sketches(spark, sf_dir, k)
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("__ka"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("__kb"))
+    # one sketch row per key: the pair join is over the kilobyte synopsis
+    # table, never the fact table — broadcast by construction
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    ests = kmv_overlap_estimates(F.col("__ka"), F.col("__kb"), k)
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.size("__ka").cast("long").alias("n_a"),
+        F.size("__kb").cast("long").alias("n_b"),
+        *[F.round(v, 4).alias(name) for name, v in ests.items()],
+    ).orderBy("type_a", "type_b")
+
+
+def q_kmv_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the KMV overlap path (oracle: constant
+    zero row), against EXACT distinct/overlap counts recomputed from the
+    fact table: (1) per-side and union estimates within 15% of exact;
+    (2) intersection estimate within 15% of the exact UNION size (the
+    theta-sketch error scale — intersection error is relative to the
+    sampling frame, not the intersection); (3) est_inter <= est_union
+    exactly (structural: both divide counts below the same theta);
+    (4) sketches with < k values are EXACT (bijective hash), so every
+    estimate equals its exact count exactly on that path."""
+    from tsne_flink_spark.pipeline.sketches import kmv_overlap_estimates
+
+    k = 512
+    sk, ev = _kmv_user_day_sketches(spark, sf_dir, k)
+    keyed = ev.select(
+        "event_type",
+        (F.col("user_id") * F.lit(100) + F.dayofmonth("ts")).alias("ud"),
+    ).distinct()
+    exact = keyed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("__e")
+    )
+    ex_pairs = (
+        keyed.select(F.col("event_type").alias("type_a"), "ud")
+        .join(
+            keyed.select(F.col("event_type").alias("type_b"), "ud"), "ud"
+        )
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("__ei"))
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("__ka"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("__kb"))
+    ests = kmv_overlap_estimates(F.col("__ka"), F.col("__kb"), k)
+    g = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", F.size("__ka").alias("__na"),
+                F.size("__kb").alias("__nb"),
+                *[v.alias(f"__{name}") for name, v in ests.items()])
+        .join(F.broadcast(exact.select(F.col("event_type").alias("type_a"),
+                                       F.col("__e").alias("__ea"))), "type_a")
+        .join(F.broadcast(exact.select(F.col("event_type").alias("type_b"),
+                                       F.col("__e").alias("__eb"))), "type_b")
+        .join(F.broadcast(ex_pairs), ["type_a", "type_b"])
+    )
+    eu = F.col("__ea") + F.col("__eb") - F.col("__ei")
+
+    def _off(est, ex):
+        return F.abs(est - ex) / F.greatest(ex, F.lit(1.0)) > 0.15
+
+    bad = (
+        _off(F.col("__est_a"), F.col("__ea"))
+        | _off(F.col("__est_b"), F.col("__eb"))
+        | _off(F.col("__est_union"), eu)
+        | (F.abs(F.col("__est_inter") - F.col("__ei"))
+           / F.greatest(eu, F.lit(1.0)) > 0.15)
+        | (F.col("__est_inter") > F.col("__est_union"))
+        | ((F.col("__na") < k) & (F.col("__est_a") != F.col("__ea")))
+        | ((F.col("__nb") < k) & (F.col("__est_b") != F.col("__eb")))
+        # both sides exact => theta = 1 and the complete (bijective) hash
+        # sets intersect exactly, so the intersection estimate is exact too
+        | ((F.col("__na") < k) & (F.col("__nb") < k)
+           & (F.col("__est_inter") != F.col("__ei")))
+    )
+    return g.agg(F.sum(bad.cast("int")).cast("long").alias("bad_pairs"))
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3386,6 +3574,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r10 block at the bottom (ann_ivf .. decontaminate) plus the
     # r11-green block are the round-13 rotation candidates, with the
     # flagship pair rejoining in r14 per the every-other-round constraint.
+    # LATE ENTRANTS (added after the window above was cluster-validated,
+    # B72/B75): the kmv_overlap pair sits at the registry END and leads
+    # the r13 rotation queue together with the r10 block; gated locally
+    # at sf0.001 + sf0.01 this round (exact DuckDB replay — see
+    # _kmv_overlap_oracle_sql).
     return {
         # --- round-12 window: flagship pair (every-other-round constraint) ---
         "tsne_embedding": q_tsne_embedding,
@@ -3544,6 +3737,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_check": q_multimodal_check,
         "decontaminate": q_decontaminate,
+        # --- r12 late entrants: added after the B72-validated 50-query
+        # window was pinned, so they queue at the registry END for the
+        # r13 rotation (first-50 = the driver's graded window).  Each is
+        # locally gated at sf0.001 + sf0.01 this round.
+        "kmv_overlap": q_kmv_overlap,
+        "kmv_overlap_check": q_kmv_overlap_check,
+        "dup_kcore": q_dup_kcore,
     }
 
 
@@ -3786,6 +3986,65 @@ def _lcg_bucket_sql_expr(buckets: int = 100) -> str:
 
     return lcg_bucket_sql("doc_id", buckets)
 
+
+
+def _kmv_overlap_oracle_sql(k: int = 512) -> str:
+    """Exact oracle for ``kmv_overlap``: rebuild the per-event_type KMV
+    sketches from the SAME engine-replayable LCG hash
+    (pipeline/sketches.kmv_hash_sql — a bijection mod 2^31, so both
+    engines see the identical k-minimum statistic) and replay the full
+    theta-sketch set algebra in DuckDB list functions.  Every arithmetic
+    step mirrors the Spark side operation-for-operation (same (h+1)/(m+1)
+    normalization, same (k-1)/U(k) estimator, same strict-below-theta
+    retention), so the comparison is hash-for-hash, not rows-only."""
+    from tsne_flink_spark.pipeline.sketches import _KMV_M, kmv_hash_sql
+
+    h = kmv_hash_sql("ud")
+    minv, km1 = float(_KMV_M + 1), float(k - 1)
+    return f"""
+WITH kd AS (
+  SELECT DISTINCT event_type, (user_id * 100 + EXTRACT(day FROM ts)) AS ud
+  FROM events
+), h AS (
+  SELECT DISTINCT event_type, {h} AS hv FROM kd
+), r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+), sk AS (
+  SELECT event_type, list(hv ORDER BY hv) AS kmv
+  FROM r WHERE rn <= {k} GROUP BY event_type
+), p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.kmv AS ka, b.kmv AS kb
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+), c AS (
+  SELECT type_a, type_b, ka, kb, len(ka) AS n_a, len(kb) AS n_b,
+    CASE WHEN len(ka) < {k} THEN 1.0 ELSE (ka[{k}] + 1.0) / {minv!r} END AS ta,
+    CASE WHEN len(kb) < {k} THEN 1.0 ELSE (kb[{k}] + 1.0) / {minv!r} END AS tb,
+    list_slice(list_sort(list_distinct(list_concat(ka, kb))), 1, {k}) AS mg
+  FROM p
+), d AS (
+  SELECT *, least(ta, tb) AS theta,
+    CASE WHEN n_a < {k} THEN n_a::DOUBLE ELSE {km1!r} / ta END AS est_a,
+    CASE WHEN n_b < {k} THEN n_b::DOUBLE ELSE {km1!r} / tb END AS est_b,
+    CASE WHEN len(mg) < {k} THEN len(mg)::DOUBLE
+         ELSE {km1!r} / ((mg[{k}] + 1.0) / {minv!r}) END AS est_union
+  FROM c
+), e AS (
+  SELECT *,
+    len(list_filter(list_intersect(ka, kb),
+                    v -> (v + 1.0) / {minv!r} < theta))::DOUBLE / theta
+      AS est_inter
+  FROM d
+)
+SELECT type_a, type_b, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+  round(est_a, 4) AS est_a, round(est_b, 4) AS est_b,
+  round(est_inter, 4) AS est_inter, round(est_union, 4) AS est_union,
+  round(CASE WHEN est_union > 0 THEN est_inter / est_union ELSE 0.0 END, 4)
+    AS est_jaccard
+FROM e ORDER BY type_a, type_b
+"""
 
 
 # Triangle-census oracle over the SAME ngram-Jaccard miner CTE as
@@ -6091,6 +6350,11 @@ FROM ne, w, tri
         "link_triangles_check": """
 SELECT 0::BIGINT AS mismatched_fields
 """,
+        "kmv_overlap": _kmv_overlap_oracle_sql(),
+        "kmv_overlap_check": """
+SELECT 0::BIGINT AS bad_pairs
+""",
+        "dup_kcore": _kcore_oracle_sql(),
     }
     # The Bloom prefilter is output-identical to the plain fingerprint join
     # (false negatives impossible; false positives killed by the confirm

@@ -113,6 +113,7 @@ HEADLINE = [
     "link_adamic_adar",
     "sketch_union",
     "sketch_union_persisted",
+    "kmv_overlap",
     "corpus_diff",
     "term_drift",
     "minhash_dedup",
@@ -128,6 +129,7 @@ HEADLINE = [
     "dup_pagerank",
     "dup_best_rep",
     "dup_triangles",
+    "dup_kcore",
     "leakage_split",
     "curation_pipeline",
     "tfidf_top_terms",

@@ -413,3 +413,64 @@ def test_state_history_invariants_on_real_events(spark):
             assert prev["valid_to"] == nxt["valid_from"]
             # consecutive intervals never share a state (else one island)
             assert prev["event_type"] != nxt["event_type"]
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (operators/graph.k_core)
+# ---------------------------------------------------------------------------
+
+
+def _kcore_reference(edges, k):
+    """Brute synchronous peel."""
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    while True:
+        bad = [v for v, ns in adj.items() if len(ns) < k]
+        if not bad:
+            return {v: len(ns) for v, ns in adj.items()}
+        for v in bad:
+            for n in adj[v]:
+                adj[n].discard(v)
+            del adj[v]
+
+
+def test_k_core_triangle_with_tail(spark):
+    """2-core of a triangle with a pendant chain = the triangle alone;
+    the chain peels (multi-round: the chain's outer node first, then the
+    newly exposed one)."""
+    from tsne_flink_spark.operators.graph import k_core
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)], "a long, b long"
+    )
+    got = sorted((r.id, r.deg) for r in k_core(e, 2).collect())
+    assert got == [(1, 2), (2, 2), (3, 2)]
+
+
+def test_k_core_empty_when_fully_peeled(spark):
+    """A pure chain has no 2-core: peeling consumes everything and the
+    operator returns an empty frame with the (id, deg) schema."""
+    from tsne_flink_spark.operators.graph import k_core
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+    out = k_core(e, 2)
+    assert out.columns == ["id", "deg"] and out.count() == 0
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_k_core_matches_reference_random(spark, k):
+    """Random sparse graph vs the brute peel reference, both k values;
+    duplicate and reversed edges are normalized away."""
+    from tsne_flink_spark.operators.graph import k_core
+
+    rnd = [( (i * 7919) % 60, (i * 104729) % 60) for i in range(150)]
+    edges = [(a, b) for a, b in rnd if a != b]
+    df = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges[:30]], "a long, b long"
+    ).repartition(7)
+    want = _kcore_reference(edges, k)
+    got = {r.id: r.deg for r in k_core(df, k).collect()}
+    assert got == want

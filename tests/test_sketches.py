@@ -283,3 +283,145 @@ def test_streaming_sketch_shards_union_matches_exact(spark, tmp_path):
     }
     # exact at these cardinalities: a = |0..59| = 60, b = |0..29| = 30
     assert got == {"a": (2, 60), "b": (2, 30)}
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketches (kmv_sketch / kmv_union / kmv_overlap_estimates)
+# ---------------------------------------------------------------------------
+
+
+def _kmv_rows(spark, values, label="s", parts=4):
+    return spark.createDataFrame(
+        [(label, int(v)) for v in values], "k string, v long"
+    ).repartition(parts)
+
+
+def test_kmv_exact_below_k(spark):
+    """< k distinct values: the sketch holds EVERY distinct hash (the LCG
+    is a bijection mod 2^31) and the estimate is exactly the distinct
+    count, regardless of duplication."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.sketches import kmv_estimate, kmv_sketch
+
+    df = _kmv_rows(spark, list(range(40)) * 3)  # 120 rows, 40 distinct
+    sk = kmv_sketch(df, ["k"], "v", k=64)
+    row = sk.select(
+        F.size("kmv").alias("n"), kmv_estimate(F.col("kmv"), 64).alias("est")
+    ).first()
+    assert row.n == 40 and row.est == 40.0
+
+
+@pytest.mark.parametrize("parts", [1, 13])
+def test_kmv_partition_independent(spark, parts):
+    """The k-minimum statistic is a pure function of the value SET: any
+    partitioning (and the per-partition partial pass) yields the
+    identical sketch array."""
+    from tsne_flink_spark.pipeline.sketches import kmv_sketch
+
+    vals = [v * 7919 % 100003 for v in range(5000)]
+    a = kmv_sketch(_kmv_rows(spark, vals, parts=parts), ["k"], "v", k=128)
+    b = kmv_sketch(_kmv_rows(spark, vals, parts=32), ["k"], "v", k=128)
+    assert a.first().kmv == b.first().kmv
+
+
+def test_kmv_union_is_lossless_merge(spark):
+    """kmv_union of two sketches == the sketch of the concatenated data:
+    the k smallest of a union are among each member's k smallest, so the
+    merge is exact (array-equal), not approximate."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.sketches import kmv_sketch, kmv_union
+
+    va = [v * 31 % 9973 for v in range(3000)]
+    vb = [v * 57 % 9973 + 5000 for v in range(3000)]
+    sa = kmv_sketch(_kmv_rows(spark, va), ["k"], "v", k=96)
+    sb = kmv_sketch(_kmv_rows(spark, vb), ["k"], "v", k=96)
+    merged = kmv_union(sa.unionByName(sb), ["k"], k=96).first().kmv
+    whole = kmv_sketch(_kmv_rows(spark, va + vb), ["k"], "v", k=96).first().kmv
+    assert merged == whole
+
+
+def test_kmv_estimator_error_bound(spark):
+    """Estimator path (distinct >> k): (k-1)/U(k) lands within the
+    ~3/sqrt(k) ballpark of truth for the bijective LCG permutation —
+    pinned loosely at 15% for k=256 over 50k distinct values."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.sketches import kmv_estimate, kmv_sketch
+
+    df = _kmv_rows(spark, range(50_000), parts=8)
+    sk = kmv_sketch(df, ["k"], "v", k=256)
+    est = sk.select(kmv_estimate(F.col("kmv"), 256).alias("e")).first().e
+    assert abs(est - 50_000) / 50_000 < 0.15
+
+
+def test_kmv_sketch_survives_parquet_roundtrip(spark, tmp_path):
+    """The sketch is a plain array<long> column: persist per-shard
+    sketches to parquet, read back fresh, merge, and get the identical
+    array the in-plan merge produces — the persisted-artifact lifecycle
+    the HLL path exercises, without binary blobs."""
+    from tsne_flink_spark.pipeline.sketches import kmv_sketch, kmv_union
+
+    va, vb = list(range(0, 4000)), list(range(2000, 6000))
+    shards = kmv_sketch(_kmv_rows(spark, va), ["k"], "v", k=64).unionByName(
+        kmv_sketch(_kmv_rows(spark, vb), ["k"], "v", k=64)
+    )
+    store = str(tmp_path / "kmv_store")
+    shards.write.mode("overwrite").parquet(store)
+    from_disk = kmv_union(spark.read.parquet(store), ["k"], k=64).first().kmv
+    in_plan = kmv_union(shards, ["k"], k=64).first().kmv
+    assert from_disk == in_plan
+
+
+def test_kmv_overlap_exact_sets(spark):
+    """Both sketches exact (< k distinct): intersection/union/Jaccard
+    estimates are EXACT set cardinalities (theta = 1, complete bijective
+    hash sets)."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.sketches import (
+        kmv_overlap_estimates,
+        kmv_sketch,
+    )
+
+    va, vb = list(range(0, 30)), list(range(20, 50))  # inter 10, union 50
+    sa = kmv_sketch(_kmv_rows(spark, va, "a"), ["k"], "v", k=64)
+    sb = kmv_sketch(_kmv_rows(spark, vb, "b"), ["k"], "v", k=64)
+    pair = sa.select(F.col("kmv").alias("ka")).crossJoin(
+        sb.select(F.col("kmv").alias("kb"))
+    )
+    ests = kmv_overlap_estimates(F.col("ka"), F.col("kb"), 64)
+    row = pair.select(
+        *[v.alias(name) for name, v in ests.items()]
+    ).first()
+    assert (row.est_a, row.est_b) == (30.0, 30.0)
+    assert row.est_inter == 10.0 and row.est_union == 50.0
+    assert row.est_jaccard == pytest.approx(0.2)
+
+
+def test_kmv_overlap_estimator_path(spark):
+    """Estimator path on overlapping big sets: per-side/union estimates
+    within 15% of truth, intersection within 15% of the UNION size (the
+    theta-sketch error frame), and est_inter <= est_union structurally."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.sketches import (
+        kmv_overlap_estimates,
+        kmv_sketch,
+    )
+
+    va = list(range(0, 12_000))          # |A| = 12k
+    vb = list(range(8_000, 24_000))      # |B| = 16k, inter 4k, union 24k
+    sa = kmv_sketch(_kmv_rows(spark, va, "a", 8), ["k"], "v", k=256)
+    sb = kmv_sketch(_kmv_rows(spark, vb, "b", 8), ["k"], "v", k=256)
+    pair = sa.select(F.col("kmv").alias("ka")).crossJoin(
+        sb.select(F.col("kmv").alias("kb"))
+    )
+    ests = kmv_overlap_estimates(F.col("ka"), F.col("kb"), 256)
+    row = pair.select(*[v.alias(name) for name, v in ests.items()]).first()
+    assert abs(row.est_a - 12_000) / 12_000 < 0.15
+    assert abs(row.est_b - 16_000) / 16_000 < 0.15
+    assert abs(row.est_union - 24_000) / 24_000 < 0.15
+    assert abs(row.est_inter - 4_000) / 24_000 < 0.15
+    assert row.est_inter <= row.est_union

@@ -274,6 +274,64 @@ def label_propagation(
     return labels
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "a",
+    dst: str = "b",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """(id, deg) for every node of the ``k``-core — the unique maximal
+    subgraph in which every node has degree >= k (Seidman 1983) — with
+    ``deg`` its degree INSIDE the core.  The classic graph-cleanup pass
+    before mining: in a near-dup similarity graph the 2-core separates
+    genuine template families (dense, survive peeling) from incidental
+    pairwise matches (trees/chains, peeled away); in a link graph the
+    k-core is the standard spam-farm / dense-community locator.
+
+    Algorithm: synchronous peeling — repeatedly delete ALL nodes of
+    current degree < k until none remain.  Deleting a node can only
+    lower its neighbors' degrees, so peeling order doesn't matter and
+    the fixpoint is the unique k-core (every surviving node certifies
+    degree >= k within the survivors).  Rounds needed = the peel depth
+    (how long a chain of degree-(k-1) dependencies can be), typically
+    tiny on clique-like dedup graphs.
+
+    Dataflow per round: one groupBy(endpoint) degree count (O(|E|)
+    map-side-combinable shuffle) + two shuffle-joins dropping edges with
+    a deleted endpoint; the edge set shrinks monotonically, and the
+    driver sees only a 1-row convergence count.  The surviving edges are
+    checkpointed per round (the next round's degree count and BOTH drop
+    joins re-read them — a diamond, so lineage truncates every round
+    like directed pagerank).  Engine-replayable: the DuckDB oracle
+    unrolls the same synchronous rounds (__spark_entry__.
+    _kcore_oracle_sql)."""
+    e = materialize(
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .union(edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d")))
+        .where(F.col("__s") != F.col("__d"))
+        .distinct()
+    )
+    for _ in range(max_rounds):
+        deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+        bad = materialize(deg.where(F.col("__deg") < k).select("__s"))
+        if bad.count() == 0:
+            return deg.select(
+                F.col("__s").alias("id"), F.col("__deg").cast("long").alias("deg")
+            )
+        e = materialize(
+            e.join(bad, "__s", "left_anti").join(
+                bad.select(F.col("__s").alias("__d")), "__d", "left_anti"
+            )
+        )
+        # a fully-peeled (empty) edge set falls out naturally: the next
+        # round's degree table is empty, bad is empty, and the empty
+        # (id, deg) frame returns through the convergence branch
+    raise RuntimeError(
+        f"k_core did not converge in {max_rounds} peel rounds"
+    )
+
+
 def adamic_adar(
     edges: DataFrame,
     k: int = 100,

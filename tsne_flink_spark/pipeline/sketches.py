@@ -138,6 +138,177 @@ def sketch_union(
     )
 
 
+_KMV_A, _KMV_C, _KMV_M = 1103515245, 12345, 1 << 31
+
+
+def kmv_hash(key, m: int = _KMV_M):
+    """Engine-replayable 2-round LCG hash onto [0, m): a BIJECTION mod
+    2^31 (the multiplier is odd, so x -> a*x + c is invertible), meaning
+    distinct keys NEVER collide within a residue class — the sketch's
+    k-minimum statistic sees a deterministic pseudo-random permutation.
+    Same constants as curation._lcg_bucket; every product stays < 2^61,
+    so both Spark longs and DuckDB BIGINTs compute it without overflow
+    (``kmv_hash_sql`` is the oracle-side spelling).  Production callers
+    hashing strings or wanting 64-bit spread pass ``hash_col=
+    F.xxhash64(...)`` to :func:`kmv_sketch` instead — the sketch logic
+    is hash-agnostic; this default buys exact DuckDB replayability."""
+    h = F.pmod(key, F.lit(m))
+    h = (h * F.lit(_KMV_A) + F.lit(_KMV_C)) % F.lit(m)
+    h = (h * F.lit(_KMV_A) + F.lit(_KMV_C)) % F.lit(m)
+    return h
+
+
+def kmv_hash_sql(key_expr: str, m: int = _KMV_M) -> str:
+    """DuckDB/ANSI spelling of :func:`kmv_hash` (non-negative keys)."""
+    h0 = f"(({key_expr}) % {m})"
+    h1 = f"(({h0}) * {_KMV_A} + {_KMV_C}) % {m}"
+    h2 = f"(({h1}) * {_KMV_A} + {_KMV_C}) % {m}"
+    return h2
+
+
+def _kmv_partials(key_cols: list[str], k: int):
+    """mapInPandas function: per-partition, per-key k SMALLEST distinct
+    hash values — the map-side combine that makes the KMV build shuffle
+    O(k x partitions) rows per key instead of O(distinct values).
+    Correct because the global k smallest of a union are always among
+    each member's k smallest (the same superset argument as
+    Misra-Gries candidate generation above)."""
+
+    def f(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict = {}
+        for pdf in it:
+            for key, grp in pdf.groupby(key_cols, sort=False):
+                kt = key if isinstance(key, tuple) else (key,)
+                hv = grp["__hv"].to_numpy(dtype=np.int64)
+                prev = best.get(kt)
+                merged = np.unique(
+                    hv if prev is None else np.concatenate([prev, hv])
+                )
+                best[kt] = merged[:k]
+        out = {c: [kt[i] for kt in best] for i, c in enumerate(key_cols)}
+        out["__hv"] = list(best.values())
+        yield pd.DataFrame(out)
+
+    return f
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 512,
+    hash_col=None,
+) -> DataFrame:
+    """(key..., kmv): per-key KMV / theta distinct-count sketch of
+    ``value_col`` — the k MINIMUM distinct hash values, sorted ascending
+    (Beyer et al., "On Synopses for Distinct-Value Estimation Under
+    Multiset Operations", SIGMOD 2007; the Theta-sketch family).
+
+    Where the HLL shard/union path (:func:`sketch_shards`) answers only
+    UNION cardinalities, a KMV sketch additionally supports
+    INTERSECTION / overlap estimation (:func:`kmv_overlap_estimates`):
+    "how many users do event types A and B share", "how many distinct
+    URLs appear in both crawl snapshots" — without joining the fact
+    tables.  The sketch is a plain ``array<long>`` column: it survives
+    parquet bit-exactly and merges losslessly (:func:`kmv_union` — the
+    k smallest of a union are exactly the k smallest of the members'
+    k-smallest, so merge introduces NO additional error).
+
+    Dataflow: hash + per-partition per-key k-min partials via an
+    Arrow-batched numpy kernel (<= k rows per key per partition cross
+    the shuffle — never the distinct-value set), then one groupBy
+    merging partials.  With the default :func:`kmv_hash` the whole
+    build is deterministic AND engine-replayable, so the gate compares
+    the sketch pipeline hash-for-hash against DuckDB rather than
+    rows-only (the HLL gate's weaker mode)."""
+    hv = kmv_hash(F.col(value_col)) if hash_col is None else hash_col
+    hashed = df.select(*key_cols, hv.cast("long").alias("__hv")).where(
+        F.col("__hv").isNotNull()
+    )
+    partials = hashed.mapInPandas(
+        _kmv_partials(key_cols, k),
+        schema=", ".join(
+            [f"`{c}` {t}" for c, t in hashed.drop("__hv").dtypes]
+            + ["__hv array<bigint>"]
+        ),
+    )
+    return partials.select(*key_cols, F.explode("__hv").alias("__hv")).groupBy(
+        *key_cols
+    ).agg(
+        F.slice(F.array_sort(F.collect_set("__hv")), 1, k).alias("kmv")
+    )
+
+
+def kmv_union(sketches: DataFrame, key_cols: list[str], k: int = 512) -> DataFrame:
+    """(key..., kmv): losslessly merge KMV sketches per key — the k
+    smallest distinct values across members IS the KMV sketch of the
+    union of the underlying sets (no re-scan, no extra error)."""
+    return sketches.groupBy(*key_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))),
+            1,
+            k,
+        ).alias("kmv")
+    )
+
+
+def kmv_estimate(kmv, k: int = 512, m: int = _KMV_M):
+    """Column: distinct-count estimate from a KMV array.  Exact when the
+    sketch holds fewer than k values (every distinct hash is present —
+    the hash is a bijection); otherwise the classic unbiased (k-1)/U(k)
+    with U(k) = the k-th smallest hash normalized into (0,1)."""
+    n = F.size(kmv)
+    theta = (F.element_at(kmv, k) + F.lit(1.0)) / F.lit(float(m + 1))
+    return F.when(n < k, n.cast("double")).otherwise(F.lit(float(k - 1)) / theta)
+
+
+def kmv_overlap_estimates(
+    a_kmv, b_kmv, k: int = 512, m: int = _KMV_M
+) -> dict:
+    """Dict of Columns {est_a, est_b, est_inter, est_union, est_jaccard}
+    for two KMV sketch arrays (theta-sketch set algebra):
+
+    - theta_X = U_X(k) normalized, or 1.0 for an EXACT sketch (< k
+      values — the bijective hash means every distinct value is
+      present); u(v) < 1.0 always holds under the (h+1)/(m+1)
+      normalization, so exact sketches retain everything.
+    - intersection: C = |{v in A ∩ B : u(v) < theta}| with theta =
+      min(theta_a, theta_b); estimate C / theta — exact when both
+      sketches are exact.
+    - union: the merged k-min array is a true KMV of A ∪ B (see
+      :func:`kmv_union`), estimated with the same single-set rule.
+    """
+    inv = F.lit(float(m + 1))
+
+    def _theta(arr):
+        return F.when(F.size(arr) < k, F.lit(1.0)).otherwise(
+            (F.element_at(arr, k) + F.lit(1.0)) / inv
+        )
+
+    ta, tb = _theta(a_kmv), _theta(b_kmv)
+    theta = F.least(ta, tb)
+    common = F.array_intersect(a_kmv, b_kmv)
+    c = F.size(
+        F.filter(common, lambda v: (v + F.lit(1.0)) / inv < theta)
+    ).cast("double")
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat(a_kmv, b_kmv))), 1, k
+    )
+    est_a = kmv_estimate(a_kmv, k, m)
+    est_b = kmv_estimate(b_kmv, k, m)
+    est_inter = c / theta
+    est_union = kmv_estimate(merged, k, m)
+    return {
+        "est_a": est_a,
+        "est_b": est_b,
+        "est_inter": est_inter,
+        "est_union": est_union,
+        "est_jaccard": F.when(est_union > 0, est_inter / est_union).otherwise(
+            F.lit(0.0)
+        ),
+    }
+
+
 def merge_heavy_hitter_state(
     prev_state: DataFrame | None,
     batch_counts: DataFrame,
