@@ -1289,6 +1289,104 @@ def q_kmv_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.agg(F.sum(bad.cast("int")).cast("long").alias("bad_pairs"))
 
 
+_QH_LO, _QH_HI, _QH_BINS = 900.0, 105000.0, 128
+_QH_QS = [0.25, 0.5, 0.75, 0.95]
+
+
+def q_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of l_extendedprice per return flag read from MERGED
+    fixed-bin histogram shards (pipeline/sketches.histogram_shards /
+    histogram_union / histogram_quantiles) — the third persisted-synopsis
+    family member: HLL shards answer distinct counts, KMV shards set
+    overlaps, histogram shards DISTRIBUTIONS.  Shard = l_orderkey % 8;
+    the merge is an exact elementwise sum, so sharding never changes the
+    answer, and the readout interpolates inside the hit bin (error <=
+    one bin width, ~813 for this [900, 105000] x 128 grid — the _check
+    query pins that bound against exact rank quantiles).  All bin
+    arithmetic is plain floor/clamp on doubles, so the ENTIRE pipeline
+    has an exact DuckDB oracle — unlike approx_percentile's opaque
+    internal summaries, which also cannot be persisted per shard."""
+    from tsne_flink_spark.pipeline.sketches import (
+        histogram_quantiles,
+        histogram_shards,
+        histogram_union,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    shards = histogram_shards(
+        li, ["l_returnflag"], "l_extendedprice",
+        F.pmod(F.col("l_orderkey"), F.lit(8)),
+        _QH_LO, _QH_HI, _QH_BINS,
+    )
+    merged = histogram_union(shards, ["l_returnflag"], _QH_BINS)
+    out = histogram_quantiles(
+        merged, ["l_returnflag"], _QH_QS, _QH_LO, _QH_HI, _QH_BINS
+    )
+    return out.select(
+        "l_returnflag", "q", F.round("est", 6).alias("est")
+    ).orderBy("l_returnflag", "q")
+
+
+def q_quantile_hist_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified accuracy bound for the histogram-quantile path (oracle:
+    constant zero row): every estimate within ONE BIN WIDTH of the exact
+    rank-ceil(q*n) order statistic (both lie in the same bin whenever
+    the true quantile is inside [lo, hi], so the bound is structural,
+    not statistical), and estimates are monotone in q per group."""
+    from pyspark.sql import Window
+
+    from tsne_flink_spark.pipeline.sketches import (
+        histogram_quantiles,
+        histogram_shards,
+        histogram_union,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    shards = histogram_shards(
+        li, ["l_returnflag"], "l_extendedprice",
+        F.pmod(F.col("l_orderkey"), F.lit(8)),
+        _QH_LO, _QH_HI, _QH_BINS,
+    )
+    est = histogram_quantiles(
+        histogram_union(shards, ["l_returnflag"], _QH_BINS),
+        ["l_returnflag"], _QH_QS, _QH_LO, _QH_HI, _QH_BINS,
+    )
+    wdw = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.row_number().over(wdw).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("__n"),
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in _QH_QS], "q double")
+    exact = (
+        ranked.crossJoin(F.broadcast(qdf))
+        .where(F.col("__rn") == F.ceil(F.col("q") * F.col("__n")))
+        .select("l_returnflag", "q", F.col("l_extendedprice").alias("__ex"))
+    )
+    binw = (_QH_HI - _QH_LO) / _QH_BINS
+    g = est.join(exact, ["l_returnflag", "q"], "full")
+    prev = F.lag("est").over(
+        Window.partitionBy("l_returnflag").orderBy("q")
+    )
+    bad = (
+        F.col("est").isNull()
+        | F.col("__ex").isNull()
+        | (F.abs(F.col("est") - F.col("__ex")) > binw + 1e-9)
+    )
+    mono = g.select(
+        "l_returnflag", "q", "est", prev.alias("__p")
+    ).where(F.col("__p").isNotNull() & (F.col("est") < F.col("__p")))
+    return g.agg(
+        F.sum(bad.cast("int")).cast("long").alias("bad_quantiles")
+    ).crossJoin(
+        F.broadcast(
+            mono.agg(
+                F.count(F.lit(1)).cast("long").alias("monotonicity_violations")
+            )
+        )
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-column pipeline: synthesize deterministic WAV/PCM payloads,
     decode with the real dependency-free RIFF parser, extract DSP features
@@ -3744,6 +3842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "kmv_overlap_check": q_kmv_overlap_check,
         "dup_kcore": q_dup_kcore,
+        "quantile_hist": q_quantile_hist,
+        "quantile_hist_check": q_quantile_hist_check,
     }
 
 
@@ -3986,6 +4086,44 @@ def _lcg_bucket_sql_expr(buckets: int = 100) -> str:
 
     return lcg_bucket_sql("doc_id", buckets)
 
+
+
+def _quantile_hist_oracle_sql() -> str:
+    """Exact oracle for ``quantile_hist``: replay the fixed-bin
+    histogram build (same floor/clamp bin arithmetic, same [900, 105000]
+    x 128 grid — the bin width 813.28125 is dyadic, so both engines'
+    doubles are bit-equal), the per-flag cumulative count, and the
+    rank-ceil(q*n) interpolated readout.  Sharding is invisible to the
+    oracle because the merge is an exact elementwise sum."""
+    lo, hi, bins = _QH_LO, _QH_HI, _QH_BINS
+    w = (hi - lo) / bins
+    qs = ", ".join(repr(q) for q in _QH_QS)
+    return f"""
+WITH b AS (
+  SELECT l_returnflag AS k,
+         least(greatest(floor((l_extendedprice - {lo!r}) / {w!r}), 0),
+               {bins - 1})::BIGINT AS bin
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), cnt AS (
+  SELECT k, bin, count(*)::BIGINT AS c FROM b GROUP BY 1, 2
+), cum AS (
+  SELECT k, bin, c,
+         sum(c) OVER (PARTITION BY k ORDER BY bin) AS cum,
+         sum(c) OVER (PARTITION BY k) AS n
+  FROM cnt
+), tgt AS (
+  SELECT cum.*, q, ceil(q * n)::BIGINT AS r
+  FROM cum CROSS JOIN (SELECT unnest([{qs}]::DOUBLE[]) AS q)
+), hit AS (
+  SELECT k, q, bin, cum, c, r
+  FROM tgt WHERE cum >= r AND c > 0
+  QUALIFY row_number() OVER (PARTITION BY k, q ORDER BY bin) = 1
+)
+SELECT k AS l_returnflag, q,
+       round({lo!r} + bin * {w!r}
+             + {w!r} * ((r - (cum - c))::DOUBLE / c::DOUBLE), 6) AS est
+FROM hit ORDER BY l_returnflag, q
+"""
 
 
 def _kmv_overlap_oracle_sql(k: int = 512) -> str:
@@ -6355,6 +6493,10 @@ SELECT 0::BIGINT AS mismatched_fields
 SELECT 0::BIGINT AS bad_pairs
 """,
         "dup_kcore": _kcore_oracle_sql(),
+        "quantile_hist": _quantile_hist_oracle_sql(),
+        "quantile_hist_check": """
+SELECT 0::BIGINT AS bad_quantiles, 0::BIGINT AS monotonicity_violations
+""",
     }
     # The Bloom prefilter is output-identical to the plain fingerprint join
     # (false negatives impossible; false positives killed by the confirm

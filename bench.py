@@ -114,6 +114,7 @@ HEADLINE = [
     "sketch_union",
     "sketch_union_persisted",
     "kmv_overlap",
+    "quantile_hist",
     "corpus_diff",
     "term_drift",
     "minhash_dedup",

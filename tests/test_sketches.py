@@ -425,3 +425,112 @@ def test_kmv_overlap_estimator_path(spark):
     assert abs(row.est_union - 24_000) / 24_000 < 0.15
     assert abs(row.est_inter - 4_000) / 24_000 < 0.15
     assert row.est_inter <= row.est_union
+
+
+# ---------------------------------------------------------------------------
+# mergeable fixed-bin histogram quantiles (histogram_shards / union /
+# quantiles)
+# ---------------------------------------------------------------------------
+
+
+def _hist_df(spark, values, parts=4):
+    return spark.createDataFrame(
+        [("g", float(v)) for v in values], "k string, v double"
+    ).repartition(parts)
+
+
+def test_histogram_union_equals_single_shot(spark):
+    """Merging per-shard histograms is EXACT: identical counts array to
+    one histogram over all the rows (elementwise sum commutes with the
+    bin assignment)."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.sketches import (
+        histogram_shards,
+        histogram_union,
+    )
+
+    vals = [(v * 37) % 1000 for v in range(4000)]
+    df = _hist_df(spark, vals)
+    sharded = histogram_union(
+        histogram_shards(
+            df, ["k"], "v", F.pmod(F.monotonically_increasing_id(), F.lit(5)),
+            0.0, 1000.0, 32,
+        ),
+        ["k"], 32,
+    ).first()
+    single = histogram_union(
+        histogram_shards(df, ["k"], "v", F.lit(0), 0.0, 1000.0, 32),
+        ["k"], 32,
+    ).first()
+    assert sharded.counts == single.counts and sharded.n == single.n == 4000
+
+
+def test_histogram_quantile_error_bound(spark):
+    """Every readout within one bin width of the exact rank quantile,
+    and monotone in q."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.sketches import (
+        histogram_quantiles,
+        histogram_shards,
+        histogram_union,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(500, 150, 20_000).clip(0, 1000)
+    df = _hist_df(spark, vals, parts=8)
+    qs = [0.1, 0.25, 0.5, 0.9, 0.99]
+    hist = histogram_union(
+        histogram_shards(df, ["k"], "v", F.lit(0), 0.0, 1000.0, 64),
+        ["k"], 64,
+    )
+    got = {
+        r.q: r.est
+        for r in histogram_quantiles(hist, ["k"], qs, 0.0, 1000.0, 64).collect()
+    }
+    binw = 1000.0 / 64
+    s = np.sort(vals)
+    ests = []
+    for q in qs:
+        exact = s[int(np.ceil(q * len(s))) - 1]
+        assert abs(got[q] - exact) <= binw + 1e-9, (q, got[q], exact)
+        ests.append(got[q])
+    assert ests == sorted(ests)
+
+
+def test_histogram_clamps_out_of_range(spark):
+    """Values outside [lo, hi] land in the edge bins (counted, never
+    dropped) and n reflects every non-null row."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.sketches import histogram_shards
+
+    df = _hist_df(spark, [-50.0, -1.0, 5.0, 99.0, 150.0, 2000.0])
+    h = histogram_shards(df, ["k"], "v", F.lit(0), 0.0, 100.0, 10).first()
+    assert h.n == 6
+    assert h.counts[0] == 3  # -50, -1 clamped + 5.0
+    assert h.counts[9] == 3  # 99 + 150, 2000 clamped
+
+
+def test_histogram_survives_parquet_roundtrip(spark, tmp_path):
+    """The persisted-synopsis lifecycle: write per-shard histograms to
+    parquet, read back fresh, merge — identical to the in-plan merge."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.sketches import (
+        histogram_shards,
+        histogram_union,
+    )
+
+    df = _hist_df(spark, [(v * 13) % 500 for v in range(3000)])
+    shards = histogram_shards(
+        df, ["k"], "v", F.pmod(F.monotonically_increasing_id(), F.lit(4)),
+        0.0, 500.0, 32,
+    )
+    store = str(tmp_path / "hist_store")
+    shards.write.mode("overwrite").parquet(store)
+    from_disk = histogram_union(spark.read.parquet(store), ["k"], 32).first()
+    in_plan = histogram_union(shards, ["k"], 32).first()
+    assert from_disk.counts == in_plan.counts and from_disk.n == in_plan.n

@@ -309,6 +309,139 @@ def kmv_overlap_estimates(
     }
 
 
+def histogram_shards(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    shard_col,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """(key..., shard, counts, n): per-(key, shard) fixed-bin histogram
+    of ``value_col`` over [lo, hi] (out-of-range values clamp to the
+    edge bins) — the third member of the persisted-synopsis family:
+    HLL shards answer distinct counts, KMV shards set overlaps, and
+    histogram shards DISTRIBUTIONS (quantiles, telemetry bands) —
+    re-aggregated across ingestion shards without rescanning the rows.
+
+    Merging is exact (elementwise count sum, :func:`histogram_union`),
+    so shard layout never changes the answer; quantile readout error is
+    bounded by one bin width (:func:`histogram_quantiles`).  All bin
+    arithmetic is plain floor/clamp on doubles — deterministic and
+    engine-replayable, so the gate compares the full pipeline
+    hash-for-hash against DuckDB (unlike approx_percentile's opaque
+    internal summaries, which also cannot be persisted)."""
+    w = (float(hi) - float(lo)) / bins
+    idx = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(w)),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    ).cast("int")
+    per_bin = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, shard_col.alias("shard"), idx.alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    # dense counts array: map_from sparse bins, read out all `bins` slots
+    return per_bin.groupBy(*key_cols, "shard").agg(
+        F.map_from_arrays(
+            F.collect_list("__b"), F.collect_list("__c")
+        ).alias("__m")
+    ).select(
+        *key_cols,
+        "shard",
+        F.array(
+            *[
+                F.coalesce(F.element_at("__m", F.lit(b)), F.lit(0)).alias(
+                    f"_{b}"
+                )
+                for b in range(bins)
+            ]
+        ).alias("counts"),
+    ).withColumn(
+        "n", F.aggregate("counts", F.lit(0).cast("long"), lambda a, x: a + x)
+    )
+
+
+def histogram_union(
+    shards: DataFrame, key_cols: list[str], bins: int = 128
+) -> DataFrame:
+    """(key..., counts, n): merge persisted histogram shards per key —
+    an exact elementwise sum (zip_with over the reduce), so the merged
+    histogram is identical to one built from all the rows at once."""
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(bins)])
+    return shards.groupBy(*key_cols).agg(
+        F.aggregate(
+            F.collect_list("counts"),
+            zero,
+            lambda acc, c: F.zip_with(acc, c, lambda a, b: a + b),
+        ).alias("counts"),
+        F.sum("n").cast("long").alias("n"),
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    key_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """(key..., q, est): quantile estimates read off merged histograms —
+    for each q, locate the bin where the cumulative count reaches
+    ceil(q * n) and interpolate linearly inside it.  |est - true
+    quantile| <= one bin width whenever the true quantile lies inside
+    [lo, hi].  The readout is a per-key cumulative sum over a
+    constant-size (``bins``-row) explode — the window is partitioned by
+    key, never global."""
+    from pyspark.sql import Window
+
+    w = (float(hi) - float(lo)) / bins
+    exploded = hist.select(
+        *key_cols, "n", F.posexplode("counts").alias("__b", "__c")
+    )
+    cum = exploded.withColumn(
+        "__cum",
+        F.sum("__c").over(
+            Window.partitionBy(*key_cols).orderBy("__b").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    qdf = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    tgt = cum.crossJoin(F.broadcast(qdf)).withColumn(
+        "__r", F.ceil(F.col("q") * F.col("n")).cast("long")
+    )
+    hit = (
+        tgt.where((F.col("__cum") >= F.col("__r")) & (F.col("__c") > 0))
+        .groupBy(*key_cols, "q")
+        .agg(
+            F.min(F.struct("__b", "__cum", "__c", "__r")).alias("__h")
+        )
+        .select(
+            *key_cols,
+            "q",
+            (
+                F.lit(float(lo))
+                + F.col("__h.__b") * F.lit(w)
+                + F.lit(w)
+                * (
+                    (F.col("__h.__r") - (F.col("__h.__cum") - F.col("__h.__c")))
+                    .cast("double")
+                    / F.col("__h.__c").cast("double")
+                )
+            ).alias("est"),
+        )
+    )
+    return hit
+
+
 def merge_heavy_hitter_state(
     prev_state: DataFrame | None,
     batch_counts: DataFrame,
