@@ -475,6 +475,88 @@ FROM e{rounds} GROUP BY s ORDER BY id""")
     return "".join(parts)
 
 
+def q_dup_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style training sequences over the exact near-dup graph
+    (operators/graph.random_walks over ngram_jaccard_pairs edges): one
+    deterministic 6-step walk from every node, emitted as (walk_id,
+    step, node) rows — the graph-embedding corpus generator (Perozzi et
+    al. 2014).  The step choice is the engine-replayable LCG over
+    (seed, walk, step, node) mod degree, so the DuckDB oracle replays
+    every walk exactly (_random_walks_oracle_sql unrolls the same
+    steps over the same miner CTE)."""
+    from tsne_flink_spark.operators.graph import random_walks
+    from tsne_flink_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
+    return random_walks(edges, walk_len=6, seed=1).orderBy(
+        "walk_id", "step"
+    )
+
+
+def _random_walks_oracle_sql(walk_len: int = 6, seed: int = 1) -> str:
+    """Exact oracle for ``dup_random_walks``: the ngram-Jaccard miner
+    CTE feeding the grouped sorted-neighbor adjacency, then
+    ``walk_len`` unrolled steps each picking
+    nb[lcg(seed, walk, t, node) % deg + 1] — the same arithmetic as
+    operators/graph.random_walks (pipeline/sketches.kmv_hash_sql)."""
+    from tsne_flink_spark.pipeline.sketches import kmv_hash_sql
+
+    parts = [f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ltok
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(ltok) - 1, 1) + 1),
+           i -> array_to_string(list_slice(ltok, i, i + 1), ' ')
+         )) AS grams
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), cands AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), pairs AS MATERIALIZED (
+  SELECT c.a, c.b
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b
+  WHERE len(list_intersect(sa.grams, sb.grams))
+        / greatest(len(list_distinct(list_concat(sa.grams, sb.grams))), 1)
+        >= 0.5
+), e0 AS (
+  SELECT a AS s, b AS d FROM pairs WHERE a <> b
+  UNION
+  SELECT b AS s, a AS d FROM pairs WHERE a <> b
+), adjl AS MATERIALIZED (
+  SELECT s, list(d ORDER BY d) AS nb FROM e0 GROUP BY s
+), w0 AS (
+  SELECT s AS walk_id, s AS node FROM adjl
+)"""]
+    for t in range(1, walk_len + 1):
+        key = (
+            f"({seed} * 1000003 + w.walk_id * 7919 "
+            f"+ {t} * 104729 + w.node)"
+        )
+        parts.append(f""", w{t} AS MATERIALIZED (
+  SELECT w.walk_id,
+         a.nb[(({kmv_hash_sql(key)}) % len(a.nb)) + 1] AS node
+  FROM w{t-1} w JOIN adjl a ON a.s = w.node
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT walk_id, {t} AS step, node FROM w{t}"
+        for t in range(walk_len + 1)
+    )
+    parts.append(f"""
+SELECT walk_id, step::INT AS step, node FROM ({sel})
+ORDER BY walk_id, step""")
+    return "".join(parts)
+
+
 def _link_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic WARC-style domain link graph: each document becomes a
     synthetic HTML page whose three outlinks are arithmetic in doc_id —
@@ -3844,6 +3926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_kcore": q_dup_kcore,
         "quantile_hist": q_quantile_hist,
         "quantile_hist_check": q_quantile_hist_check,
+        "dup_random_walks": q_dup_random_walks,
     }
 
 
@@ -6497,6 +6580,7 @@ SELECT 0::BIGINT AS bad_pairs
         "quantile_hist_check": """
 SELECT 0::BIGINT AS bad_quantiles, 0::BIGINT AS monotonicity_violations
 """,
+        "dup_random_walks": _random_walks_oracle_sql(),
     }
     # The Bloom prefilter is output-identical to the plain fingerprint join
     # (false negatives impossible; false positives killed by the confirm

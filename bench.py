@@ -131,6 +131,7 @@ HEADLINE = [
     "dup_best_rep",
     "dup_triangles",
     "dup_kcore",
+    "dup_random_walks",
     "leakage_split",
     "curation_pipeline",
     "tfidf_top_terms",

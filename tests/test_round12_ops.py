@@ -474,3 +474,47 @@ def test_k_core_matches_reference_random(spark, k):
     want = _kcore_reference(edges, k)
     got = {r.id: r.deg for r in k_core(df, k).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks (operators/graph.random_walks)
+# ---------------------------------------------------------------------------
+
+
+def test_random_walks_are_valid_paths(spark):
+    """Every walk starts at its walk_id, has walk_len+1 steps, and every
+    consecutive (node, next) pair is an edge of the symmetrized graph."""
+    from tsne_flink_spark.operators.graph import random_walks
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    rows = random_walks(df, walk_len=5, seed=3).collect()
+    eset = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    by_walk = defaultdict(dict)
+    for r in rows:
+        by_walk[r.walk_id][r.step] = r.node
+    assert set(by_walk) == {1, 2, 3, 4}
+    for wid, steps in by_walk.items():
+        assert sorted(steps) == list(range(6))
+        assert steps[0] == wid
+        for t in range(5):
+            assert (steps[t], steps[t + 1]) in eset
+
+
+@pytest.mark.parametrize("parts", [1, 9])
+def test_random_walks_deterministic(spark, parts):
+    """Same seed => identical walk corpus on any partitioning; a
+    different seed changes at least one step (the choice hash mixes the
+    seed in)."""
+    from tsne_flink_spark.operators.graph import random_walks
+
+    edges = [((i * 13) % 30, (i * 7 + 1) % 30) for i in range(60)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "a long, b long"
+    ).repartition(parts)
+    key = lambda rows: sorted((r.walk_id, r.step, r.node) for r in rows)
+    w1 = key(random_walks(df, walk_len=4, seed=1).collect())
+    w1b = key(random_walks(df.repartition(17), walk_len=4, seed=1).collect())
+    w2 = key(random_walks(df, walk_len=4, seed=2).collect())
+    assert w1 == w1b
+    assert w1 != w2

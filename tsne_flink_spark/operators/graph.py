@@ -332,6 +332,77 @@ def k_core(
     )
 
 
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 6,
+    seed: int = 1,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """(walk_id, step, node): one deterministic random walk of
+    ``walk_len`` steps from EVERY node of the undirected graph — the
+    training-sequence generator behind DeepWalk / node2vec (Perozzi et
+    al. 2014; Grover & Leskovec 2016): feed the walks to a skip-gram
+    model and the co-visited nodes become similar embeddings.  In a
+    curation pipeline, walks over the near-dup graph give family-context
+    sequences; over a link graph, DeepWalk-style domain embeddings.
+
+    "Random" is a seeded pseudo-random permutation, not entropy: at
+    step t from node v the walk picks sorted-neighbor index
+    ``lcg(seed, walk_id, t, v) mod deg(v)`` (the same engine-replayable
+    bijective LCG the KMV sketches use), so the full corpus of walks is
+    deterministic AND DuckDB-reproducible — the oracle unrolls the same
+    steps (__spark_entry__._random_walks_oracle_sql).  walk_id = start
+    node (one walk per node; call again with different seeds for more).
+
+    Dataflow: adjacency grouped ONCE into sorted neighbor arrays
+    (shuffle O(|E|)), then ``walk_len`` equi-joins of the walk frontier
+    against it — O(#walks) rows per step keyed by current node,
+    AQE-handled skew when many walks sit on a hub.  A hub's neighbor
+    array is O(deg) long; at web scale cap degrees upstream (the
+    adamic_adar mitigation) if super-hubs exist.  Isolated nodes never
+    appear (no edges, no walk)."""
+    from tsne_flink_spark.pipeline.sketches import kmv_hash
+
+    sym = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .union(edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d")))
+        .where(F.col("__s") != F.col("__d"))
+        .distinct()
+    )
+    adj = materialize(
+        sym.groupBy("__s").agg(F.array_sort(F.collect_set("__d")).alias("__nb"))
+    )
+    state = adj.select(
+        F.col("__s").alias("walk_id"), F.col("__s").alias("node")
+    )
+    steps = [state.select("walk_id", F.lit(0).alias("step"), "node")]
+    for t in range(1, walk_len + 1):
+        choice = F.pmod(
+            kmv_hash(
+                F.lit(int(seed)) * F.lit(1_000_003)
+                + F.col("walk_id") * F.lit(7_919)
+                + F.lit(t) * F.lit(104_729)
+                + F.col("node")
+            ),
+            F.size("__nb"),
+        )
+        state = materialize(
+            state.join(adj, state["node"] == adj["__s"])
+            .select(
+                "walk_id",
+                F.element_at(
+                    "__nb", (choice + F.lit(1)).cast("int")
+                ).alias("node"),
+            )
+        )
+        steps.append(state.select("walk_id", F.lit(t).alias("step"), "node"))
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def adamic_adar(
     edges: DataFrame,
     k: int = 100,
