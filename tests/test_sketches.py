@@ -534,3 +534,114 @@ def test_histogram_survives_parquet_roundtrip(spark, tmp_path):
     from_disk = histogram_union(spark.read.parquet(store), ["k"], 32).first()
     in_plan = histogram_union(shards, ["k"], 32).first()
     assert from_disk.counts == in_plan.counts and from_disk.n == in_plan.n
+
+
+def test_streaming_kmv_shards_union_matches_batch(spark, tmp_path):
+    """Streaming producer for the persisted KMV lifecycle: two JSONL
+    micro-batches land as two shard directories; re-unioning the store
+    yields the IDENTICAL k-min array a one-shot batch build over
+    everything ingested produces (the merge is lossless, not just
+    estimate-equal)."""
+    import json
+    import os
+    import time
+
+    from tsne_flink_spark.pipeline.sketches import (
+        kmv_sketch,
+        kmv_union,
+        streaming_kmv_shards,
+    )
+
+    in_dir = tmp_path / "kmv_in"
+    store = str(tmp_path / "kmv_store")
+    os.makedirs(in_dir)
+
+    stream = spark.readStream.schema("k string, u long").json(str(in_dir))
+    q = streaming_kmv_shards(
+        stream, store, ["k"], "u", k=32,
+        checkpoint_dir=str(tmp_path / "ckpt_kmv"),
+    )
+
+    def write_batch(name, rows):
+        with open(in_dir / name, "w") as f:
+            for k, u in rows:
+                f.write(json.dumps({"k": k, "u": u}) + "\n")
+
+    b1 = [("a", i * 3) for i in range(300)]
+    b2 = [("a", i * 5 + 1) for i in range(300)]
+    try:
+        write_batch("b1.json", b1)
+        deadline = time.time() + 60
+        while time.time() < deadline and not os.path.isdir(f"{store}/batch=0"):
+            time.sleep(0.5)
+        write_batch("b2.json", b2)
+        deadline = time.time() + 60
+        while time.time() < deadline and not os.path.isdir(f"{store}/batch=1"):
+            time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = kmv_union(spark.read.parquet(store), ["k"], k=32).first().kmv
+    whole = kmv_sketch(
+        spark.createDataFrame(b1 + b2, "k string, u long"), ["k"], "u", k=32
+    ).first().kmv
+    assert merged == whole
+
+
+def test_streaming_histogram_shards_union_matches_batch(spark, tmp_path):
+    """Streaming producer for the persisted histogram lifecycle: the
+    merged streaming store equals a batch histogram over everything
+    ingested, counts array and total alike (exact elementwise-sum
+    merge)."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.sketches import (
+        histogram_shards,
+        histogram_union,
+        streaming_histogram_shards,
+    )
+
+    in_dir = tmp_path / "hist_in"
+    store = str(tmp_path / "hist_store")
+    os.makedirs(in_dir)
+
+    stream = spark.readStream.schema("k string, v double").json(str(in_dir))
+    q = streaming_histogram_shards(
+        stream, store, ["k"], "v", 0.0, 100.0, bins=16,
+        checkpoint_dir=str(tmp_path / "ckpt_hist"),
+    )
+
+    def write_batch(name, rows):
+        with open(in_dir / name, "w") as f:
+            for k, v in rows:
+                f.write(json.dumps({"k": k, "v": v}) + "\n")
+
+    b1 = [("a", float((i * 7) % 100)) for i in range(500)]
+    b2 = [("a", float((i * 11) % 120)) for i in range(500)]
+    try:
+        write_batch("b1.json", b1)
+        deadline = time.time() + 60
+        while time.time() < deadline and not os.path.isdir(f"{store}/batch=0"):
+            time.sleep(0.5)
+        write_batch("b2.json", b2)
+        deadline = time.time() + 60
+        while time.time() < deadline and not os.path.isdir(f"{store}/batch=1"):
+            time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = histogram_union(spark.read.parquet(store), ["k"], 16).first()
+    whole = histogram_union(
+        histogram_shards(
+            spark.createDataFrame(b1 + b2, "k string, v double"),
+            ["k"], "v", F.lit(0), 0.0, 100.0, 16,
+        ),
+        ["k"], 16,
+    ).first()
+    assert merged.counts == whole.counts and merged.n == whole.n == 1000

@@ -524,6 +524,70 @@ def streaming_heavy_hitters(
     return writer.start()
 
 
+def streaming_kmv_shards(
+    stream_df: DataFrame,
+    store_dir: str,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 512,
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int = 1,
+):
+    """Continuous producer for the persisted KMV lifecycle: each
+    micro-batch's per-key k-minimum arrays land as one shard under
+    ``store_dir/batch=<id>``; overlap/union/distinct estimates at any
+    time come from ``kmv_union(spark.read.parquet(store_dir), key_cols,
+    k)`` with no rescan.  Idempotent under micro-batch replay (a batch
+    overwrites its OWN directory; the k-min merge is idempotent
+    anyway).  Returns the StreamingQuery."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        kmv_sketch(batch_df, key_cols, value_col, k=k).withColumn(
+            "shard", F.lit(int(batch_id)).cast("long")
+        ).write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+
+    writer = stream_df.writeStream.foreachBatch(step).trigger(
+        processingTime=f"{trigger_seconds} seconds"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def streaming_histogram_shards(
+    stream_df: DataFrame,
+    store_dir: str,
+    key_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int = 1,
+):
+    """Continuous producer for the persisted histogram lifecycle: each
+    micro-batch's per-key fixed-bin counts land as one shard under
+    ``store_dir/batch=<id>``; distribution quantiles at any time come
+    from ``histogram_quantiles(histogram_union(spark.read.parquet(
+    store_dir), key_cols, bins), ...)`` — an EXACT merge, so the
+    streaming store answers identically to a batch rebuild over
+    everything ingested.  Idempotent under micro-batch replay (per-batch
+    directory overwrite).  Returns the StreamingQuery."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        histogram_shards(
+            batch_df, key_cols, value_col,
+            F.lit(int(batch_id)).cast("long"), lo, hi, bins,
+        ).write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+
+    writer = stream_df.writeStream.foreachBatch(step).trigger(
+        processingTime=f"{trigger_seconds} seconds"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def streaming_sketch_shards(
     stream_df: DataFrame,
     store_dir: str,
