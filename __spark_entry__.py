@@ -404,6 +404,73 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution (streaming/events.
+    touch_attribution): every purchase's value credited to the click /
+    view touches in its 7-day lookback under LAST-TOUCH and LINEAR
+    models simultaneously, plus the '(none)' row for conversions with no
+    preceding touch.  Per-user range join + two conversion-keyed
+    groupBys; exact DuckDB oracle with the same (ts, event_id) argmax
+    tie-break."""
+    from tsne_flink_spark.streaming.events import touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    out = touch_attribution(
+        ev, "purchase", ("click", "view"), horizon_days=7
+    )
+    return out.select(
+        "touch_type",
+        "conversions_last_touch",
+        F.round("value_last_touch", 4).alias("value_last_touch"),
+        F.round("value_linear", 4).alias("value_linear"),
+    ).orderBy("touch_type")
+
+
+_TOUCH_ATTRIBUTION_ORACLE = """
+WITH conv AS (
+  SELECT user_id AS u, event_id AS cid, ts AS cts, "value" AS val
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS u, event_id AS tid, event_type AS touch_type, ts AS tts
+  FROM events WHERE event_type IN ('click', 'view')
+), pairs AS (
+  SELECT c.cid, c.val, t.tid, t.touch_type, t.tts
+  FROM conv c JOIN touch t ON c.u = t.u
+  WHERE t.tts <= c.cts AND t.tts >= c.cts - INTERVAL 7 DAY
+), per_conv AS (
+  SELECT cid, count(*)::BIGINT AS n, any_value(val) AS v
+  FROM pairs GROUP BY cid
+), lastt AS (
+  SELECT cid, touch_type AS last_type
+  FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY cid ORDER BY tts DESC, tid DESC) = 1
+), att AS (
+  SELECT pt.touch_type,
+    sum(CASE WHEN l.last_type = pt.touch_type THEN 1 ELSE 0 END)::BIGINT
+      AS conversions_last_touch,
+    sum(CASE WHEN l.last_type = pt.touch_type THEN pc.v ELSE 0.0 END)
+      AS value_last_touch,
+    sum(pt.c::DOUBLE / pc.n::DOUBLE * pc.v) AS value_linear
+  FROM (SELECT cid, touch_type, count(*)::BIGINT AS c
+        FROM pairs GROUP BY 1, 2) pt
+  JOIN per_conv pc USING (cid)
+  JOIN lastt l USING (cid)
+  GROUP BY 1
+), none_row AS (
+  SELECT '(none)' AS touch_type,
+         count(*)::BIGINT AS conversions_last_touch,
+         coalesce(sum(val), 0.0) AS value_last_touch,
+         0.0 AS value_linear
+  FROM conv WHERE cid NOT IN (SELECT DISTINCT cid FROM pairs)
+)
+SELECT touch_type, conversions_last_touch,
+       round(value_last_touch, 4) AS value_last_touch,
+       round(value_linear, 4) AS value_linear
+FROM (SELECT * FROM att UNION ALL SELECT * FROM none_row)
+ORDER BY touch_type
+"""
+
+
 def q_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the exact near-dup similarity graph (operators/graph.
     k_core over ngram_jaccard_pairs edges): the nodes surviving
@@ -3927,6 +3994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_hist": q_quantile_hist,
         "quantile_hist_check": q_quantile_hist_check,
         "dup_random_walks": q_dup_random_walks,
+        "touch_attribution": q_touch_attribution,
     }
 
 
@@ -6581,6 +6649,7 @@ SELECT 0::BIGINT AS bad_pairs
 SELECT 0::BIGINT AS bad_quantiles, 0::BIGINT AS monotonicity_violations
 """,
         "dup_random_walks": _random_walks_oracle_sql(),
+        "touch_attribution": _TOUCH_ATTRIBUTION_ORACLE,
     }
     # The Bloom prefilter is output-identical to the plain fingerprint join
     # (false negatives impossible; false positives killed by the confirm

@@ -71,6 +71,7 @@ HEADLINE = [
     "event_cube",
     "event_funnel",
     "user_cohorts",
+    "touch_attribution",
     "joint_distribution",
     "knn_bruteforce",
     "knn_partition",

@@ -599,3 +599,46 @@ def test_user_cohorts_matrix(spark):
         ("2024-01-08", 0): 1,   # user 3
         ("2024-01-08", 1): 1,   # user 3
     }
+
+
+def test_touch_attribution_models(spark):
+    """Handcrafted attribution scenario: last-touch picks the latest
+    preceding touch (ties by event id), linear splits the value across
+    every in-horizon touch, out-of-horizon touches are excluded, and
+    untouched conversions land in the '(none)' row."""
+    from datetime import datetime
+
+    from tsne_flink_spark.streaming.events import touch_attribution
+
+    T = datetime
+    rows = [
+        # user 1: click(d1), view(d2) -> purchase(d3, 100): last=view,
+        # linear 50/50
+        (1, 1, T(2024, 1, 1), "click", 0.0),
+        (2, 1, T(2024, 1, 2), "view", 0.0),
+        (3, 1, T(2024, 1, 3), "purchase", 100.0),
+        # user 2: click 10 days before purchase -> outside 7d horizon:
+        # '(none)'
+        (4, 2, T(2024, 1, 1), "click", 0.0),
+        (5, 2, T(2024, 1, 11), "purchase", 40.0),
+        # user 3: click and view at the SAME ts -> tie broken by higher
+        # event_id (7 = view)
+        (6, 3, T(2024, 2, 1), "click", 0.0),
+        (7, 3, T(2024, 2, 1), "view", 0.0),
+        (8, 3, T(2024, 2, 2), "purchase", 60.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+    got = {
+        r.touch_type: (
+            r.conversions_last_touch,
+            round(r.value_last_touch, 6),
+            round(r.value_linear, 6),
+        )
+        for r in touch_attribution(ev, "purchase", ("click", "view")).collect()
+    }
+    assert got["view"] == (2, 160.0, 80.0)     # last for users 1 and 3
+    assert got["click"] == (0, 0.0, 80.0)      # linear half of 100 + 60
+    assert got["(none)"] == (1, 40.0, 0.0)     # user 2's horizon miss

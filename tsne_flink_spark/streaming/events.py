@@ -513,3 +513,88 @@ def user_cohorts(
         .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    horizon_days: int = 7,
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-touch marketing attribution: credit each conversion's value
+    to the touch events (clicks/views) that preceded it within a
+    ``horizon_days`` lookback, under the two standard models at once —
+    LAST-TOUCH (all credit to the latest preceding touch; ties broken by
+    event id, so the pick is deterministic) and LINEAR (credit split
+    equally across every preceding touch).  One row per touch type:
+    (touch_type, conversions_last_touch, value_last_touch, value_linear),
+    plus a ``(none)`` row carrying conversions with NO touch in the
+    window — the rows every attribution report silently drops.
+
+    Dataflow: conversions ⋈ touches is an equi-join on the user key with
+    a time-range predicate (the standard sessionless attribution join —
+    per-user fan-out is bounded by a user's touch count in the horizon,
+    AQE handles heavy users); everything after is two groupBys keyed by
+    conversion id, then a tiny per-type rollup.  The fact table is
+    scanned twice (conversion filter, touch filter), both filters pushed
+    to the scan.  Exact DuckDB oracle (same argmax tie-break)."""
+    conv = events.where(F.col("event_type") == conversion_type).select(
+        F.col("user_id").alias("__u"),
+        F.col("event_id").alias("__cid"),
+        F.col("ts").alias("__cts"),
+        F.col(value_col).alias("__val"),
+    )
+    touch = events.where(F.col("event_type").isin(list(touch_types))).select(
+        F.col("user_id").alias("__u"),
+        F.col("event_id").alias("__tid"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("__tts"),
+    )
+    pairs = conv.join(touch, "__u").where(
+        (F.col("__tts") <= F.col("__cts"))
+        & (
+            F.col("__tts")
+            >= F.col("__cts") - F.expr(f"INTERVAL {int(horizon_days)} DAYS")
+        )
+    )
+    per_conv = pairs.groupBy("__cid").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.max(F.struct("__tts", "__tid", "touch_type"))
+        .getField("touch_type")
+        .alias("__last"),
+        F.first("__val").alias("__v"),
+    )
+    per_type = (
+        pairs.groupBy("__cid", "touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .join(per_conv, "__cid")
+    )
+    attributed = per_type.groupBy("touch_type").agg(
+        F.sum(F.when(F.col("__last") == F.col("touch_type"), 1).otherwise(0))
+        .cast("long")
+        .alias("conversions_last_touch"),
+        F.sum(
+            F.when(
+                F.col("__last") == F.col("touch_type"), F.col("__v")
+            ).otherwise(0.0)
+        ).alias("value_last_touch"),
+        F.sum(
+            F.col("__c").cast("double") / F.col("__n").cast("double")
+            * F.col("__v")
+        ).alias("value_linear"),
+    )
+    untouched = (
+        conv.join(pairs.select("__cid").distinct(), "__cid", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("conversions_last_touch"),
+            F.coalesce(F.sum("__val"), F.lit(0.0)).alias("value_last_touch"),
+        )
+        .select(
+            F.lit("(none)").alias("touch_type"),
+            "conversions_last_touch",
+            "value_last_touch",
+            F.lit(0.0).alias("value_linear"),
+        )
+    )
+    return attributed.unionByName(untouched)
