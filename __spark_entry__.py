@@ -471,6 +471,42 @@ ORDER BY touch_type
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream
+    (streaming/events.event_transitions): count and conditional
+    probability of every consecutive (from_type, to_type) pair within a
+    user's timeline, ties broken by event_id — next-event priors for
+    behavioral modeling.  One user-keyed shuffle + a per-user lead()
+    window; exact DuckDB oracle."""
+    from tsne_flink_spark.streaming.events import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    out = event_transitions(ev)
+    return out.select(
+        "from_type", "to_type", "n", F.round("p", 6).alias("p")
+    ).orderBy("from_type", "to_type")
+
+
+_EVENT_TRANSITIONS_ORACLE = """
+WITH ordered AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM ordered WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type)::DOUBLE, 6)
+         AS p
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
 def q_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the exact near-dup similarity graph (operators/graph.
     k_core over ngram_jaccard_pairs edges): the nodes surviving
@@ -3995,6 +4031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_hist_check": q_quantile_hist_check,
         "dup_random_walks": q_dup_random_walks,
         "touch_attribution": q_touch_attribution,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -6650,6 +6687,7 @@ SELECT 0::BIGINT AS bad_quantiles, 0::BIGINT AS monotonicity_violations
 """,
         "dup_random_walks": _random_walks_oracle_sql(),
         "touch_attribution": _TOUCH_ATTRIBUTION_ORACLE,
+        "event_transitions": _EVENT_TRANSITIONS_ORACLE,
     }
     # The Bloom prefilter is output-identical to the plain fingerprint join
     # (false negatives impossible; false positives killed by the confirm

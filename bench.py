@@ -72,6 +72,7 @@ HEADLINE = [
     "event_funnel",
     "user_cohorts",
     "touch_attribution",
+    "event_transitions",
     "joint_distribution",
     "knn_bruteforce",
     "knn_partition",

@@ -642,3 +642,38 @@ def test_touch_attribution_models(spark):
     assert got["view"] == (2, 160.0, 80.0)     # last for users 1 and 3
     assert got["click"] == (0, 0.0, 80.0)      # linear half of 100 + 60
     assert got["(none)"] == (1, 40.0, 0.0)     # user 2's horizon miss
+
+
+def test_event_transitions_reference(spark):
+    """Handcrafted timeline: counts and conditional probabilities match
+    the hand-derived chain, same-ts ties break by event_id, and per-from
+    probabilities sum to 1."""
+    from datetime import datetime
+
+    from tsne_flink_spark.streaming.events import event_transitions
+
+    T = datetime
+    rows = [
+        # user 1 chain: a -> b -> a -> c
+        (1, 1, T(2024, 1, 1, 0), "a", 0.0),
+        (2, 1, T(2024, 1, 1, 1), "b", 0.0),
+        (3, 1, T(2024, 1, 1, 2), "a", 0.0),
+        (4, 1, T(2024, 1, 1, 3), "c", 0.0),
+        # user 2: same-ts tie -> event_id order: a(5) -> b(6) -> a(7)
+        (5, 2, T(2024, 1, 2), "a", 0.0),
+        (6, 2, T(2024, 1, 2), "b", 0.0),
+        (7, 2, T(2024, 1, 3), "a", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n, round(r.p, 6))
+        for r in event_transitions(ev).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, round(2 / 3, 6)),
+        ("a", "c"): (1, round(1 / 3, 6)),
+        ("b", "a"): (2, 1.0),
+    }

@@ -598,3 +598,43 @@ def touch_attribution(
         )
     )
     return attributed.unionByName(untouched)
+
+
+def event_transitions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition summary of the event stream: for
+    every ordered (from_type, to_type) pair of CONSECUTIVE events within
+    a user's timeline, the transition count and conditional probability
+    P(next = to | current = from) — the behavioral-model training
+    artifact (next-event prediction priors, anomaly baselines,
+    session-shape fingerprints).
+
+    Ordering ties (same user, same timestamp) break by event_id, so the
+    consecutive-pair chain is deterministic and engine-replayable.
+    Dataflow: one shuffle on the user key, a per-user lead() window (no
+    global window), then a map-side-combinable pair count; the
+    conditional denominator rides a broadcast per-from_type rollup."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    pairs = (
+        events.select(
+            user_col, ts_col, "event_id", F.col(type_col).alias("from_type")
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("__t"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("__t").cast("double")).alias("p"),
+    )
