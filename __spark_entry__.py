@@ -507,6 +507,75 @@ ORDER BY from_type, to_type
 """
 
 
+def q_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keywords by TextRank (pipeline/text.keyword_textrank):
+    PageRank centrality over the content-word co-occurrence graph —
+    a pure composition of the tokenize/stopword Column pipeline and
+    operators/graph.pagerank.  Exact DuckDB oracle unrolling the same
+    10 synchronous iterations over the same pair CTE
+    (_textrank_oracle_sql)."""
+    from tsne_flink_spark.pipeline.text import keyword_textrank
+
+    docs = _t(spark, sf_dir, "documents")
+    return keyword_textrank(docs, iters=10, k=50)
+
+
+def _textrank_oracle_sql(iters: int = 10, damping: float = 0.85, k: int = 50) -> str:
+    """Exact oracle for ``keyword_textrank``: the same lowercase
+    whitespace tokenization, the same stop-word union (generated from
+    pipeline/text._STOPWORDS, the single source of truth), consecutive
+    content-word pairs normalized (least, greatest), then ``iters``
+    unrolled PageRank rounds (the _pagerank_oracle_sql recurrence over
+    string word ids) and the rounded-rank top-k."""
+    from tsne_flink_spark.pipeline.text import _STOPWORDS
+
+    stops = sorted({w for ws in _STOPWORDS.values() for w in ws})
+    stop_list = ", ".join("'" + w + "'" for w in stops)
+    parts = [f"""
+WITH toks AS (
+  SELECT list_filter(
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       t -> t <> ''),
+           t -> NOT list_contains([{stop_list}], t)
+         ) AS t
+  FROM documents
+), pairs AS (
+  SELECT least(w1, w2) AS a, greatest(w1, w2) AS b FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                  i -> {{'w1': t[i], 'w2': t[i + 1]}}), recursive := true)
+    FROM toks
+  )
+), e AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM pairs WHERE a <> b
+), edges AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM e
+  UNION
+  SELECT b AS s, a AS d FROM e
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT s AS id FROM edges
+), deg AS MATERIALIZED (
+  SELECT s, count(*)::DOUBLE AS dg FROM edges GROUP BY s
+), r0 AS MATERIALIZED (
+  SELECT id, 1.0::DOUBLE AS rank FROM nodes
+)"""]
+    for t in range(iters):
+        parts.append(f""", r{t+1} AS MATERIALIZED (
+  SELECT n.id,
+         {1.0 - damping!r} + {damping!r} * coalesce(c.inr, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS id, sum(r.rank / dg.dg) AS inr
+    FROM edges e
+    JOIN r{t} r ON r.id = e.s
+    JOIN deg dg ON dg.s = e.s
+    GROUP BY e.d
+  ) c ON c.id = n.id
+)""")
+    parts.append(f"""
+SELECT id AS word, round(rank, 6) AS rank FROM r{iters}
+ORDER BY round(rank, 6) DESC, word LIMIT {k}""")
+    return "".join(parts)
+
+
 def q_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the exact near-dup similarity graph (operators/graph.
     k_core over ngram_jaccard_pairs edges): the nodes surviving
@@ -4032,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_random_walks": q_dup_random_walks,
         "touch_attribution": q_touch_attribution,
         "event_transitions": q_event_transitions,
+        "keyword_textrank": q_keyword_textrank,
     }
 
 
@@ -6688,6 +6758,7 @@ SELECT 0::BIGINT AS bad_quantiles, 0::BIGINT AS monotonicity_violations
         "dup_random_walks": _random_walks_oracle_sql(),
         "touch_attribution": _TOUCH_ATTRIBUTION_ORACLE,
         "event_transitions": _EVENT_TRANSITIONS_ORACLE,
+        "keyword_textrank": _textrank_oracle_sql(),
     }
     # The Bloom prefilter is output-identical to the plain fingerprint join
     # (false negatives impossible; false positives killed by the confirm

@@ -137,6 +137,7 @@ HEADLINE = [
     "leakage_split",
     "curation_pipeline",
     "tfidf_top_terms",
+    "keyword_textrank",
     "bm25_scores",
     "bm25_index",
     "lm_perplexity",

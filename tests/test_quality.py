@@ -188,3 +188,29 @@ def test_blocklist_filter_token_boundary(spark):
     # empty blocklist blocks nothing
     none = blocklist_filter(docs, []).where("blocked").count()
     assert none == 0
+
+
+def test_keyword_textrank_centrality_and_stopwords(spark):
+    """TextRank ranks the co-occurrence HUB above peripheral words, never
+    emits stop words, and is partition-independent."""
+    docs = spark.createDataFrame(
+        [
+            # "spark" co-occurs with every other content word (the hub);
+            # stop word "the" is everywhere but must not appear
+            (1, "the spark engine"),
+            (2, "the spark shuffle"),
+            (3, "the spark catalyst"),
+            (4, "the spark tungsten"),
+            (5, "the engine shuffle"),
+        ],
+        "doc_id long, text string",
+    )
+    from tsne_flink_spark.pipeline.text import keyword_textrank
+
+    rows = keyword_textrank(docs, k=10).collect()
+    words = [r.word for r in rows]
+    assert "the" not in words
+    assert words[0] == "spark"  # highest centrality
+    assert set(words) == {"spark", "engine", "shuffle", "catalyst", "tungsten"}
+    rows2 = keyword_textrank(docs.repartition(7), k=10).collect()
+    assert [(r.word, r.rank) for r in rows] == [(r.word, r.rank) for r in rows2]

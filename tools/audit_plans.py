@@ -58,6 +58,12 @@ AUDITED = [
     "ann_ivf_persisted",
     "ann_pq_persisted",
     "leakage_split",
+    "kmv_overlap",
+    "quantile_hist",
+    "dup_kcore",
+    "dup_random_walks",
+    "touch_attribution",
+    "event_transitions",
     "exact_substr_dedup",
     "corpus_shards",
     "bm25_scores",

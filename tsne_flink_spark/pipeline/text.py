@@ -433,3 +433,59 @@ def _pii_flag(t: Column) -> Column:
     return (
         t.rlike(EMAIL_RE) | t.rlike(PHONE_RE) | t.rlike(IPV4_RE)
     ).cast("int")
+
+
+def keyword_textrank(
+    docs: DataFrame,
+    text_col: str = "text",
+    iters: int = 10,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` corpus keywords by TextRank (Mihalcea & Tarau 2004):
+    PageRank over the word co-occurrence graph — consecutive
+    content-word pairs after lowercasing and stop-word removal (the
+    union of the `_STOPWORDS` lists) — ranked by centrality rather than
+    raw frequency, so connective high-df terms don't dominate the way
+    they do in a count-based list.  (word, rank) ordered by rank desc
+    then word; ties at the k-th rank break deterministically.
+
+    A pure COMPOSITION of existing operators: the tokenize/filter
+    Column pipeline feeds operators/graph.pagerank (10 synchronous
+    iterations, undirected, engine-replayable) — the oracle unrolls the
+    same rounds over the same pair CTE.  Scale shape: the edge list is
+    O(total tokens) rows collapsing to O(distinct bigrams) after the
+    distinct, and each PR round is one O(|E|) join; top-k lands as
+    TakeOrderedAndProject."""
+    from tsne_flink_spark.operators.graph import pagerank
+
+    stops = sorted({w for ws in _STOPWORDS.values() for w in ws})
+    toks = docs.select(
+        F.filter(
+            tokenize(F.lower(F.col(text_col))),
+            lambda t: ~t.isin(stops),
+        ).alias("__t")
+    )
+    n1 = F.greatest(F.size("__t") - 1, F.lit(0))
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("__t", 1, n1).alias("a"),
+                F.slice("__t", 2, n1).alias("b"),
+            )
+        ).alias("__p")
+    ).select(
+        F.least(F.col("__p.a"), F.col("__p.b")).alias("a"),
+        F.greatest(F.col("__p.a"), F.col("__p.b")).alias("b"),
+    )
+    edges = pairs.where(F.col("a") != F.col("b")).distinct()
+    ranks = pagerank(edges, iters=iters, undirected=True)
+    # round BEFORE the top-k cutoff: float-sum order differs across
+    # engines in the last ulps, and an unrounded order-by would let that
+    # noise change which ties survive the limit
+    return (
+        ranks.select(
+            F.col("id").alias("word"), F.round("rank", 6).alias("rank")
+        )
+        .orderBy(F.col("rank").desc(), "word")
+        .limit(k)
+    )
