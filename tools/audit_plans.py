@@ -64,6 +64,7 @@ AUDITED = [
     "dup_random_walks",
     "touch_attribution",
     "event_transitions",
+    "keyword_textrank",
     "exact_substr_dedup",
     "corpus_shards",
     "bm25_scores",

@@ -551,11 +551,22 @@ def touch_attribution(
         F.col("event_type").alias("touch_type"),
         F.col("ts").alias("__tts"),
     )
-    pairs = conv.join(touch, "__u").where(
-        (F.col("__tts") <= F.col("__cts"))
-        & (
-            F.col("__tts")
-            >= F.col("__cts") - F.expr(f"INTERVAL {int(horizon_days)} DAYS")
+    from tsne_flink_spark.operators.optimize import materialize
+
+    # materialize both: conv is referenced twice (the range join + the
+    # untouched anti-join) and pairs THREE times (per-conversion rollup,
+    # per-type counts, the touched-id set) — without the lineage cut each
+    # reference re-executes the fact-table scans and the range join
+    # (audited: 14 parquet scans collapsing to 2 + the checkpoint reads)
+    conv = materialize(conv)
+    pairs = materialize(
+        conv.join(touch, "__u").where(
+            (F.col("__tts") <= F.col("__cts"))
+            & (
+                F.col("__tts")
+                >= F.col("__cts")
+                - F.expr(f"INTERVAL {int(horizon_days)} DAYS")
+            )
         )
     )
     per_conv = pairs.groupBy("__cid").agg(
@@ -628,8 +639,15 @@ def event_transitions(
         .withColumn("to_type", F.lead("from_type").over(w))
         .where(F.col("to_type").isNotNull())
     )
-    counts = pairs.groupBy("from_type", "to_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    from tsne_flink_spark.operators.optimize import materialize
+
+    # the tiny (|types|^2-row) count table is referenced twice (itself +
+    # the per-from denominator); the cut stops the second reference from
+    # re-running the full per-user window over the fact table
+    counts = materialize(
+        pairs.groupBy("from_type", "to_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
     )
     totals = counts.groupBy("from_type").agg(F.sum("n").alias("__t"))
     return counts.join(F.broadcast(totals), "from_type").select(
