@@ -576,6 +576,79 @@ ORDER BY round(rank, 6) DESC, word LIMIT {k}""")
     return "".join(parts)
 
 
+_FK_RELATIONS = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def q_integrity_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema referential-integrity audit (pipeline/profile.
+    referential_orphans): for each FK relationship in the TPC-H-ish
+    schema, the child-row count, orphaned non-null FKs (left anti join
+    against the distinct parent keys), and null FKs — the data-quality
+    gate an ingestion pipeline runs before publishing a snapshot.
+    Exact DuckDB oracle (anti-join counts)."""
+    from tsne_flink_spark.pipeline.profile import referential_orphans
+
+    out = None
+    for child, fk, parent, pk in _FK_RELATIONS:
+        row = referential_orphans(
+            _t(spark, sf_dir, child), _t(spark, sf_dir, parent),
+            fk, pk, f"{child}.{fk}->{parent}.{pk}",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relation")
+
+
+def _integrity_orphans_oracle_sql() -> str:
+    parts = []
+    for child, fk, parent, pk in _FK_RELATIONS:
+        parts.append(f"""
+SELECT '{child}.{fk}->{parent}.{pk}' AS relation,
+  (SELECT count(*) FROM {child})::BIGINT AS n_child,
+  (SELECT count(*) FROM {child}
+   WHERE {fk} IS NOT NULL
+     AND {fk} NOT IN (SELECT {pk} FROM {parent} WHERE {pk} IS NOT NULL)
+  )::BIGINT AS n_orphans,
+  (SELECT count(*) FROM {child} WHERE {fk} IS NULL)::BIGINT AS n_null_fk""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY relation"
+
+
+def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics (pipeline/profile.key_skew) for the
+    events table's user key: distinct keys, max/mean rows per key, the
+    max/mean skew ratio AQE's skew-join mitigation cares about, and the
+    hottest-5-keys row share — the pre-flight check before picking a
+    join or bucketing key.  Exact DuckDB oracle."""
+    from tsne_flink_spark.pipeline.profile import key_skew
+
+    return key_skew(_t(spark, sf_dir, "events"), "user_id", top=5)
+
+
+_JOIN_KEY_SKEW_ORACLE = """
+WITH c AS (
+  SELECT user_id AS k, count(*)::BIGINT AS c FROM events GROUP BY 1
+), s AS (
+  SELECT count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS n_rows,
+         max(c)::BIGINT AS max_per_key
+  FROM c
+), t AS (
+  SELECT sum(c)::BIGINT AS topc
+  FROM (SELECT c FROM c ORDER BY c DESC, k LIMIT 5)
+)
+SELECT n_keys, n_rows, max_per_key,
+  round(n_rows::DOUBLE / n_keys::DOUBLE, 6) AS mean_per_key,
+  round(max_per_key::DOUBLE * n_keys::DOUBLE / n_rows::DOUBLE, 6)
+    AS skew_ratio,
+  round(topc::DOUBLE / n_rows::DOUBLE, 6) AS top_share
+FROM s, t
+"""
+
+
 def q_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the exact near-dup similarity graph (operators/graph.
     k_core over ngram_jaccard_pairs edges): the nodes surviving
@@ -4102,6 +4175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "touch_attribution": q_touch_attribution,
         "event_transitions": q_event_transitions,
         "keyword_textrank": q_keyword_textrank,
+        "integrity_orphans": q_integrity_orphans,
+        "join_key_skew": q_join_key_skew,
     }
 
 
@@ -6759,6 +6834,8 @@ SELECT 0::BIGINT AS bad_quantiles, 0::BIGINT AS monotonicity_violations
         "touch_attribution": _TOUCH_ATTRIBUTION_ORACLE,
         "event_transitions": _EVENT_TRANSITIONS_ORACLE,
         "keyword_textrank": _textrank_oracle_sql(),
+        "integrity_orphans": _integrity_orphans_oracle_sql(),
+        "join_key_skew": _JOIN_KEY_SKEW_ORACLE,
     }
     # The Bloom prefilter is output-identical to the plain fingerprint join
     # (false negatives impossible; false positives killed by the confirm

@@ -160,6 +160,8 @@ HEADLINE = [
     "gopher_quality",
     "heavy_hitters",
     "profile_lineitem",
+    "integrity_orphans",
+    "join_key_skew",
     "source_stats",
     "multimodal_features",
     "audio_features",

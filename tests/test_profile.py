@@ -32,3 +32,32 @@ def test_profile_table_column_subset(spark):
     df = spark.createDataFrame([(1, "a")], "k long, s string")
     rows = profile_table(df, columns=["s"]).collect()
     assert [r["column"] for r in rows] == ["s"]
+
+
+def test_referential_orphans_counts(spark):
+    """Handcrafted parent/child: orphans, null FKs, and clean rows are
+    counted into their separate buckets."""
+    from tsne_flink_spark.pipeline.profile import referential_orphans
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 9), (13, None), (14, 1)],
+        "id long, fk long",
+    )
+    row = referential_orphans(child, parent, "fk", "pk", "c->p").first()
+    assert (row.relation, row.n_child, row.n_orphans, row.n_null_fk) == (
+        "c->p", 5, 1, 1,
+    )
+
+
+def test_key_skew_metrics(spark):
+    """Handcrafted skew: one hot key of 6 rows among 4 keys / 12 rows
+    gives skew_ratio 2.0 and a hot-2 share of 9/12."""
+    from tsne_flink_spark.pipeline.profile import key_skew
+
+    rows = [(1,)] * 6 + [(2,)] * 3 + [(3,)] * 2 + [(4,)] * 1
+    df = spark.createDataFrame(rows, "k long").repartition(5)
+    r = key_skew(df, "k", top=2).first()
+    assert (r.n_keys, r.n_rows, r.max_per_key) == (4, 12, 6)
+    assert r.mean_per_key == 3.0 and r.skew_ratio == 2.0
+    assert r.top_share == 0.75

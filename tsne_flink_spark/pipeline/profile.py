@@ -113,3 +113,90 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
         "min_num", "max_num", "mean_num", "min_str", "max_str",
     )
+
+
+def referential_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    relation: str,
+) -> DataFrame:
+    """One audit row (relation, n_child, n_orphans, n_null_fk) for a
+    foreign-key relationship: child rows whose non-null FK matches no
+    parent key (a LEFT ANTI join — at scale the parent key column is
+    the only thing shuffled from the parent side thanks to column
+    pruning), plus the null-FK count separated out (a null FK is a
+    modeling question, not a broken reference).  Chain several with
+    unionByName for a whole-schema integrity report — the data-quality
+    gate every ingestion pipeline runs before publishing a snapshot."""
+    nn = child.where(F.col(fk_col).isNotNull())
+    orphans = nn.join(
+        parent.select(F.col(pk_col).alias(fk_col)).distinct(),
+        fk_col,
+        "left_anti",
+    )
+    return (
+        orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        .crossJoin(
+            F.broadcast(
+                child.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_child"),
+                    F.sum(F.col(fk_col).isNull().cast("int"))
+                    .cast("long")
+                    .alias("n_null_fk"),
+                )
+            )
+        )
+        .select(
+            F.lit(relation).alias("relation"),
+            "n_child",
+            "n_orphans",
+            "n_null_fk",
+        )
+    )
+
+
+def key_skew(df: DataFrame, key_col: str, top: int = 5) -> DataFrame:
+    """One row of partition-skew diagnostics for a prospective
+    shuffle/join key: distinct key count, max and mean rows per key,
+    the skew ratio max/mean (the number AQE's skew-join mitigation
+    cares about), and the share of all rows held by the ``top`` hottest
+    keys — the pre-flight check before choosing a join/bucketing key at
+    100 TB.  One groupBy(key) count plus a constant-size aggregate;
+    the top-share rides a TakeOrderedAndProject, never a global sort."""
+    counts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.max("__c").cast("long").alias("max_per_key"),
+    )
+    topk = (
+        counts.orderBy(F.col("__c").desc(), F.col(key_col))
+        .limit(top)
+        .agg(F.sum("__c").cast("long").alias("__topc"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(topk))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_per_key",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("n_keys").cast("double"),
+                6,
+            ).alias("mean_per_key"),
+            F.round(
+                F.col("max_per_key").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("skew_ratio"),
+            F.round(
+                F.col("__topc").cast("double") / F.col("n_rows").cast("double"),
+                6,
+            ).alias("top_share"),
+        )
+    )
