@@ -667,14 +667,20 @@ def q_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=2).orderBy("id")
 
 
-def _kcore_oracle_sql(k: int = 2, rounds: int = 6) -> str:
+def _kcore_oracle_sql(k: int = 2, rounds: int = 12) -> str:
     """Exact oracle for ``dup_kcore``: the ngram-Jaccard miner CTE (same
     as dup_pagerank/_TRIANGLES_ORACLE) feeding ``rounds`` unrolled
     synchronous peel rounds — delete every node of degree < k, repeat.
     Extra rounds past the fixpoint are no-ops, so the unroll count only
     needs to be >= the actual peel depth (measured: 1 round at
-    sf0.001/sf0.01; chains in the unit tests need 2-3; 6 is slack —
-    a deeper graph would surface as a gate mismatch, not silent error)."""
+    sf0.001/sf0.01; chains in the unit tests need 2-3; 12 is deep
+    slack, and the extra no-op rounds are near-free — each scans the
+    already-tiny converged edge set).  If the peel depth ever EXCEEDS
+    the unroll, the oracle emits a sentinel row (id = -1,
+    deg = -#unconverged-nodes) that no real peel can produce, so the
+    gate fails loudly with an attributable signature instead of
+    reporting a subtly-wrong core (the r12 ADVICE false-negative
+    mode)."""
     parts = [f"""
 WITH toks AS (
   SELECT doc_id,
@@ -714,9 +720,15 @@ WITH toks AS (
   WHERE e.s NOT IN (SELECT s FROM bad{r})
     AND e.d NOT IN (SELECT s FROM bad{r})
 )""")
-    parts.append(f"""
-SELECT s AS id, count(*)::BIGINT AS deg
-FROM e{rounds} GROUP BY s ORDER BY id""")
+    parts.append(f""", unconverged AS (
+  SELECT s FROM e{rounds} GROUP BY s HAVING count(*) < {k}
+)
+SELECT id, deg FROM (
+  SELECT s AS id, count(*)::BIGINT AS deg FROM e{rounds} GROUP BY s
+  UNION ALL
+  SELECT -1::BIGINT AS id, -count(*)::BIGINT AS deg FROM unconverged
+  HAVING count(*) > 0
+) ORDER BY id""")
     return "".join(parts)
 
 
@@ -783,9 +795,13 @@ WITH toks AS (
   SELECT s AS walk_id, s AS node FROM adjl
 )"""]
     for t in range(1, walk_len + 1):
+        # ids pmod-reduced into [0, 2^31) before the multiply-add,
+        # matching operators/graph.random_walks' overflow guard (the
+        # reduction is the identity for the gate's small doc_ids)
+        m = 1 << 31
         key = (
-            f"({seed} * 1000003 + w.walk_id * 7919 "
-            f"+ {t} * 104729 + w.node)"
+            f"({seed % m} * 1000003 + (w.walk_id % {m}) * 7919 "
+            f"+ {t} * 104729 + (w.node % {m}))"
         )
         parts.append(f""", w{t} AS MATERIALIZED (
   SELECT w.walk_id,

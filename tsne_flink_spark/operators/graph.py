@@ -362,7 +362,7 @@ def random_walks(
     array is O(deg) long; at web scale cap degrees upstream (the
     adamic_adar mitigation) if super-hubs exist.  Isolated nodes never
     appear (no edges, no walk)."""
-    from tsne_flink_spark.pipeline.sketches import kmv_hash
+    from tsne_flink_spark.pipeline.sketches import _KMV_M, kmv_hash
 
     sym = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
@@ -378,12 +378,18 @@ def random_walks(
     )
     steps = [state.select("walk_id", F.lit(0).alias("step"), "node")]
     for t in range(1, walk_len + 1):
+        # ids are pmod-reduced into [0, 2^31) BEFORE the multiply-add so
+        # hash-derived 64-bit node ids (near 2^62) can't overflow the
+        # int64 products (max term 2^31 * 1000003 < 2^52) — the same
+        # bounded-product guarantee kmv_hash documents for its own
+        # arithmetic.  For ids already < 2^31 (every gated dataset) the
+        # reduction is the identity, so walks are unchanged.
         choice = F.pmod(
             kmv_hash(
-                F.lit(int(seed)) * F.lit(1_000_003)
-                + F.col("walk_id") * F.lit(7_919)
+                F.lit(int(seed) % _KMV_M) * F.lit(1_000_003)
+                + F.pmod(F.col("walk_id"), F.lit(_KMV_M)) * F.lit(7_919)
                 + F.lit(t) * F.lit(104_729)
-                + F.col("node")
+                + F.pmod(F.col("node"), F.lit(_KMV_M))
             ),
             F.size("__nb"),
         )

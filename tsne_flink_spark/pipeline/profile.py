@@ -142,7 +142,11 @@ def referential_orphans(
             F.broadcast(
                 child.agg(
                     F.count(F.lit(1)).cast("long").alias("n_child"),
-                    F.sum(F.col(fk_col).isNull().cast("int"))
+                    # coalesce: sum() over an EMPTY child is NULL, but an
+                    # audit row should read (0, 0, 0), not (0, 0, NULL)
+                    F.coalesce(
+                        F.sum(F.col(fk_col).isNull().cast("int")), F.lit(0)
+                    )
                     .cast("long")
                     .alias("n_null_fk"),
                 )
@@ -168,16 +172,21 @@ def key_skew(df: DataFrame, key_col: str, top: int = 5) -> DataFrame:
     counts = df.groupBy(key_col).agg(
         F.count(F.lit(1)).cast("long").alias("__c")
     )
+    # empty-input guards: sum()/max() over zero keys are NULL and the
+    # ratio divisors hit 0/0 — an audit row should read all-zeros instead
     stats = counts.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
-        F.sum("__c").cast("long").alias("n_rows"),
-        F.max("__c").cast("long").alias("max_per_key"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_rows"),
+        F.coalesce(F.max("__c"), F.lit(0)).cast("long").alias("max_per_key"),
     )
     topk = (
         counts.orderBy(F.col("__c").desc(), F.col(key_col))
         .limit(top)
-        .agg(F.sum("__c").cast("long").alias("__topc"))
+        .agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("__topc")
+        )
     )
+    nonzero = F.col("n_rows") > 0
     return (
         stats.crossJoin(F.broadcast(topk))
         .select(
@@ -185,17 +194,28 @@ def key_skew(df: DataFrame, key_col: str, top: int = 5) -> DataFrame:
             "n_rows",
             "max_per_key",
             F.round(
-                F.col("n_rows").cast("double") / F.col("n_keys").cast("double"),
+                F.when(
+                    nonzero,
+                    F.col("n_rows").cast("double")
+                    / F.col("n_keys").cast("double"),
+                ).otherwise(F.lit(0.0)),
                 6,
             ).alias("mean_per_key"),
             F.round(
-                F.col("max_per_key").cast("double")
-                * F.col("n_keys").cast("double")
-                / F.col("n_rows").cast("double"),
+                F.when(
+                    nonzero,
+                    F.col("max_per_key").cast("double")
+                    * F.col("n_keys").cast("double")
+                    / F.col("n_rows").cast("double"),
+                ).otherwise(F.lit(0.0)),
                 6,
             ).alias("skew_ratio"),
             F.round(
-                F.col("__topc").cast("double") / F.col("n_rows").cast("double"),
+                F.when(
+                    nonzero,
+                    F.col("__topc").cast("double")
+                    / F.col("n_rows").cast("double"),
+                ).otherwise(F.lit(0.0)),
                 6,
             ).alias("top_share"),
         )

@@ -220,7 +220,16 @@ def kmv_sketch(
     merging partials.  With the default :func:`kmv_hash` the whole
     build is deterministic AND engine-replayable, so the gate compares
     the sketch pipeline hash-for-hash against DuckDB rather than
-    rows-only (the HLL gate's weaker mode)."""
+    rows-only (the HLL gate's weaker mode).
+
+    VALUE-DOMAIN REQUIREMENT (default hash only): kmv_hash is a
+    bijection mod 2^31, so the "exact below k" and exact-intersection
+    guarantees hold only when ``value_col`` values already lie in
+    [0, 2^31) — distinct 64-bit values colliding mod 2^31 would
+    silently deflate the distinct estimate.  For wide/string domains
+    pass ``hash_col=F.xxhash64(value_col)``: the sketch logic is
+    hash-agnostic and xxhash64 spreads the full 64-bit space (at the
+    cost of DuckDB replayability — the gate's rows-only mode)."""
     hv = kmv_hash(F.col(value_col)) if hash_col is None else hash_col
     hashed = df.select(*key_cols, hv.cast("long").alias("__hv")).where(
         F.col("__hv").isNotNull()

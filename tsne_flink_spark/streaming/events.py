@@ -616,6 +616,7 @@ def event_transitions(
     ts_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """First-order Markov transition summary of the event stream: for
     every ordered (from_type, to_type) pair of CONSECUTIVE events within
@@ -624,17 +625,18 @@ def event_transitions(
     artifact (next-event prediction priors, anomaly baselines,
     session-shape fingerprints).
 
-    Ordering ties (same user, same timestamp) break by event_id, so the
-    consecutive-pair chain is deterministic and engine-replayable.
+    Ordering ties (same user, same timestamp) break by ``id_col``
+    (default ``event_id``), so the consecutive-pair chain is
+    deterministic and engine-replayable.
     Dataflow: one shuffle on the user key, a per-user lead() window (no
     global window), then a map-side-combinable pair count; the
     conditional denominator rides a broadcast per-from_type rollup."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     pairs = (
         events.select(
-            user_col, ts_col, "event_id", F.col(type_col).alias("from_type")
+            user_col, ts_col, id_col, F.col(type_col).alias("from_type")
         )
         .withColumn("to_type", F.lead("from_type").over(w))
         .where(F.col("to_type").isNotNull())
