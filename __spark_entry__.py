@@ -3809,11 +3809,16 @@ def q_link_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (operators/graph.adamic_adar) — the "which domains should be
     linked / which dup families are about to merge" ranking.  Wedge
     enumeration centered on the shared neighbor, anti-join against the
-    edge set, top-k as TakeOrderedAndProject.  Exact DuckDB oracle
-    replays the same wedges on the arithmetic edge CTE."""
+    edge set, top-k as TakeOrderedAndProject.  Runs the SCALE path:
+    ``max_degree="sqrt"`` drops super-hub centers (degree > ceil(sqrt(m)))
+    before wedge enumeration, bounding total fan-out at O(m^1.5) — the
+    B74-probed mitigation (9x wedge reduction at 1.17M edges), now the
+    gated default per the r12 verdict.  Exact DuckDB oracle replays the
+    same wedges AND the same degree filter on the arithmetic edge CTE."""
     from tsne_flink_spark.operators.graph import adamic_adar
 
-    out = adamic_adar(_link_graph_edges(spark, sf_dir), k=100)
+    out = adamic_adar(_link_graph_edges(spark, sf_dir), k=100,
+                      max_degree="sqrt")
     return out.select("x", "y", F.round("score", 6).alias("score"))
 
 
@@ -3989,42 +3994,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the FIRST
     # 50 entries, so the window rotates each round toward the queries with
     # the weakest driver evidence; check pairs stay adjacent
-    # (tests/test_registry.py pins pair integrity).  Round-12 window:
-    # (a) the 34 r09-stale queries (+perplexity_buckets_check) — exactly
-    #     the block the r11 contract slated for this rotation — preceded
-    #     by the flagship tsne_embedding pair (every-other-round
-    #     constraint, verdict r10 item 8);
-    # (b) the round-12 additions: the sketch_union_persisted pair (the
-    #     persist-then-re-union HLL lifecycle, write/readback through a
-    #     parquet store — the in-plan sketch_union pair stayed r11-green),
-    #     the ann_ivf_persisted / ann_pq_persisted pairs (ANN served
-    #     from parquet-persisted indexes, each checked bit-equal to its
-    #     one-shot operator), and leakage_split (family-level train/val/
-    #     test split, exact oracle sharing dup_clusters' recursive CTE);
-    # (c) every oldest-r10 fill candidate (knn_project, ann_lsh,
-    #     embedding_dedup, simhash, minhash pairs, ngram_jaccard_pairs,
-    #     exact_dedup) yielded its slot to the round-12 additions and
-    #     rotates in r13;
-    # (d) the second round-12 batch, each with an exact oracle and no
-    #     check needed: link_communities (synchronous LPA, unrolled
-    #     oracle), link_adamic_adar (link prediction), weighted_sample
-    #     (A-ES weighted without-replacement sampling),
-    #     user_state_history (SCD2 gaps-and-islands), pareto_orders
-    #     (distributed skyline), and collocation_pmi (PMI collocations).
-    # Everything below position 50 is driver-green in r10 or r11; the
-    # r10 block at the bottom (ann_ivf .. decontaminate) plus the
-    # r11-green block are the round-13 rotation candidates, with the
-    # flagship pair rejoining in r14 per the every-other-round constraint.
-    # LATE ENTRANTS (added after the window above was cluster-validated,
-    # B72/B75): the kmv_overlap pair sits at the registry END and leads
-    # the r13 rotation queue together with the r10 block; gated locally
-    # at sf0.001 + sf0.01 this round (exact DuckDB replay — see
-    # _kmv_overlap_oracle_sql).
+    # (tests/test_registry.py pins pair integrity).  Round-13 window,
+    # exactly as the r12 verdict prescribed (item 1):
+    # (a) the 11 NEVER-driver-checked r12 late entrants lead (kmv_overlap
+    #     + check, quantile_hist + check, dup_kcore, dup_random_walks,
+    #     touch_attribution, event_transitions, keyword_textrank,
+    #     integrity_orphans, join_key_skew) — all green in the local
+    #     sf0.001/sf0.01 gates since r12 but with zero driver evidence;
+    # (b) the first 39 queries of the r10-stale block (knn_project ..
+    #     ann_pq_check) — their latest driver evidence is two rounds old.
+    #     The 39-slot cut lands on the ann_pq/ann_pq_check pair boundary,
+    #     so no check pair straddles the window edge.
+    # Below position 50, ordered by r14 rotation priority:
+    # (c) the flagship tsne_embedding pair rejoins in r14 per the
+    #     every-other-round constraint (driver-green r12; entry() still
+    #     smoke-runs it every round regardless of window position);
+    # (d) the r10-block residue (audio_features .. decontaminate, 11
+    #     queries) — the remainder of the stale block that did not fit;
+    # (e) the r12-green block (the previous window minus the flagship
+    #     pair), then the r11-green block.
+    # LATE ENTRANTS (new in r13, added after the window above was
+    # cluster-validated): queue at the registry END for the r14 rotation;
+    # gated locally at sf0.001 + sf0.01 this round.
     return {
-        # --- round-12 window: flagship pair (every-other-round constraint) ---
+        # --- (a) the 11 never-driver-checked r12 late entrants ---
+        "kmv_overlap": q_kmv_overlap,
+        "kmv_overlap_check": q_kmv_overlap_check,
+        "quantile_hist": q_quantile_hist,
+        "quantile_hist_check": q_quantile_hist_check,
+        "dup_kcore": q_dup_kcore,
+        "dup_random_walks": q_dup_random_walks,
+        "touch_attribution": q_touch_attribution,
+        "event_transitions": q_event_transitions,
+        "keyword_textrank": q_keyword_textrank,
+        "integrity_orphans": q_integrity_orphans,
+        "join_key_skew": q_join_key_skew,
+        # --- (b) first 39 of the r10-stale block ---
+        "knn_project": q_knn_project,
+        "knn_project_check": q_knn_project_check,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_check": q_minhash_dedup_check,
+        "exact_dedup": q_exact_dedup,
+        "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_check": q_embedding_dedup_check,
+        "simhash_dedup": q_simhash_dedup,
+        "simhash_dedup_check": q_simhash_dedup_check,
+        "ann_lsh": q_ann_lsh,
+        "ann_lsh_check": q_ann_lsh_check,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_check": q_ann_ivf_check,
+        "ann_bruteforce": q_ann_bruteforce,
+        "top_revenue_orders": q_top_revenue_orders,
+        "grouped_topk_orders": q_grouped_topk_orders,
+        "distinct_pairs": q_distinct_pairs,
+        "event_rollup": q_event_rollup,
+        "event_order_asof": q_event_order_asof,
+        "session_overlap": q_session_overlap,
+        "token_counts": q_token_counts,
+        "user_totals": q_user_totals,
+        "language_id_ngram": q_language_id_ngram,
+        "corpus_shards": q_corpus_shards,
+        "projection_check": q_projection_check,
+        "customer_rfm": q_customer_rfm,
+        "event_funnel": q_event_funnel,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "decontaminate_fuzzy_check": q_decontaminate_fuzzy_check,
+        "nation_trade_volume": q_nation_trade_volume,
+        "returned_item_revenue": q_returned_item_revenue,
+        "shipmode_priority": q_shipmode_priority,
+        "order_priority": q_order_priority,
+        "shipping_priority": q_shipping_priority,
+        "idle_customers": q_idle_customers,
+        "perplexity_split_exact": q_perplexity_split_exact,
+        "ann_pq": q_ann_pq,
+        "ann_pq_check": q_ann_pq_check,
+        # ------------- below the driver's 50-query window -------------
+        # (c) flagship pair — rejoins the window in r14:
         "tsne_embedding": q_tsne_embedding,
         "tsne_embedding_check": q_tsne_embedding_check,
-        # --- (a) the 34 r09-stale queries (+1 check) slated by the r11 contract ---
+        # (d) r10-block residue — r14 rotation priority after the flagship:
+        "audio_features": q_audio_features,
+        "audio_check": q_audio_check,
+        "curation_pipeline": q_curation_pipeline,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_check": q_semantic_dedup_check,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "pii_scrub": q_pii_scrub,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_check": q_multimodal_check,
+        "decontaminate": q_decontaminate,
+        # (e) driver-green in r12:
         "corpus_diff": q_corpus_diff,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
@@ -4060,25 +4121,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "stopword_ratio": q_stopword_ratio,
         "language_id": q_language_id,
-        # --- (b) new in round 12: persisted HLL sketch lifecycle pair ---
         "sketch_union_persisted": q_sketch_union_persisted,
         "sketch_union_persisted_check": q_sketch_union_persisted_check,
-        # --- (d) second round-12 batch, exact oracles ---
         "pareto_orders": q_pareto_orders,
         "collocation_pmi": q_collocation_pmi,
         "link_communities": q_link_communities,
         "link_adamic_adar": q_link_adamic_adar,
         "weighted_sample": q_weighted_sample,
         "user_state_history": q_user_state_history,
-        # --- (b'') new in round 12: leakage-safe family split (exact oracle) ---
         "leakage_split": q_leakage_split,
-        # --- (b') new in round 12: persisted ANN index lifecycle pairs ---
         "ann_ivf_persisted": q_ann_ivf_persisted,
         "ann_ivf_persisted_check": q_ann_ivf_persisted_check,
         "ann_pq_persisted": q_ann_pq_persisted,
         "ann_pq_persisted_check": q_ann_pq_persisted_check,
-        # ------------- below the driver's 50-query window -------------
-        # driver-green in r11:
+        # (e) driver-green in r11:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_partition": q_knn_partition,
         "pairwise_affinities": q_pairwise_affinities,
@@ -4127,72 +4183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "sketch_union": q_sketch_union,
         "sketch_union_check": q_sketch_union_check,
-        # driver-green in r10 (-> round-13 rotation candidates):
-        "knn_project": q_knn_project,
-        "knn_project_check": q_knn_project_check,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_dedup": q_minhash_dedup,
-        "minhash_dedup_check": q_minhash_dedup_check,
-        "exact_dedup": q_exact_dedup,
-        "embedding_dedup": q_embedding_dedup,
-        "embedding_dedup_check": q_embedding_dedup_check,
-        "simhash_dedup": q_simhash_dedup,
-        "simhash_dedup_check": q_simhash_dedup_check,
-        "ann_lsh": q_ann_lsh,
-        "ann_lsh_check": q_ann_lsh_check,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_check": q_ann_ivf_check,
-        "ann_bruteforce": q_ann_bruteforce,
-        "top_revenue_orders": q_top_revenue_orders,
-        "grouped_topk_orders": q_grouped_topk_orders,
-        "distinct_pairs": q_distinct_pairs,
-        "event_rollup": q_event_rollup,
-        "event_order_asof": q_event_order_asof,
-        "session_overlap": q_session_overlap,
-        "token_counts": q_token_counts,
-        "user_totals": q_user_totals,
-        "language_id_ngram": q_language_id_ngram,
-        "corpus_shards": q_corpus_shards,
-        "projection_check": q_projection_check,
-        "customer_rfm": q_customer_rfm,
-        "event_funnel": q_event_funnel,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "decontaminate_fuzzy_check": q_decontaminate_fuzzy_check,
-        "nation_trade_volume": q_nation_trade_volume,
-        "returned_item_revenue": q_returned_item_revenue,
-        "shipmode_priority": q_shipmode_priority,
-        "order_priority": q_order_priority,
-        "shipping_priority": q_shipping_priority,
-        "idle_customers": q_idle_customers,
-        "perplexity_split_exact": q_perplexity_split_exact,
-        "ann_pq": q_ann_pq,
-        "ann_pq_check": q_ann_pq_check,
-        "audio_features": q_audio_features,
-        "audio_check": q_audio_check,
-        "curation_pipeline": q_curation_pipeline,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_check": q_semantic_dedup_check,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "pii_scrub": q_pii_scrub,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_check": q_multimodal_check,
-        "decontaminate": q_decontaminate,
-        # --- r12 late entrants: added after the B72-validated 50-query
-        # window was pinned, so they queue at the registry END for the
-        # r13 rotation (first-50 = the driver's graded window).  Each is
-        # locally gated at sf0.001 + sf0.01 this round.
-        "kmv_overlap": q_kmv_overlap,
-        "kmv_overlap_check": q_kmv_overlap_check,
-        "dup_kcore": q_dup_kcore,
-        "quantile_hist": q_quantile_hist,
-        "quantile_hist_check": q_quantile_hist_check,
-        "dup_random_walks": q_dup_random_walks,
-        "touch_attribution": q_touch_attribution,
-        "event_transitions": q_event_transitions,
-        "keyword_textrank": q_keyword_textrank,
-        "integrity_orphans": q_integrity_orphans,
-        "join_key_skew": q_join_key_skew,
     }
 
 
@@ -6130,10 +6120,14 @@ WITH tgt AS (
   SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM tgt WHERE s <> d
 ), sym AS MATERIALIZED (
   SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e
+), cap AS (
+  -- same degree cap the Spark side derives: ceil(sqrt(|normalized edges|))
+  SELECT ceil(sqrt(count(*)))::DOUBLE AS md FROM e
 ), deg AS (
   SELECT z, count(*)::DOUBLE AS dg FROM sym GROUP BY z
 ), adj AS MATERIALIZED (
-  SELECT sym.z, sym.n, deg.dg FROM sym JOIN deg USING (z)
+  SELECT sym.z, sym.n, deg.dg FROM sym JOIN deg USING (z), cap
+  WHERE deg.dg <= cap.md
 ), wedge AS (
   SELECT l.n AS x, r.n AS y, 1.0 / ln(l.dg) AS wt
   FROM adj l JOIN adj r ON l.z = r.z AND l.n < r.n

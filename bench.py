@@ -295,7 +295,15 @@ def main() -> None:
     # cold-vs-solo-warm gaps (B30/B40) stay documented instead.
     timings: dict[str, float] = {}
     calib_post_flagship = None
+    calib_pre_dedup = None
     for name in headline:
+        if name == "minhash_dedup" and calib_pre_dedup is None:
+            # mid-suite host-state bracket immediately before the heavy
+            # dedup/graph block (minhash..dup_* family): r10/r11/r12 each
+            # re-litigated whether a containment_pairs-class outlier was
+            # host slowness or a plan change — this probe lets the
+            # artifact classify it alone (verdict r12 item 3)
+            calib_pre_dedup = calibration()
         fn = qs[name]
         t0 = time.time()
         try:
@@ -325,6 +333,7 @@ def main() -> None:
     calib = {
         "start_sec": calib_start,
         "post_flagship_sec": calib_post_flagship,
+        "pre_dedup_sec": calib_pre_dedup,
         "end_sec": calib_end,
         "end_over_start": round(calib_end / max(calib_start, 1e-9), 3),
     }

@@ -118,6 +118,7 @@ def test_bench_output_lines_tail_survivable():
     calib = {
         "start_sec": 0.3,
         "post_flagship_sec": 0.31,
+        "pre_dedup_sec": 0.28,
         "end_sec": 0.25,
         "end_over_start": 0.833,
     }

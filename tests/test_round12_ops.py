@@ -134,6 +134,31 @@ def test_adamic_adar_max_degree_drops_hub_centers(spark):
         assert got[p] == pytest.approx(ref[p], abs=1e-9)
 
 
+def test_adamic_adar_sqrt_cap_sentinel(spark):
+    """max_degree="sqrt" derives ceil(sqrt(m)) from the normalized edge
+    count — equivalent to passing the explicit integer cap."""
+    import math
+
+    from tsne_flink_spark.operators.graph import adamic_adar
+
+    edges = [(1, k) for k in range(2, 12)] + [(2, 3), (3, 5), (5, 7), (7, 9)]
+    m = len({tuple(sorted(e)) for e in edges if e[0] != e[1]})
+    cap = math.ceil(math.sqrt(m))
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    ref = _ref_adamic_adar(edges, max_degree=cap)
+    got = {
+        (r["x"], r["y"]): r["score"]
+        for r in adamic_adar(df, k=1000, max_degree="sqrt").collect()
+    }
+    assert set(got) == set(ref)
+    for p in ref:
+        assert got[p] == pytest.approx(ref[p], abs=1e-9)
+    # the sqrt cap (here 4) must actually drop the degree-10 hub center:
+    # uncapped scores differ on at least one pair
+    unc = _ref_adamic_adar(edges)
+    assert got != {p: unc.get(p) for p in got}
+
+
 _A, _C, _M = 1103515245, 12345, 1 << 31
 
 

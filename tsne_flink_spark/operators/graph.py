@@ -27,6 +27,8 @@ potential would overflow int64 for hash-derived node ids near 2^62).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -412,7 +414,7 @@ def random_walks(
 def adamic_adar(
     edges: DataFrame,
     k: int = 100,
-    max_degree: int | None = None,
+    max_degree: int | str | None = None,
 ) -> DataFrame:
     """Top-``k`` link predictions (x, y, score) over an undirected graph:
     for every NON-adjacent pair sharing >= 1 neighbor, the Adamic-Adar
@@ -433,6 +435,16 @@ def adamic_adar(
     Degree-1 centers produce no wedge, so ln(deg) >= ln 2 is always
     safe.  Top-k lands as TakeOrderedAndProject (per-partition partial
     top-k, no global sort).
+
+    ``max_degree="sqrt"`` derives the cap as ceil(sqrt(m)) from the
+    normalized edge count m — the bound that keeps total wedge fan-out
+    O(m^1.5) regardless of hub shape (B74 measured it at 9x wedge
+    reduction on a 1.17M-edge power-law graph, subsample-exact on the
+    non-hub pairs) — at the cost of one cheap count() over the already-
+    materialized edge set.  max_degree=None (uncapped) is PROBE-SCALE
+    ONLY: sum_z deg(z)^2 is quadratic in hub degree, a scale-killer on
+    any power-law graph — production callers should pass "sqrt" or an
+    explicit cap (the gated ``link_adamic_adar`` query runs "sqrt").
     """
     e = materialize(
         edges.select(
@@ -445,6 +457,8 @@ def adamic_adar(
     sym = e.select(F.col("a").alias("z"), F.col("b").alias("n")).unionAll(
         e.select(F.col("b").alias("z"), F.col("a").alias("n"))
     )
+    if max_degree == "sqrt":
+        max_degree = math.ceil(math.sqrt(e.count()))
     deg = sym.groupBy("z").agg(F.count(F.lit(1)).cast("double").alias("d"))
     if max_degree is not None:
         deg = deg.where(F.col("d") <= max_degree)
