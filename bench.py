@@ -134,6 +134,7 @@ HEADLINE = [
     "dup_triangles",
     "dup_kcore",
     "dup_random_walks",
+    "dup_walk_embeddings",
     "leakage_split",
     "curation_pipeline",
     "tfidf_top_terms",

@@ -62,6 +62,7 @@ AUDITED = [
     "quantile_hist",
     "dup_kcore",
     "dup_random_walks",
+    "dup_walk_embeddings",
     "touch_attribution",
     "event_transitions",
     "keyword_textrank",

@@ -411,6 +411,68 @@ def random_walks(
     return out
 
 
+def walk_embeddings(
+    walks: DataFrame,
+    dim: int = 16,
+    window_size: int = 3,
+    seed: int = 1,
+    epochs: int = 4,
+    num_partitions: int = 1,
+) -> DataFrame:
+    """(id, emb array<double>): skip-gram node embeddings trained on the
+    random-walk corpus — the DeepWalk second half (Perozzi et al. 2014):
+    :func:`random_walks` emits (walk_id, step, node) training sequences,
+    this consumes them, and nodes that co-occur in walks (same dup
+    family / link community) land near each other in the embedding
+    space.  The output feeds the same downstream consumers as document
+    embeddings: ANN search, embedding-cosine dedup, clustering.
+
+    Trains at the MLlib boundary the survey sanctions (ml.feature.
+    Word2Vec — the skip-gram + hierarchical-softmax implementation):
+    walks are grouped into ordered node-string sequences (one shuffle on
+    walk_id), then Word2Vec's distributed SGD runs ``epochs`` passes.
+    Scale: the model state is the vocab x dim float matrix — vocab here
+    is the number of NODES WITH EDGES (dup-graph nodes, not corpus
+    documents), broadcast per iteration; at web scale shard the graph by
+    connected component first (components embed independently) or cap
+    hub degrees upstream.  Like all SGD training, float reduction order
+    makes exact outputs run-dependent — gate with invariants (co-walked
+    pairs more cosine-similar than non-co-walked pairs), not hashes.
+
+    ``num_partitions=1`` (default) keeps Word2Vec's parameter averaging
+    single-stream — deterministic-ish and highest-quality; raise it for
+    wall-clock on huge walk corpora at a small quality cost (standard
+    Word2Vec tradeoff)."""
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    seqs = walks.groupBy("walk_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("step", "node"))),
+            lambda s: s["node"].cast("string"),
+        ).alias("walk")
+    )
+    if seqs.isEmpty():  # Word2Vec.fit throws on an empty vocab
+        return walks.sparkSession.createDataFrame(
+            [], "id bigint, emb array<double>"
+        )
+    w2v = Word2Vec(
+        vectorSize=dim,
+        windowSize=window_size,
+        minCount=1,
+        seed=seed,
+        maxIter=epochs,
+        numPartitions=num_partitions,
+        inputCol="walk",
+        outputCol="__v",
+    )
+    model = w2v.fit(seqs)
+    return model.getVectors().select(
+        F.col("word").cast("long").alias("id"),
+        vector_to_array(F.col("vector")).alias("emb"),
+    )
+
+
 def adamic_adar(
     edges: DataFrame,
     k: int = 100,
