@@ -45,6 +45,39 @@ def test_walk_embeddings_separate_cliques(spark):
     )
 
 
+def test_kcore_batched_peel_identical_on_chain(spark):
+    """The batched peel (peel_batch=3) must return bit-identical (id,
+    deg) output to level-at-a-time peeling (peel_batch=1) on the
+    adversarial chain case, in strictly fewer driver rounds."""
+    from tsne_flink_spark.operators.graph import k_core
+
+    n = 20  # chain 1..20 peels away; 4-clique survives as the 2-core
+    edges = [(i, i + 1) for i in range(1, n)]
+    cl = [n + 1, n + 2, n + 3, n + 4]
+    edges += [(a, b) for i, a in enumerate(cl) for b in cl[i + 1 :]]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    s1: dict = {}
+    s3: dict = {}
+    out1 = sorted(
+        (r["id"], r["deg"])
+        for r in k_core(df, k=2, peel_batch=1, _stats=s1).collect()
+    )
+    out3 = sorted(
+        (r["id"], r["deg"])
+        for r in k_core(df, k=2, peel_batch=3, _stats=s3).collect()
+    )
+    assert out1 == out3 == [(c, 3) for c in cl]
+    assert s3["driver_rounds"] < s1["driver_rounds"]
+
+
+def test_kcore_peel_batch_validation(spark):
+    from tsne_flink_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+    with pytest.raises(ValueError):
+        k_core(df, peel_batch=0)
+
+
 def test_walk_embeddings_empty_walks(spark):
     from tsne_flink_spark.operators.graph import walk_embeddings
 

@@ -282,6 +282,8 @@ def k_core(
     src: str = "a",
     dst: str = "b",
     max_rounds: int = 100,
+    peel_batch: int = 3,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """(id, deg) for every node of the ``k``-core — the unique maximal
     subgraph in which every node has degree >= k (Seidman 1983) — with
@@ -299,33 +301,61 @@ def k_core(
     (how long a chain of degree-(k-1) dependencies can be), typically
     tiny on clique-like dedup graphs.
 
-    Dataflow per round: one groupBy(endpoint) degree count (O(|E|)
-    map-side-combinable shuffle) + two shuffle-joins dropping edges with
-    a deleted endpoint; the edge set shrinks monotonically, and the
-    driver sees only a 1-row convergence count.  The surviving edges are
-    checkpointed per round (the next round's degree count and BOTH drop
-    joins re-read them — a diamond, so lineage truncates every round
-    like directed pagerank).  Engine-replayable: the DuckDB oracle
-    unrolls the same synchronous rounds (__spark_entry__.
-    _kcore_oracle_sql)."""
+    Dataflow per DRIVER round: ``peel_batch`` synchronous peel levels
+    composed LAZILY (each: one groupBy(endpoint) degree count — O(|E|)
+    map-side-combinable shuffle — plus two anti-joins dropping edges
+    with a deleted endpoint), then ONE materialize + 1-row convergence
+    count.  Peeling is confluent (deleting a node only lowers neighbor
+    degrees, so order/batching never changes the unique fixpoint), and
+    sub-rounds past the fixpoint are no-ops — the batched peel returns
+    BIT-IDENTICAL (id, deg) output while cutting driver round-trips to
+    ceil(depth / peel_batch) + 1: the r12-verdict refinement for
+    adversarial deep-chain graphs, where synchronous peeling needs one
+    level per round (depth N/2 on an N-chain) and each driver round-trip
+    is a whole job-submission latency at 1000-executor scale.  Within a
+    batch the repeated references to the same lazy edge frame
+    deduplicate through ReuseExchange (probe: tools/probe_kcore_chain.py
+    — identical output, rounds = depth/3, and wall-clock WINS on chains;
+    typical dedup graphs converge in 1-2 driver rounds either way).
+    The edge set shrinks monotonically; the per-round materialize
+    truncates lineage like directed pagerank.  Engine-replayable: the
+    DuckDB oracle unrolls the same synchronous LEVELS (__spark_entry__.
+    _kcore_oracle_sql — level count, not driver-round count, which is
+    why batching doesn't change the oracle).  ``_stats``, when passed,
+    receives {"driver_rounds": n} for probes."""
+    if peel_batch < 1:
+        raise ValueError(f"peel_batch must be >= 1, got {peel_batch}")
     e = materialize(
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .union(edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d")))
         .where(F.col("__s") != F.col("__d"))
         .distinct()
     )
-    for _ in range(max_rounds):
+
+    def _peel_once(ed: DataFrame) -> DataFrame:
+        d = ed.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+        b = d.where(F.col("__deg") < k).select("__s")
+        return ed.join(b, "__s", "left_anti").join(
+            b.select(F.col("__s").alias("__d")), "__d", "left_anti"
+        )
+
+    for rnd in range(max_rounds):
         deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
         bad = materialize(deg.where(F.col("__deg") < k).select("__s"))
         if bad.count() == 0:
+            if _stats is not None:
+                _stats["driver_rounds"] = rnd + 1
             return deg.select(
                 F.col("__s").alias("id"), F.col("__deg").cast("long").alias("deg")
             )
-        e = materialize(
-            e.join(bad, "__s", "left_anti").join(
-                bad.select(F.col("__s").alias("__d")), "__d", "left_anti"
-            )
+        e2 = e.join(bad, "__s", "left_anti").join(
+            bad.select(F.col("__s").alias("__d")), "__d", "left_anti"
         )
+        # remaining peel levels of this batch, composed lazily — no
+        # driver action until the single materialize below
+        for _ in range(peel_batch - 1):
+            e2 = _peel_once(e2)
+        e = materialize(e2)
         # a fully-peeled (empty) edge set falls out naturally: the next
         # round's degree table is empty, bad is empty, and the empty
         # (id, deg) frame returns through the convergence branch
