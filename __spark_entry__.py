@@ -848,11 +848,16 @@ def q_dup_walk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     document embeddings: ANN search, embedding-cosine dedup, clustering.
     SGD training is float-order-sensitive, so this gates rows-only; the
     adjacent _check query verifies coverage and the embedding-geometry
-    invariant exactly (constant-zero-row oracle)."""
+    invariant exactly (constant-zero-row oracle).  The 8-dim vector is
+    flattened to e0..e7 columns (the gate canonicalizer bans complex
+    output types — tests/test_registry.py)."""
     from tsne_flink_spark.operators.graph import walk_embeddings
 
     _, walks = _dup_walk_corpus(spark, sf_dir)
-    return walk_embeddings(walks, dim=8, epochs=4).orderBy("id")
+    emb = walk_embeddings(walks, dim=8, epochs=4)
+    return emb.select(
+        "id", *[F.col("emb")[i].alias(f"e{i}") for i in range(8)]
+    ).orderBy("id")
 
 
 def q_dup_walk_embeddings_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4014,6 +4019,35 @@ def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pareto_lineitem_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-criteria Pareto frontier of lineitem on (l_extendedprice max,
+    l_shipdate max, l_discount MIN) — "biggest, most recent, least
+    discounted" line items (operators/skyline.pareto_frontier).  d=3
+    dispatches to the Kung-Luccio-Preparata staircase sweep (O(n log s)
+    regardless of frontier size — the B82 kernel that closed B76's
+    d>=3 O(n·s) gap); same two-phase local-skyline -> single-task-merge
+    dataflow as pareto_orders.  Exact DuckDB oracle is the NOT EXISTS
+    strict-dominance definition over the three criteria."""
+    from tsne_flink_spark.operators.skyline import pareto_frontier
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+        "l_shipdate",
+    )
+    out = pareto_frontier(
+        li,
+        ["l_extendedprice", "l_shipdate", "l_discount"],
+        maximize=[True, True, False],
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        F.round("l_discount", 2).alias("l_discount"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate"),
+    )
+
+
 def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 collocations by pointwise mutual information with
     min_count=5 (pipeline/scrub.collocation_pmi): association-ranked
@@ -4321,6 +4355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally at sf0.001 + sf0.01 this round.
         "dup_walk_embeddings": q_dup_walk_embeddings,
         "dup_walk_embeddings_check": q_dup_walk_embeddings_check,
+        "pareto_lineitem_3d": q_pareto_lineitem_3d,
     }
 
 
@@ -6300,6 +6335,22 @@ WHERE NOT EXISTS (
   SELECT 1 FROM orders p
   WHERE p.o_totalprice >= o.o_totalprice AND p.o_orderdate >= o.o_orderdate
     AND (p.o_totalprice > o.o_totalprice OR p.o_orderdate > o.o_orderdate)
+)
+""",
+        "pareto_lineitem_3d": """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 2) AS l_extendedprice,
+       round(l_discount, 2) AS l_discount,
+       strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate
+FROM lineitem o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem p
+  WHERE p.l_extendedprice >= o.l_extendedprice
+    AND p.l_shipdate >= o.l_shipdate
+    AND p.l_discount <= o.l_discount
+    AND (p.l_extendedprice > o.l_extendedprice
+         OR p.l_shipdate > o.l_shipdate
+         OR p.l_discount < o.l_discount)
 )
 """,
         "collocation_pmi": """

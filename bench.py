@@ -57,6 +57,7 @@ HEADLINE = [
     "idle_customers",
     "returned_item_revenue",
     "pareto_orders",
+    "pareto_lineitem_3d",
     "regional_revenue",
     "grouped_topk_orders",
     "customer_rfm",

@@ -78,6 +78,67 @@ def test_kcore_peel_batch_validation(spark):
         k_core(df, peel_batch=0)
 
 
+def _brute_skyline(pts: np.ndarray) -> set[int]:
+    keep = set()
+    for i in range(len(pts)):
+        dominated = False
+        for j in range(len(pts)):
+            if i == j:
+                continue
+            if (pts[j] >= pts[i]).all() and (pts[j] > pts[i]).any():
+                dominated = True
+                break
+        if not dominated:
+            keep.add(i)
+    return keep
+
+
+def test_skyline_3d_matches_bruteforce():
+    """The d=3 staircase sweep vs the O(n^2) reference, on random data
+    with engineered ties, duplicates, and collinear points."""
+    from tsne_flink_spark.operators.skyline import _skyline_indices
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        pts = rng.integers(0, 8, size=(120, 3)).astype(float)
+        pts[10] = pts[11]  # exact duplicates: both kept or both dropped
+        pts[12, :2] = pts[13, :2]  # tie on two dims
+        got = set(_skyline_indices(pts).tolist())
+        assert got == _brute_skyline(pts), f"trial {trial}"
+
+
+def test_skyline_3d_anticorrelated_frontier_is_everything():
+    """Points on the x+y+z=const simplex are mutually non-dominated —
+    the worst case the staircase sweep must keep at O(n log n)."""
+    from tsne_flink_spark.operators.skyline import _skyline_indices
+
+    rng = np.random.default_rng(5)
+    a = rng.uniform(0, 1, size=(500, 2))
+    pts = np.column_stack([a[:, 0], a[:, 1], 2.0 - a.sum(axis=1)])
+    assert len(_skyline_indices(pts)) == 500
+
+
+def test_skyline_3d_via_dataframe(spark):
+    """End-to-end pareto_frontier with 3 criteria incl. a minimized one."""
+    from tsne_flink_spark.operators.skyline import pareto_frontier
+
+    rows = [
+        (1, 10.0, 5.0, 3.0),   # dominated by 2 (equal p, q; worse min c)
+        (2, 10.0, 5.0, 2.0),
+        (3, 9.0, 4.0, 4.0),    # dominated by 2 on all three
+        (4, 12.0, 1.0, 9.0),
+        (5, 12.0, 1.0, 9.0),   # exact duplicate of 4: both kept
+    ]
+    df = spark.createDataFrame(rows, "id int, p double, q double, c double")
+    got = sorted(
+        r["id"]
+        for r in pareto_frontier(
+            df, ["p", "q", "c"], maximize=[True, True, False]
+        ).collect()
+    )
+    assert got == [2, 4, 5]
+
+
 def test_walk_embeddings_empty_walks(spark):
     from tsne_flink_spark.operators.graph import walk_embeddings
 

@@ -63,6 +63,7 @@ AUDITED = [
     "dup_kcore",
     "dup_random_walks",
     "dup_walk_embeddings",
+    "pareto_lineitem_3d",
     "touch_attribution",
     "event_transitions",
     "keyword_textrank",
