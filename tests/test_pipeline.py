@@ -763,6 +763,58 @@ def test_ivf_index_persist_lifecycle(spark, tmp_path):
     assert len({g[0] for g in got}) >= 190  # nearly every query served
 
 
+def test_ivf_index_append_lifecycle(spark, tmp_path):
+    """append_to_ivf_index's contract: (1) appending rows for a new
+    batch against the frozen quantizer equals what a full assignment of
+    the union corpus with the SAME centroids would produce (per-row
+    assignment is batch-invariant); (2) a query equal to an appended
+    vector finds it at top-1 through the served index; (3) an empty
+    centroid table raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tsne_flink_spark.pipeline.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_query_index,
+    )
+
+    rng = np.random.default_rng(23)
+    base = [(i, rng.normal(0, 1, 16).tolist()) for i in range(200)]
+    new = [(1000 + i, rng.normal(0, 1, 16).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(base, "vec_id bigint, embedding array<double>")
+    newdf = spark.createDataFrame(new, "vec_id bigint, embedding array<double>")
+
+    centroids_df, index_df = build_ivf_index(emb, n_corpus=200)
+    appended = append_to_ivf_index(centroids_df, newdf)
+    # batch-invariance vs assigning the union in one pass
+    uni = append_to_ivf_index(centroids_df, emb.unionByName(newdf))
+    got = sorted(
+        (r["vec_id"], r["list"], tuple(r["vec"]), r["norm"])
+        for r in index_df.unionByName(appended).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["list"], tuple(r["vec"]), r["norm"])
+        for r in uni.collect()
+    )
+    assert got == want
+
+    # an appended vector is served: query with its exact embedding
+    probe = spark.createDataFrame([new[0]], "vec_id bigint, embedding array<double>")
+    probe = probe.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    served = ivf_query_index(
+        probe, centroids_df, index_df.unionByName(appended), k=1
+    ).collect()
+    assert len(served) == 1 and served[0]["c"] == new[0][0]
+    assert served[0]["sim"] == pytest.approx(1.0, abs=1e-9)
+
+    empty = spark.createDataFrame([], "list int, centroid array<double>")
+    with _pytest.raises(ValueError):
+        append_to_ivf_index(empty, newdf)
+
+
 def test_pq_index_persist_lifecycle(spark, tmp_path):
     """build_pq_index's artifact contract: write the model (coarse
     centroids + residual codebooks) and the coded corpus to parquet,
