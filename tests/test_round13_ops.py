@@ -139,6 +139,29 @@ def test_skyline_3d_via_dataframe(spark):
     assert got == [2, 4, 5]
 
 
+def test_event_transitions_custom_id_col(spark):
+    """event_transitions must honor a renamed tie-break column (r12
+    ADVICE: the signature parameterized ts/user/type but hardcoded
+    event_id)."""
+    from tsne_flink_spark.streaming.events import event_transitions
+
+    rows = [
+        (1, 10, "a", 100),
+        (1, 10, "b", 101),  # same ts: tie-break by custom id
+        (1, 20, "c", 102),
+    ]
+    df = spark.createDataFrame(
+        rows, "uid bigint, t bigint, etype string, my_id bigint"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transitions(
+            df, ts_col="t", user_col="uid", type_col="etype", id_col="my_id"
+        ).collect()
+    }
+    assert got == {("a", "b"): (1, 1.0), ("b", "c"): (1, 1.0)}
+
+
 def test_walk_embeddings_empty_walks(spark):
     from tsne_flink_spark.operators.graph import walk_embeddings
 
