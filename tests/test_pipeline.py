@@ -815,6 +815,62 @@ def test_ivf_index_append_lifecycle(spark, tmp_path):
         append_to_ivf_index(empty, newdf)
 
 
+def test_pq_index_append_lifecycle(spark):
+    """append_to_pq_index's contract: (1) re-encoding the ORIGINAL
+    corpus against the frozen model reproduces the build's own codes
+    bit-exactly (encoding is per-row and deterministic); (2) a query
+    equal to an appended vector retrieves it through the served index;
+    (3) an empty model raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tsne_flink_spark.pipeline.similarity import (
+        append_to_pq_index,
+        build_pq_index,
+        pq_query_index,
+    )
+
+    rng = np.random.default_rng(29)
+    base = [(i, rng.normal(0, 1, 16).tolist()) for i in range(150)]
+    new = [(1000 + i, rng.normal(0, 1, 16).tolist()) for i in range(30)]
+    emb = spark.createDataFrame(base, "vec_id bigint, embedding array<double>")
+    newdf = spark.createDataFrame(new, "vec_id bigint, embedding array<double>")
+
+    model_df, codes_df = build_pq_index(emb, m=4, ksub=16, n_corpus=150)
+    # frozen-model re-encode of the base corpus == the build's own codes
+    re_enc = append_to_pq_index(model_df, emb)
+    got = sorted(
+        (r["vec_id"], r["list"], bytes(r["code"]), r["rnorm"])
+        for r in re_enc.collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["list"], bytes(r["code"]), r["rnorm"])
+        for r in codes_df.collect()
+    )
+    assert got == want
+
+    appended = append_to_pq_index(model_df, newdf)
+    full_corpus = emb.unionByName(newdf)
+    probe = spark.createDataFrame(
+        [(2_000_000, new[0][1])], "vec_id bigint, embedding array<double>"
+    )
+    served = pq_query_index(
+        probe,
+        model_df,
+        codes_df.unionByName(appended),
+        full_corpus,
+        k=1,
+    ).collect()
+    assert len(served) == 1 and served[0]["c"] == new[0][0]
+    assert served[0]["sim"] == pytest.approx(1.0, abs=1e-9)
+
+    empty = spark.createDataFrame(
+        [], "part string, a int, b int, vec array<double>"
+    )
+    with _pytest.raises(ValueError):
+        append_to_pq_index(empty, newdf)
+
+
 def test_pq_index_persist_lifecycle(spark, tmp_path):
     """build_pq_index's artifact contract: write the model (coarse
     centroids + residual codebooks) and the coded corpus to parquet,

@@ -669,6 +669,95 @@ def build_pq_index(
     return model_df, codes_df
 
 
+def append_to_pq_index(
+    model_df: DataFrame,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``codes_df`` rows for a NEW corpus batch against the FROZEN IVF-PQ
+    model — the incremental-ingest half of the persisted-PQ lifecycle,
+    mirroring :func:`append_to_ivf_index` (same frozen-quantizer
+    contract: encoding is per-row and deterministic given the model, so
+    append(A) ∪ append(B) == append(A ∪ B) == what the original build's
+    encode pass produces for those rows).  Union the result with the
+    persisted ``codes_df`` (or append as parquet files partitioned BY
+    list) and :func:`pq_query_index` serves the grown corpus with no
+    re-train and no re-encode of the old vectors — at 100 TB the
+    re-encode is the dominant full-corpus scan (B73/B83).  Staleness is
+    the coarse quantizer AND the residual codebooks drifting from the
+    data distribution; monitor list occupancy / served recall and
+    rebuild on budget, exactly the IVF story."""
+    mr = model_df.collect()
+    coarse = np.array(
+        [
+            v
+            for _, v in sorted(
+                (r["a"], list(r["vec"])) for r in mr if r["part"] == "coarse"
+            )
+        ],
+        dtype=np.float64,
+    )
+    book_rows = [
+        (r["a"], r["b"], list(r["vec"])) for r in mr if r["part"] == "book"
+    ]
+    if not len(coarse) or not book_rows:
+        raise ValueError("append_to_pq_index: empty model table")
+    m = 1 + max(a for a, _, _ in book_rows)
+    ksub = 1 + max(b for _, b, _ in book_rows)
+    dsub = len(book_rows[0][2])
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for a, b, v in book_rows:
+        books[a, b] = v
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    id_type = dict(new_corpus.dtypes)[id_col]
+
+    def encode_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__id_v"]]
+            )
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-12)
+            lists = np.argmax(Vn @ coarse.T, axis=1)
+            R = Vn - coarse[lists]
+            codes = np.empty((len(R), m), dtype=np.int32)
+            for j in range(m):
+                sub = R[:, j * dsub : (j + 1) * dsub]
+                d2 = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                    sub @ books[j].T
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            recon = coarse[lists] + np.concatenate(
+                [books[j][codes[:, j]] for j in range(m)], axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].to_numpy(),
+                    "list": lists,
+                    "code": [r.tobytes() for r in codes.astype(np.uint8)],
+                    "rnorm": np.linalg.norm(recon, axis=1),
+                }
+            )
+
+    return (
+        new_corpus.select(
+            F.col(id_col).alias("__id"),
+            _as_double(F.col(vec_col)).alias("__id_v"),
+        )
+        .mapInPandas(
+            encode_kernel,
+            schema=f"__id {id_type}, list int, code binary, rnorm double",
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 def pq_query_index(
     queries: DataFrame,
     model_df: DataFrame,
