@@ -758,6 +758,67 @@ def append_to_pq_index(
     )
 
 
+def ivf_index_staleness(
+    centroids_df: DataFrame, index_df: DataFrame
+) -> DataFrame:
+    """One audit row (n_lists, n_vectors, empty_lists, max_per_list,
+    mean_per_list, skew_ratio) for a persisted IVF (or IVF-PQ codes)
+    table — the REBUILD TRIGGER the append lifecycle needs (B83):
+    frozen-quantizer appends keep recall but crowd lists as the data
+    distribution drifts, and the serving equi-join's biggest task scales
+    with the hottest probed list.  Run this after each append batch;
+    re-train the quantizer when skew_ratio (max/mean occupancy) crosses
+    the serving budget or empty_lists says the quantizer no longer
+    matches the data.  One O(|index|) groupBy + a broadcast join against
+    the bounded centroid table — safe to run per ingestion batch at any
+    scale.  Works on both index_df (IVF) and codes_df (PQ): each carries
+    a ``list`` column."""
+    occ = index_df.groupBy("list").agg(F.count(F.lit(1)).alias("__c"))
+    per_list = (
+        centroids_df.select("list")
+        .join(occ, "list", "left")
+        .select(F.coalesce("__c", F.lit(0)).alias("__c"))
+    )
+    nonzero = F.col("n_vectors") > 0
+    return (
+        per_list.agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias(
+                "n_vectors"
+            ),
+            F.coalesce(F.sum((F.col("__c") == 0).cast("long")), F.lit(0))
+            .cast("long")
+            .alias("empty_lists"),
+            F.coalesce(F.max("__c"), F.lit(0)).cast("long").alias(
+                "max_per_list"
+            ),
+        )
+        .select(
+            "n_lists",
+            "n_vectors",
+            "empty_lists",
+            "max_per_list",
+            F.round(
+                F.when(
+                    nonzero,
+                    F.col("n_vectors").cast("double")
+                    / F.col("n_lists").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("mean_per_list"),
+            F.round(
+                F.when(
+                    nonzero,
+                    F.col("max_per_list").cast("double")
+                    * F.col("n_lists").cast("double")
+                    / F.col("n_vectors").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("skew_ratio"),
+        )
+    )
+
+
 def pq_query_index(
     queries: DataFrame,
     model_df: DataFrame,
