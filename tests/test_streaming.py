@@ -139,6 +139,100 @@ def test_state_history_streaming_parity(spark, tmp_path):
     assert norm(spark.sql("select * from sh_stream")) == want
 
 
+def test_transition_feed_streaming_parity(spark, tmp_path):
+    """Streaming transition feed (applyInPandasWithState) emits exactly
+    the pairs the batch lead() window computes, on the real sf0.001
+    events table through a file stream — and the feed's rollup equals
+    event_transitions' counts."""
+    from tsne_flink_spark.streaming.events import (
+        event_transitions,
+        transition_feed,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    path = str(tmp_path / "tf_ev")
+    ev.write.parquet(path)
+
+    def norm(df):
+        return sorted(
+            map(
+                tuple,
+                df.select(
+                    "user_id", "from_type", "to_type",
+                    F.col("ts").cast("string"),
+                ).collect(),
+            )
+        )
+
+    want = norm(transition_feed(ev))  # batch fallback
+    assert want, "expected transitions in the real table"
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    out = transition_feed(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tf_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_df = spark.sql("select * from tf_stream")
+    assert norm(got_df) == want
+    # the feed's rollup equals the batch transition matrix counts
+    feed_counts = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in got_df.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    want_counts = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in event_transitions(ev).collect()
+    }
+    assert feed_counts == want_counts
+
+
+def test_transition_feed_cross_batch(spark, tmp_path):
+    """A user's last event must SURVIVE the micro-batch boundary in the
+    keyed state: events split across two files (one per batch) emit the
+    boundary-spanning pair."""
+    import os
+
+    from tsne_flink_spark.streaming.events import transition_feed
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    f1 = spark.createDataFrame([(1, base, 7, "A")], schema)
+    f2 = spark.createDataFrame(
+        [(2, base + dt.timedelta(minutes=1), 7, "B")], schema
+    )
+    path = str(tmp_path / "tf_cb")
+    os.makedirs(path)
+    f1.coalesce(1).write.parquet(path + "/b1")
+    f2.coalesce(1).write.parquet(path + "/b2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/b*")
+    )
+    q = (
+        transition_feed(stream)
+        .writeStream.format("memory")
+        .queryName("tf_cb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from tf_cb").collect()
+    assert [(r["user_id"], r["from_type"], r["to_type"]) for r in rows] == [
+        (7, "A", "B")
+    ]
+
+
 def test_state_history_streaming_cross_batch(spark, tmp_path):
     """An open interval must SURVIVE the micro-batch boundary in the
     keyed state: events split across two files (one per batch) close

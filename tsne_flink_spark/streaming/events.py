@@ -658,3 +658,87 @@ def event_transitions(
         "n",
         (F.col("n").cast("double") / F.col("__t").cast("double")).alias("p"),
     )
+
+
+def transition_feed(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of :func:`event_transitions`: the RAW transition
+    feed (user, from_type, to_type, ts) with one row per consecutive
+    event pair in a user's timeline, ``ts`` = the destination event's
+    timestamp — the live input a downstream transition-matrix rollup
+    (a plain streaming groupBy count) or an online anomaly scorer
+    consumes.
+
+    Streaming: ``applyInPandasWithState`` keeps the user's LAST event
+    (ts, tie-break id, type) in keyed state — O(1) per user — and emits
+    one pair per subsequent event; pairs spanning a micro-batch boundary
+    come out of the stored state (tested).  Events are ordered
+    (ts, id) WITHIN each micro-batch; cross-batch order is source order
+    (the standard in-order-per-key CDC assumption, same as
+    :func:`state_history_streaming`).
+
+    Batch: the identical pairs via one per-user lead() window, so one
+    call site serves both modes and the parity test compares them
+    row-for-row."""
+    from pyspark.sql import Window
+
+    if not events.isStreaming:
+        w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+        return (
+            events.select(
+                user_col, ts_col, id_col, F.col(type_col).alias("from_type")
+            )
+            .withColumn("to_type", F.lead("from_type").over(w))
+            .withColumn("__to_ts", F.lead(ts_col).over(w))
+            .where(F.col("to_type").isNotNull())
+            .select(
+                user_col,
+                "from_type",
+                "to_type",
+                F.col("__to_ts").alias("ts"),
+            )
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} bigint, from_type string, to_type string, ts timestamp"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        # state tuple: (last event's ts epoch-µs, tie-break id, type)
+        last_ts, last_id, last_type = (
+            state.get if state.exists else (0, 0, None)
+        )
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for t, i, s in zip(pdf[ts_col], pdf[id_col], pdf[type_col]):
+                t_us = int(pd.Timestamp(t).value // 1_000)
+                if last_type is not None:
+                    out.append((key[0], last_type, s, t_us))
+                last_ts, last_id, last_type = t_us, int(i), s
+        state.update((last_ts, last_id, last_type))
+        if out:
+            yield pd.DataFrame(
+                {
+                    user_col: [o[0] for o in out],
+                    "from_type": [o[1] for o in out],
+                    "to_type": [o[2] for o in out],
+                    "ts": pd.to_datetime([o[3] for o in out], unit="us"),
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="ts bigint, id bigint, s string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
