@@ -4048,6 +4048,86 @@ def q_pareto_lineitem_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-frequency service over the corpus vocabulary
+    (pipeline/sketches.countmin_sketch/estimate, w=1024, d=4): build the
+    d x w counter sketch in one scan, then answer "how often does this
+    token occur" for the 20 most frequent tokens from the SKETCH alone —
+    (token, true_n, est_n, over) with over = est - true >= 0 (count-min
+    never underestimates).  The sketch is the fourth persisted-synopsis
+    member (HLL distincts / KMV overlaps / histogram distributions /
+    count-min frequencies) and merges exactly across shards.  The
+    depth-salted md5 bucket arithmetic is the DSIR cross-engine hash,
+    so the DuckDB oracle replays the whole pipeline hash-for-hash —
+    including every hash collision in the est_n values."""
+    from tsne_flink_spark.pipeline.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from tsne_flink_spark.pipeline.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokenize(F.lower(F.col("text")))).alias("t")
+    )
+    from tsne_flink_spark.operators.optimize import materialize
+
+    # tokens feed both the sketch build and the exact probe counts
+    toks = materialize(toks)
+    sk = countmin_sketch(toks, "t", w=1024, d=4)
+    probes = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "t")
+        .limit(20)
+    )
+    est = countmin_estimate(sk, probes, "t", w=1024)
+    return (
+        probes.join(est, "t")
+        .select(
+            F.col("t").alias("token"),
+            "true_n",
+            F.col("est").alias("est_n"),
+            (F.col("est") - F.col("true_n")).cast("long").alias("over"),
+        )
+        .orderBy("token")
+    )
+
+
+_COUNTMIN_ORACLE = """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS t
+  FROM documents
+), tc AS (
+  SELECT t, count(*)::BIGINT AS true_n FROM toks GROUP BY t
+), probes AS (
+  SELECT t, true_n FROM tc ORDER BY true_n DESC, t LIMIT 20
+), depths AS (
+  SELECT unnest([0, 1, 2, 3]) AS d
+), bc AS MATERIALIZED (
+  -- per-(depth, bucket) counter over ALL token occurrences: exactly the
+  -- sketch's counts array, queried sparsely
+  SELECT d,
+         CAST(concat('0x', substr(md5(concat(d::VARCHAR, ':', t)), 1, 15))
+              AS BIGINT) % 1024 AS b,
+         count(*)::BIGINT AS c
+  FROM toks, depths GROUP BY 1, 2
+), pe AS (
+  SELECT p.t, p.true_n, min(bc.c) AS est_n
+  FROM probes p
+  CROSS JOIN depths dd
+  JOIN bc ON bc.d = dd.d
+         AND bc.b = CAST(concat('0x', substr(md5(concat(dd.d::VARCHAR, ':', p.t)), 1, 15))
+                         AS BIGINT) % 1024
+  GROUP BY 1, 2
+)
+SELECT t AS token, true_n, est_n::BIGINT AS est_n,
+       (est_n - true_n)::BIGINT AS over
+FROM pe ORDER BY token
+"""
+
+
 def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 collocations by pointwise mutual information with
     min_count=5 (pipeline/scrub.collocation_pmi): association-ranked
@@ -4356,6 +4436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_walk_embeddings": q_dup_walk_embeddings,
         "dup_walk_embeddings_check": q_dup_walk_embeddings_check,
         "pareto_lineitem_3d": q_pareto_lineitem_3d,
+        "countmin_tokens": q_countmin_tokens,
     }
 
 
@@ -5310,6 +5391,7 @@ SELECT CAST(0 AS BIGINT) AS missing_nodes,
        CAST(0 AS BIGINT) AS nonfinite_rows,
        CAST(0 AS BIGINT) AS sim_margin_low
 """,
+        "countmin_tokens": _COUNTMIN_ORACLE,
         "centering": """
 WITH emb AS (
   SELECT vec_id::INT AS id,

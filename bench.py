@@ -118,6 +118,7 @@ HEADLINE = [
     "sketch_union_persisted",
     "kmv_overlap",
     "quantile_hist",
+    "countmin_tokens",
     "corpus_diff",
     "term_drift",
     "minhash_dedup",

@@ -162,6 +162,57 @@ def test_event_transitions_custom_id_col(spark):
     assert got == {("a", "b"): (1, 1.0), ("b", "c"): (1, 1.0)}
 
 
+def test_countmin_overestimates_and_exact_when_sparse(spark):
+    """Count-min invariants: estimates are NEVER below the true count;
+    with w >> distinct values, collisions are unlikely and estimates are
+    exact for this fixed corpus (deterministic md5 hashing — checked)."""
+    from tsne_flink_spark.pipeline.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    vals = ["a"] * 7 + ["b"] * 3 + ["c"] * 1 + ["dd"] * 5
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    sk = countmin_sketch(df, "t", w=256, d=4)
+    rows = sk.collect()
+    assert {r["depth"] for r in rows} == {0, 1, 2, 3}
+    assert all(len(r["counts"]) == 256 for r in rows)
+    assert all(sum(r["counts"]) == len(vals) for r in rows)  # mass per row
+    probes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("dd",), ("missing",)], "t string"
+    )
+    est = {
+        r["t"]: r["est"]
+        for r in countmin_estimate(sk, probes, "t", w=256).collect()
+    }
+    true = {"a": 7, "b": 3, "c": 1, "dd": 5, "missing": 0}
+    for t, n in true.items():
+        assert est[t] >= n
+    # at w=256 with 4 distinct values, no depth collides on all 4 rows
+    assert est == true
+
+
+def test_countmin_union_equals_single_build(spark):
+    """Merging per-shard sketches == the sketch of the concatenated
+    input, bit-for-bit (elementwise counter sum is lossless)."""
+    from tsne_flink_spark.pipeline.sketches import (
+        countmin_sketch,
+        countmin_union,
+    )
+
+    a = spark.createDataFrame([(f"v{i % 5}",) for i in range(40)], "t string")
+    b = spark.createDataFrame([(f"v{i % 7}",) for i in range(30)], "t string")
+    sep = countmin_union(
+        countmin_sketch(a, "t", w=64, d=3).unionByName(
+            countmin_sketch(b, "t", w=64, d=3)
+        )
+    )
+    one = countmin_sketch(a.unionByName(b), "t", w=64, d=3)
+    got = {r["depth"]: list(r["counts"]) for r in sep.collect()}
+    want = {r["depth"]: list(r["counts"]) for r in one.collect()}
+    assert got == want
+
+
 def test_walk_embeddings_empty_walks(spark):
     from tsne_flink_spark.operators.graph import walk_embeddings
 

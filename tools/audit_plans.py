@@ -60,6 +60,7 @@ AUDITED = [
     "leakage_split",
     "kmv_overlap",
     "quantile_hist",
+    "countmin_tokens",
     "dup_kcore",
     "dup_random_walks",
     "dup_walk_embeddings",

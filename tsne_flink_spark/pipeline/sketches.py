@@ -318,6 +318,124 @@ def kmv_overlap_estimates(
     }
 
 
+def _cm_bucket(value_col, depth, w: int):
+    """Depth-salted count-min bucket in [0, w): the first 60 md5 bits of
+    '<depth>:<value>' mod w — the same cross-engine hash DSIR's buckets
+    use (dsir._hash60), so DuckDB replays it exactly.  ``depth`` may be
+    a Python int (build side) or a Column (estimate side)."""
+    from tsne_flink_spark.pipeline.dsir import _hash60
+
+    d = F.lit(depth) if isinstance(depth, int) else depth
+    return F.pmod(
+        _hash60(F.concat(d.cast("string"), F.lit(":"), value_col)),
+        F.lit(w),
+    )
+
+
+def countmin_sketch(
+    df: DataFrame, value_col: str, w: int = 1024, d: int = 4
+) -> DataFrame:
+    """(depth, counts array<long>): a count-min sketch of ``value_col``
+    (Cormode & Muthukrishnan 2005) — ``d`` hash rows of ``w`` counters;
+    a point FREQUENCY estimate (:func:`countmin_estimate`) is the min
+    over rows of the value's counter, always >= the true count and
+    <= true + 2N/w with probability 1 - 2^-d.  The fourth member of the
+    persisted-synopsis family: HLL answers distinct counts, KMV set
+    overlaps, histograms distributions, count-min answers "how often
+    does THIS value occur" without rescanning — per-shard sketches
+    persist as d plain (int, array<long>) rows and merge EXACTLY by
+    elementwise sum (:func:`countmin_union`), so a corpus-wide token
+    frequency service is d x w longs per shard, never a token table.
+
+    Dataflow: ONE scan of the input (the d bucket hashes ride a single
+    explode), a map-side-combinable groupBy(depth, bucket) — shuffle
+    <= d x w rows regardless of input size — then one w-slot
+    densification per depth.  Deterministic md5 arithmetic shared with
+    the DuckDB oracles, so the whole build gates hash-for-hash."""
+    v = df.select(F.col(value_col).cast("string").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("depth"),
+                _cm_bucket(F.col("__v"), j, w).cast("int").alias("b"),
+            )
+            for j in range(d)
+        ]
+    )
+    counts = (
+        v.select(F.explode(hashes).alias("__e"))
+        .select(F.col("__e.depth").alias("depth"), F.col("__e.b").alias("__b"))
+        .groupBy("depth", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    return (
+        counts.groupBy("depth")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__b"), F.col("__c")))
+            ).alias("__m")
+        )
+        .select(
+            "depth",
+            # densify: w slots, 0 where no value hashed to the bucket
+            # (__m is a bound aggregate attribute, so the per-slot lookup
+            # never re-builds the map — the CollapseProject trap)
+            F.transform(
+                F.sequence(F.lit(0), F.lit(w - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i.cast("int")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("counts"),
+        )
+    )
+
+
+def countmin_union(sketches: DataFrame) -> DataFrame:
+    """(depth, counts): EXACT merge of count-min shards built with the
+    same (w, d) — counters sum elementwise, so the union sketch is
+    bit-identical to one built over the concatenated inputs (the same
+    lossless-merge property as the histogram shards)."""
+    ex = sketches.select(
+        "depth", F.posexplode("counts").alias("__p", "__c")
+    )
+    return (
+        ex.groupBy("depth", "__p")
+        .agg(F.sum("__c").cast("long").alias("__s"))
+        .groupBy("depth")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__s"))),
+                lambda s: s["__s"],
+            ).alias("counts")
+        )
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame, probes: DataFrame, value_col: str, w: int = 1024
+) -> DataFrame:
+    """(<value_col>, est): point-frequency estimates for every probe
+    value — min over the sketch's d depth rows of the value's counter.
+    The sketch side is d bounded rows (broadcast); probes never touch
+    the original corpus."""
+    pr = probes.select(
+        F.col(value_col).cast("string").alias("__v")
+    ).distinct()
+    j = pr.crossJoin(F.broadcast(sketch))
+    slot = (_cm_bucket(F.col("__v"), F.col("depth"), w) + F.lit(1)).cast(
+        "int"
+    )
+    return (
+        j.select("__v", F.element_at("counts", slot).alias("__e"))
+        .groupBy("__v")
+        .agg(F.min("__e").cast("long").alias("est"))
+        .select(F.col("__v").alias(value_col), "est")
+    )
+
+
 def histogram_shards(
     df: DataFrame,
     key_cols: list[str],
