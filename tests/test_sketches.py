@@ -589,6 +589,67 @@ def test_streaming_kmv_shards_union_matches_batch(spark, tmp_path):
     assert merged == whole
 
 
+def test_streaming_countmin_shards_union_matches_batch(spark, tmp_path):
+    """Streaming producer for the persisted count-min lifecycle: two
+    JSONL micro-batches land as two shard directories; the re-unioned
+    store is BIT-IDENTICAL to a one-shot build over everything ingested
+    (elementwise counter sum is lossless)."""
+    import json
+    import os
+    import time
+
+    from tsne_flink_spark.pipeline.sketches import (
+        countmin_sketch,
+        countmin_union,
+        streaming_countmin_shards,
+    )
+
+    in_dir = tmp_path / "cm_in"
+    store = str(tmp_path / "cm_store")
+    os.makedirs(in_dir)
+
+    stream = spark.readStream.schema("t string").json(str(in_dir))
+    q = streaming_countmin_shards(
+        stream, store, "t", w=64, d=3,
+        checkpoint_dir=str(tmp_path / "ckpt_cm"),
+    )
+
+    def write_batch(name, rows):
+        with open(in_dir / name, "w") as f:
+            for t in rows:
+                f.write(json.dumps({"t": t}) + "\n")
+
+    b1 = [f"v{i % 9}" for i in range(200)]
+    b2 = [f"w{i % 4}" for i in range(100)]
+    try:
+        write_batch("b1.json", b1)
+        deadline = time.time() + 60
+        while time.time() < deadline and not os.path.isdir(f"{store}/batch=0"):
+            time.sleep(0.5)
+        write_batch("b2.json", b2)
+        deadline = time.time() + 60
+        while time.time() < deadline and not os.path.isdir(f"{store}/batch=1"):
+            time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = {
+        r["depth"]: list(r["counts"])
+        for r in countmin_union(
+            spark.read.parquet(store).drop("shard")
+        ).collect()
+    }
+    whole = {
+        r["depth"]: list(r["counts"])
+        for r in countmin_sketch(
+            spark.createDataFrame([(t,) for t in b1 + b2], "t string"),
+            "t", w=64, d=3,
+        ).collect()
+    }
+    assert merged == whole
+
+
 def test_streaming_histogram_shards_union_matches_batch(spark, tmp_path):
     """Streaming producer for the persisted histogram lifecycle: the
     merged streaming store equals a batch histogram over everything

@@ -715,6 +715,38 @@ def streaming_histogram_shards(
     return writer.start()
 
 
+def streaming_countmin_shards(
+    stream_df: DataFrame,
+    store_dir: str,
+    value_col: str,
+    w: int = 1024,
+    d: int = 4,
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int = 1,
+):
+    """Continuous producer for the persisted count-min lifecycle: each
+    micro-batch's d x w counter rows land as one shard under
+    ``store_dir/batch=<id>``; point-frequency estimates at any time come
+    from ``countmin_estimate(countmin_union(spark.read.parquet(
+    store_dir)), probes, value_col, w)`` — the merge is an EXACT
+    elementwise sum, so the streaming store answers identically to one
+    sketch built over everything ingested (unit-pinned for the batch
+    union).  Idempotent under micro-batch replay (per-batch directory
+    overwrite).  Returns the StreamingQuery."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        countmin_sketch(batch_df, value_col, w=w, d=d).withColumn(
+            "shard", F.lit(int(batch_id)).cast("long")
+        ).write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+
+    writer = stream_df.writeStream.foreachBatch(step).trigger(
+        processingTime=f"{trigger_seconds} seconds"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def streaming_sketch_shards(
     stream_df: DataFrame,
     store_dir: str,
