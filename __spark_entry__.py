@@ -4048,6 +4048,27 @@ def q_pareto_lineitem_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted without-replacement sample, k=50 per group,
+    weight = n_chars + 1 (pipeline/curation.weighted_sample_by): the
+    stratified A-ES form — "keep the best k docs per language,
+    inclusion probability proportional to length" — selection by the
+    same engine-replayable LCG key as weighted_sample, ranked inside a
+    per-group window (one shuffle on the group key, never a global
+    sort).  Exact DuckDB oracle replays the identical key arithmetic
+    and row_number tie-break."""
+    from tsne_flink_spark.pipeline.curation import weighted_sample_by
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_by(
+        docs, ["lang"], 50, F.col("n_chars") + F.lit(1)
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars",
+        F.round("sample_key", 6).alias("sample_key"),
+    ).orderBy("lang", "doc_id")
+
+
 def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min point-frequency service over the corpus vocabulary
     (pipeline/sketches.countmin_sketch/estimate, w=1024, d=4): build the
@@ -4437,6 +4458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_walk_embeddings_check": q_dup_walk_embeddings_check,
         "pareto_lineitem_3d": q_pareto_lineitem_3d,
         "countmin_tokens": q_countmin_tokens,
+        "weighted_sample_by": q_weighted_sample_by,
     }
 
 
@@ -6408,6 +6430,16 @@ SELECT doc_id, lang, n_chars,
 FROM documents
 ORDER BY {_ws_key} DESC, doc_id
 LIMIT 200
+""",
+        "weighted_sample_by": f"""
+WITH r AS (
+  SELECT doc_id, lang, n_chars, {_ws_key} AS k,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_ws_key} DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, round(k, 6) AS sample_key
+FROM r WHERE rn <= 50 ORDER BY lang, doc_id
 """,
         "pareto_orders": """
 SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,

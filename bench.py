@@ -97,6 +97,7 @@ HEADLINE = [
     "source_overlap",
     "stratified_sample",
     "weighted_sample",
+    "weighted_sample_by",
     "mixture_weights",
     "pack_sequences",
     "chunk_documents",

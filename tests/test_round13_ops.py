@@ -162,6 +162,35 @@ def test_event_transitions_custom_id_col(spark):
     assert got == {("a", "b"): (1, 1.0), ("b", "c"): (1, 1.0)}
 
 
+def test_weighted_sample_by_per_group(spark):
+    """Per-group A-ES: exactly k rows per group (fewer when the group is
+    smaller), and within one group the selection equals the GLOBAL
+    weighted_sample restricted to that group (same key arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.curation import (
+        weighted_sample,
+        weighted_sample_by,
+    )
+
+    rows = [(i, "en" if i % 3 else "de", 10 + i) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars int")
+    out = weighted_sample_by(df, ["lang"], 5, F.col("n_chars") + F.lit(1))
+    by_lang: dict = {}
+    for r in out.collect():
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang["en"]) == 5 and len(by_lang["de"]) == 5
+    solo = weighted_sample(
+        df.where(F.col("lang") == "en"), 5, F.col("n_chars") + F.lit(1)
+    )
+    assert {r["doc_id"] for r in solo.collect()} == by_lang["en"]
+    # a group smaller than k returns the whole group
+    tiny = weighted_sample_by(
+        df.where(F.col("doc_id") < 4), ["lang"], 5, F.lit(1.0)
+    )
+    assert tiny.count() == 4
+
+
 def test_countmin_overestimates_and_exact_when_sparse(spark):
     """Count-min invariants: estimates are NEVER below the true count;
     with w >> distinct values, collisions are unlikely and estimates are

@@ -52,6 +52,7 @@ AUDITED = [
     "pareto_orders",
     "collocation_pmi",
     "weighted_sample",
+    "weighted_sample_by",
     "user_state_history",
     "sketch_union",
     "sketch_union_persisted",

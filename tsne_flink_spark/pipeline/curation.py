@@ -318,6 +318,45 @@ def weighted_sample_key_sql(id_expr: str, weight_expr: str) -> str:
     return f"ln((({b})::DOUBLE + 0.5) / {float(1 << 30)!r}) / ({weight_expr})::DOUBLE"
 
 
+def weighted_sample_by(
+    docs: DataFrame,
+    by: list[str],
+    k: int,
+    weight: Column,
+    id_col: str = "doc_id",
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Weighted without-replacement sample of ``k`` rows PER GROUP —
+    "keep the 10k best documents per language, inclusion probability
+    proportional to quality" — the stratified form of
+    :func:`weighted_sample` (same A-ES key, same explicit LCG, so the
+    selection is engine-replayable and a DuckDB oracle ranks by the
+    identical double).
+
+    Scale: the global TakeOrderedAndProject trick doesn't apply per
+    group, so this is the standard one-shuffle form — a rank window
+    partitioned BY the group keys (never a global window; partition
+    count = group-key cardinality, AQE-balanced), then the rank <= k
+    filter.  Ties at the k-th key break by ``id_col``."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    u = (_lcg_bucket(F.col(id_col), 1 << 30).cast("double") + 0.5) / float(
+        1 << 30
+    )
+    key = F.log(u) / weight.cast("double")
+    w = Window.partitionBy(*by).orderBy(
+        F.col(key_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn(key_col, key)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def curation_pipeline(
     docs: DataFrame,
     text_col: str = "text",
