@@ -4048,6 +4048,65 @@ def q_pareto_lineitem_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC delta between two corpus snapshots (pipeline/profile.
+    table_diff): old = the documents table; new = a deterministic
+    arithmetic mutation of it — doc_id % 7 == 0 rows deleted,
+    doc_id % 5 == 0 survivors get n_chars + 1 (changed), and doc_id %
+    11 == 0 rows re-enter under doc_id + 10_000_000 (added).  Output is
+    one (doc_id, status) row per difference — the pre-publish audit
+    every snapshot refresh runs ("this refresh deleted 14% — expected?")
+    — via ONE co-partitioned full-outer join on the key; NULL-safe
+    column comparison, no hashing, so the DuckDB oracle replays the
+    diff exactly."""
+    from tsne_flink_spark.pipeline.profile import table_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    survivors = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.col("n_chars") + F.lit(1)
+        ).otherwise(F.col("n_chars")).alias("n_chars"),
+    )
+    added = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        "lang",
+        "n_chars",
+    )
+    new = survivors.unionByName(added)
+    return table_diff(docs, new, ["doc_id"], ["lang", "n_chars"]).orderBy(
+        "doc_id", "status"
+    )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT doc_id, lang, n_chars FROM documents
+), survivors AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 7 <> 0
+), added AS (
+  SELECT doc_id + 10000000 AS doc_id, lang, n_chars
+  FROM documents WHERE doc_id % 11 = 0
+), neww AS (
+  SELECT * FROM survivors UNION ALL SELECT * FROM added
+), j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE
+           WHEN o.doc_id IS NULL THEN 'added'
+           WHEN n.doc_id IS NULL THEN 'removed'
+           WHEN o.lang IS DISTINCT FROM n.lang
+             OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed'
+         END AS status
+  FROM old o FULL OUTER JOIN neww n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, status FROM j WHERE status IS NOT NULL
+ORDER BY doc_id, status
+"""
+
+
 def q_weighted_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language weighted without-replacement sample, k=50 per group,
     weight = n_chars + 1 (pipeline/curation.weighted_sample_by): the
@@ -4459,6 +4518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_lineitem_3d": q_pareto_lineitem_3d,
         "countmin_tokens": q_countmin_tokens,
         "weighted_sample_by": q_weighted_sample_by,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -5414,6 +5474,7 @@ SELECT CAST(0 AS BIGINT) AS missing_nodes,
        CAST(0 AS BIGINT) AS sim_margin_low
 """,
         "countmin_tokens": _COUNTMIN_ORACLE,
+        "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "centering": """
 WITH emb AS (
   SELECT vec_id::INT AS id,

@@ -166,6 +166,7 @@ HEADLINE = [
     "profile_lineitem",
     "integrity_orphans",
     "join_key_skew",
+    "snapshot_diff",
     "source_stats",
     "multimodal_features",
     "audio_features",

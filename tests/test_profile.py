@@ -61,3 +61,42 @@ def test_key_skew_metrics(spark):
     assert (r.n_keys, r.n_rows, r.max_per_key) == (4, 12, 6)
     assert r.mean_per_key == 3.0 and r.skew_ratio == 2.0
     assert r.top_share == 0.75
+
+
+def test_table_diff_statuses(spark):
+    """added / removed / changed (NULL-safe both directions) / unchanged
+    dropped; default compare_cols = shared non-key columns."""
+    from tsne_flink_spark.pipeline.profile import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "id long, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", 30), (5, "e", 50)],
+        "id long, s string, v int",
+    )
+    got = {(r["id"], r["status"]) for r in table_diff(old, new, ["id"]).collect()}
+    assert got == {
+        (2, "changed"),   # s differs
+        (3, "changed"),   # NULL -> 30
+        (4, "removed"),
+        (5, "added"),
+    }
+    # restricting compare_cols hides the s-only change
+    got_v = {
+        (r["id"], r["status"])
+        for r in table_diff(old, new, ["id"], ["v"]).collect()
+    }
+    assert got_v == {(3, "changed"), (4, "removed"), (5, "added")}
+
+
+def test_table_diff_empty_and_validation(spark):
+    import pytest as _pytest
+
+    from tsne_flink_spark.pipeline.profile import table_diff
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    assert table_diff(df, df, ["id"]).collect() == []
+    with _pytest.raises(ValueError):
+        table_diff(df, df, [])

@@ -62,6 +62,7 @@ AUDITED = [
     "kmv_overlap",
     "quantile_hist",
     "countmin_tokens",
+    "snapshot_diff",
     "dup_kcore",
     "dup_random_walks",
     "dup_walk_embeddings",
