@@ -4048,6 +4048,57 @@ def q_pareto_lineitem_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact-percentile winsorization (pipeline/quality.
+    winsorize): lineitem extended prices clipped at each return flag's
+    [p5, p95], summarized as (flag, n, clip_lo, clip_hi, mean_raw,
+    mean_winsorized) — the robust pre-scaling step before mixing
+    heterogeneous score/feature distributions.  One bounded per-group
+    sort-aggregate for the clip bounds (broadcast back), then a narrow
+    clip map; Spark's exact percentile is ANSI quantile_cont, so the
+    DuckDB oracle replays the clip bit-for-bit (outputs rounded to
+    absorb sum-order float noise in the means)."""
+    from tsne_flink_spark.pipeline.quality import winsorize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    w = winsorize(
+        li, "l_extendedprice", by=["l_returnflag"], lo=0.05, hi=0.95
+    )
+    return (
+        w.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("l_extendedprice_w"), 2).alias("clip_lo"),
+            F.round(F.max("l_extendedprice_w"), 2).alias("clip_hi"),
+            F.round(F.avg("l_extendedprice"), 4).alias("mean_raw"),
+            F.round(F.avg("l_extendedprice_w"), 4).alias("mean_winsorized"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_WINSORIZE_ORACLE = """
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+), w AS (
+  SELECT l.l_returnflag, l.l_extendedprice,
+         least(greatest(l.l_extendedprice, b.lo), b.hi) AS wv
+  FROM lineitem l JOIN b USING (l_returnflag)
+)
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(min(wv), 2) AS clip_lo,
+       round(max(wv), 2) AS clip_hi,
+       round(avg(l_extendedprice), 4) AS mean_raw,
+       round(avg(wv), 4) AS mean_winsorized
+FROM w GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC delta between two corpus snapshots (pipeline/profile.
     table_diff): old = the documents table; new = a deterministic
@@ -4519,6 +4570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_tokens": q_countmin_tokens,
         "weighted_sample_by": q_weighted_sample_by,
         "snapshot_diff": q_snapshot_diff,
+        "winsorized_prices": q_winsorized_prices,
     }
 
 
@@ -5475,6 +5527,7 @@ SELECT CAST(0 AS BIGINT) AS missing_nodes,
 """,
         "countmin_tokens": _COUNTMIN_ORACLE,
         "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
+        "winsorized_prices": _WINSORIZE_ORACLE,
         "centering": """
 WITH emb AS (
   SELECT vec_id::INT AS id,

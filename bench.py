@@ -62,6 +62,7 @@ HEADLINE = [
     "grouped_topk_orders",
     "customer_rfm",
     "quality_calibration",
+    "winsorized_prices",
     "group_medians",
     "global_aggregates",
     "events_by_user_segment",

@@ -214,3 +214,21 @@ def test_keyword_textrank_centrality_and_stopwords(spark):
     assert set(words) == {"spark", "engine", "shuffle", "catalyst", "tungsten"}
     rows2 = keyword_textrank(docs.repartition(7), k=10).collect()
     assert [(r.word, r.rank) for r in rows] == [(r.word, r.rank) for r in rows2]
+
+
+def test_winsorize_clips_at_exact_percentiles(spark):
+    """Per-group clip bounds are Spark's exact percentile; values inside
+    the band pass through untouched; by=None clips globally."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.quality import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 100.0), ("b", 200.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", by=["g"], lo=0.1, hi=0.9)
+    a = sorted(r["v_w"] for r in out.where(F.col("g") == "a").collect())
+    # exact percentile of 1..10 at 0.1 = 1.9, at 0.9 = 9.1
+    assert a[0] == 1.9 and a[-1] == 9.1
+    assert a[3] == 4.0  # interior values untouched
+    g = winsorize(df.where(F.col("g") == "a"), "v", lo=0.0, hi=1.0)
+    assert sorted(r["v_w"] for r in g.collect()) == [float(v) for v in range(1, 11)]

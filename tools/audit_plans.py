@@ -63,6 +63,7 @@ AUDITED = [
     "quantile_hist",
     "countmin_tokens",
     "snapshot_diff",
+    "winsorized_prices",
     "dup_kcore",
     "dup_random_walks",
     "dup_walk_embeddings",

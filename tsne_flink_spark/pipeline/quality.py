@@ -280,3 +280,45 @@ def blocklist_filter(
         F.size(hits).cast("long").alias("n_blocked"),
         (F.size(hits) > 0).alias("blocked"),
     )
+
+
+def winsorize(
+    df: "DataFrame",
+    value_col: str,
+    by: list[str] | None = None,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str | None = None,
+) -> "DataFrame":
+    """Input plus ``out_col`` (default ``<value_col>_w``): ``value_col``
+    clipped at the EXACT per-group [lo, hi] percentiles — the robust
+    pre-scaling step before mixing heterogeneous quality scores or
+    feeding length/score features to a model (a handful of crawler
+    artifacts with absurd values otherwise dominate any mean/variance
+    normalization).  ``by=None`` clips against global percentiles.
+
+    Percentiles are Spark's exact ``percentile`` (sort-based, linear
+    interpolation — the same definition as ANSI quantile_cont, so a
+    DuckDB oracle replays the clip bit-for-bit).  Scale: one per-group
+    sort-aggregate for the bounds (group count is the cardinality of
+    ``by`` — bounded; for percentiles of a single astronomically large
+    group switch to percentile_approx and give up the exact oracle),
+    then a broadcast join of the tiny bounds table and a narrow clip
+    map over the fact rows."""
+    from pyspark.sql import functions as F
+
+    out_col = out_col or f"{value_col}_w"
+    v = F.col(value_col).cast("double")
+    agg = [
+        F.expr(f"percentile({value_col}, {lo!r})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi!r})").alias("__hi"),
+    ]
+    if by:
+        bounds = df.groupBy(*by).agg(*agg)
+        j = df.join(F.broadcast(bounds), by)
+    else:
+        bounds = df.agg(*agg)
+        j = df.crossJoin(F.broadcast(bounds))
+    return j.withColumn(
+        out_col, F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    ).drop("__lo", "__hi")
