@@ -4048,6 +4048,106 @@ def q_pareto_lineitem_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HYBRID_QUERIES = [
+    ["join", "window", "stream"],
+    ["hash", "merge", "sort"],
+    ["vector", "batch", "scan"],
+]
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (pipeline/tfidf.
+    rrf_fuse, Cormack et al. 2009): three term queries, each ranked by
+    TWO BM25 parameterizations (the Lucene default k1=1.2/b=0.75 and a
+    low-saturation k1=0.5/b=0.3 — the standard parameter-ensemble
+    fusion), fused as sum 1/(60 + rank) and cut to the top 10 per
+    query.  Ranks order by (rounded score desc, doc_id), so the
+    ordering — and therefore the fused value — replays exactly in any
+    engine; the DuckDB oracle unrolls both rankers per query with the
+    identical row_number spec."""
+    from tsne_flink_spark.operators.optimize import materialize
+    from tsne_flink_spark.pipeline.tfidf import bm25_scores, rrf_fuse
+
+    docs = materialize(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    n_docs = docs.count()
+    rankers = []
+    for k1, b in ((1.2, 0.75), (0.5, 0.3)):
+        per_q = []
+        for i, terms in enumerate(_HYBRID_QUERIES):
+            per_q.append(
+                bm25_scores(docs, terms, k1=k1, b=b, n_docs=n_docs).select(
+                    F.lit(i).alias("q"), "doc_id", "score"
+                )
+            )
+        r = per_q[0]
+        for p in per_q[1:]:
+            r = r.unionByName(p)
+        rankers.append(r)
+    out = rrf_fuse(rankers, top=10)
+    return out.select(
+        "q", "doc_id", F.round("rrf", 6).alias("rrf")
+    ).orderBy("q", F.col("rrf").desc(), "doc_id")
+
+
+def _bm25_ranked_sql(qi: int, terms: list[str], k1: float, b: float) -> str:
+    """One (q, doc_id, rank) subquery: BM25 with the given parameters
+    over the shared toks/stats CTEs, ranked by (round(score,6) DESC,
+    doc_id) — the exact spec rrf_fuse uses."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+  SELECT {qi} AS q, doc_id,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS r
+  FROM (
+    SELECT tf.doc_id,
+           sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * {k1 + 1.0!r})
+               / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * tf.dl / s.avgdl))
+           ) AS score
+    FROM (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+      FROM words WHERE term IN ({tlist}) GROUP BY doc_id, term
+    ) tf
+    JOIN (
+      SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+      FROM words WHERE term IN ({tlist}) GROUP BY term
+    ) d USING (term), stats s
+    GROUP BY tf.doc_id
+  )"""
+
+
+def _hybrid_retrieval_oracle() -> str:
+    ranked = "\n  UNION ALL\n".join(
+        _bm25_ranked_sql(i, terms, k1, b)
+        for k1, b in ((1.2, 0.75), (0.5, 0.3))
+        for i, terms in enumerate(_HYBRID_QUERIES)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toks
+), words AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+), ranked AS (
+{ranked}
+), fused AS (
+  SELECT q, doc_id, sum(1.0 / (60.0 + r)) AS rrf
+  FROM ranked GROUP BY q, doc_id
+), topd AS (
+  SELECT q, doc_id, rrf,
+         row_number() OVER (PARTITION BY q ORDER BY rrf DESC, doc_id) AS n
+  FROM fused
+)
+SELECT q, doc_id, round(rrf, 6) AS rrf
+FROM topd WHERE n <= 10 ORDER BY q, rrf DESC, doc_id
+"""
+
+
 def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact-percentile winsorization (pipeline/quality.
     winsorize): lineitem extended prices clipped at each return flag's
@@ -4571,6 +4671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_by": q_weighted_sample_by,
         "snapshot_diff": q_snapshot_diff,
         "winsorized_prices": q_winsorized_prices,
+        "hybrid_retrieval": q_hybrid_retrieval,
     }
 
 
@@ -5528,6 +5629,7 @@ SELECT CAST(0 AS BIGINT) AS missing_nodes,
         "countmin_tokens": _COUNTMIN_ORACLE,
         "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "winsorized_prices": _WINSORIZE_ORACLE,
+        "hybrid_retrieval": _hybrid_retrieval_oracle(),
         "centering": """
 WITH emb AS (
   SELECT vec_id::INT AS id,

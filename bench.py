@@ -145,6 +145,7 @@ HEADLINE = [
     "keyword_textrank",
     "bm25_scores",
     "bm25_index",
+    "hybrid_retrieval",
     "lm_perplexity",
     "lm_perplexity_interp",
     "perplexity_split_exact",

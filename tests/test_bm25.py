@@ -86,3 +86,32 @@ def test_bm25_empty_query_rejected(spark, corpus):
 
     with pytest.raises(ValueError):
         bm25_scores(corpus, [])
+
+
+def test_rrf_fuse_combines_rankings(spark):
+    """RRF arithmetic on handcrafted rankings: doc ranked high by both
+    rankers beats one ranked top by only one; docs missing from a
+    ranking sum only the present terms; top cut respects ties."""
+    from tsne_flink_spark.pipeline.tfidf import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(0, 10, 5.0), (0, 11, 4.0), (0, 12, 3.0)],
+        "q int, doc_id bigint, score double",
+    )
+    r2 = spark.createDataFrame(
+        [(0, 10, 2.0), (0, 12, 9.0)],
+        "q int, doc_id bigint, score double",
+    )
+    got = {
+        r["doc_id"]: r["rrf"]
+        for r in rrf_fuse([r1, r2], top=3).collect()
+    }
+    # r1 ranks: 10->1, 11->2, 12->3; r2 ranks: 12->1, 10->2
+    assert got[10] == pytest.approx(1 / 61 + 1 / 62)
+    assert got[12] == pytest.approx(1 / 63 + 1 / 61)
+    assert got[11] == pytest.approx(1 / 62)
+    assert got[10] > got[12] > got[11]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])

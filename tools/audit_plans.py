@@ -64,6 +64,7 @@ AUDITED = [
     "countmin_tokens",
     "snapshot_diff",
     "winsorized_prices",
+    "hybrid_retrieval",
     "dup_kcore",
     "dup_random_walks",
     "dup_walk_embeddings",

@@ -283,3 +283,60 @@ def bm25_top_docs(
     return top.withColumn("rn", F.row_number().over(w)).select(
         id_col, "score", F.col("rn").cast("int").alias("rn")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "q",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 60,
+    top: int | None = None,
+    round_scores: int = 6,
+) -> DataFrame:
+    """(query, doc, rrf): reciprocal-rank fusion of several per-query
+    rankings (Cormack, Clarke & Buettcher, SIGIR 2009) — the standard
+    hybrid-retrieval combiner: rrf = sum over rankings of
+    1 / (k + rank), summing only the rankings that returned the doc.
+    Rank positions, not scores, carry the signal, so heterogeneous
+    rankers (BM25 / dense ANN / different parameterizations) fuse
+    without score normalization.
+
+    Determinism: ranks order by (round(score, round_scores) DESC, doc)
+    — rounding pins the order against last-bit float noise so any
+    engine ranks identically (the same reason the gate hashes rounded
+    scores).  Scale: one per-query window per ranking (partitioned by
+    the query key, never global), a union, and one groupBy sum; ``top``
+    keeps the k best fused docs per query via the same per-query
+    window."""
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = []
+    for df in rankings:
+        w = Window.partitionBy(query_col).orderBy(
+            F.round(F.col(score_col), round_scores).desc(),
+            F.col(doc_col).asc(),
+        )
+        parts.append(
+            df.select(
+                query_col, doc_col, F.row_number().over(w).alias("__r")
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(query_col, doc_col).agg(
+        F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("__r"))).alias("rrf")
+    )
+    if top is not None:
+        w2 = Window.partitionBy(query_col).orderBy(
+            F.col("rrf").desc(), F.col(doc_col).asc()
+        )
+        fused = (
+            fused.withColumn("__n", F.row_number().over(w2))
+            .where(F.col("__n") <= top)
+            .drop("__n")
+        )
+    return fused
