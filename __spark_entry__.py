@@ -4048,6 +4048,53 @@ def q_pareto_lineitem_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_source_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-association audit between lang and source
+    (pipeline/profile.categorical_association): mutual information,
+    normalized MI, and Cramér's V over the exact contingency counts —
+    the leakage/confound detector run before stratifying or splitting on
+    a column ("is source secretly determined by lang?").  One
+    groupBy(a, b) count bounded at k_a x k_b shuffle rows + bounded
+    marginal rollups; pure deterministic arithmetic, exact DuckDB
+    oracle (chi2 via the all-cells identity n * sum O^2/(ca*cb) - n)."""
+    from tsne_flink_spark.pipeline.profile import categorical_association
+
+    docs = _t(spark, sf_dir, "documents")
+    return categorical_association(docs, "lang", "source")
+
+
+_ASSOCIATION_ORACLE = """
+WITH joint AS (
+  SELECT lang AS a, source AS b, count(*)::DOUBLE AS c
+  FROM documents GROUP BY 1, 2
+), ma AS (SELECT a, sum(c) AS ca FROM joint GROUP BY a),
+mb AS (SELECT b, sum(c) AS cb FROM joint GROUP BY b),
+tot AS (SELECT sum(c) AS n FROM joint),
+j AS (
+  SELECT joint.*, ma.ca, mb.cb, tot.n
+  FROM joint JOIN ma USING (a) JOIN mb USING (b), tot
+), agg AS (
+  SELECT max(n) AS n,
+         count(DISTINCT a)::BIGINT AS k_a,
+         count(DISTINCT b)::BIGINT AS k_b,
+         sum((c / n) * ln((c * n) / (ca * cb))) AS mi,
+         max(n) * sum(c * c / (ca * cb)) - max(n) AS chi2
+  FROM j
+), hs AS (
+  SELECT (SELECT -sum((ca / n) * ln(ca / n)) FROM ma, tot) AS h_a,
+         (SELECT -sum((cb / n) * ln(cb / n)) FROM mb, tot) AS h_b
+)
+SELECT n::BIGINT AS n, k_a, k_b,
+       round(mi, 6) AS mi,
+       round(CASE WHEN least(h_a, h_b) > 0 THEN mi / least(h_a, h_b)
+                  ELSE 0.0 END, 6) AS nmi,
+       round(CASE WHEN n * (least(k_a, k_b) - 1) > 0
+                  THEN sqrt(chi2 / (n * (least(k_a, k_b) - 1)))
+                  ELSE 0.0 END, 6) AS cramers_v
+FROM agg, hs
+"""
+
+
 _HYBRID_QUERIES = [
     ["join", "window", "stream"],
     ["hash", "merge", "sort"],
@@ -4662,8 +4709,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_union_check": q_sketch_union_check,
         # --- r13 late entrants: added after the window above was
         # cluster-validated, so they queue at the registry END for the
-        # r14 rotation (first-50 = the driver's graded window).  Gated
-        # locally at sf0.001 + sf0.01 this round.
+        # r14 rotation (first-50 = the driver's graded window).  Each is
+        # gated at sf0.001 + sf0.01 AND hash-validated on the 2-worker
+        # standalone cluster this round (B86).  r14 rotation priority:
+        # these, then the flagship pair, then the r10-block residue
+        # (audio_features .. decontaminate), then r12-green.
         "dup_walk_embeddings": q_dup_walk_embeddings,
         "dup_walk_embeddings_check": q_dup_walk_embeddings_check,
         "pareto_lineitem_3d": q_pareto_lineitem_3d,
@@ -4672,6 +4722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "winsorized_prices": q_winsorized_prices,
         "hybrid_retrieval": q_hybrid_retrieval,
+        "lang_source_association": q_lang_source_association,
     }
 
 
@@ -5630,6 +5681,7 @@ SELECT CAST(0 AS BIGINT) AS missing_nodes,
         "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "winsorized_prices": _WINSORIZE_ORACLE,
         "hybrid_retrieval": _hybrid_retrieval_oracle(),
+        "lang_source_association": _ASSOCIATION_ORACLE,
         "centering": """
 WITH emb AS (
   SELECT vec_id::INT AS id,

@@ -169,6 +169,7 @@ HEADLINE = [
     "integrity_orphans",
     "join_key_skew",
     "snapshot_diff",
+    "lang_source_association",
     "source_stats",
     "multimodal_features",
     "audio_features",

@@ -100,3 +100,49 @@ def test_table_diff_empty_and_validation(spark):
     assert table_diff(df, df, ["id"]).collect() == []
     with _pytest.raises(ValueError):
         table_diff(df, df, [])
+
+
+def test_categorical_association_extremes(spark):
+    """Independent columns -> mi ~ 0, cramers_v ~ 0; a determined column
+    (b = f(a)) -> nmi = 1 and cramers_v = 1; values match a scipy-free
+    numpy reference on a random contingency table."""
+    import math
+
+    import numpy as np
+
+    from tsne_flink_spark.pipeline.profile import categorical_association
+
+    # perfectly independent: balanced product design
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = categorical_association(df, "a", "b").first()
+    assert (r["n"], r["k_a"], r["k_b"]) == (100, 2, 2)
+    assert r["mi"] == 0.0 and r["cramers_v"] == 0.0 and r["nmi"] == 0.0
+
+    # b determined by a
+    rows = [("x", "u")] * 30 + [("y", "v")] * 20 + [("z", "w")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = categorical_association(df, "a", "b").first()
+    assert r["nmi"] == 1.0 and r["cramers_v"] == 1.0
+
+    # reference check on an arbitrary table
+    counts = {("x", "u"): 12, ("x", "v"): 3, ("y", "u"): 5, ("y", "v"): 20}
+    rows = [(a, b) for (a, b), c in counts.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = categorical_association(df, "a", "b").first()
+    n = sum(counts.values())
+    ca = {"x": 15, "y": 25}
+    cb = {"u": 17, "v": 23}
+    mi = sum(
+        (c / n) * math.log(c * n / (ca[a] * cb[b]))
+        for (a, b), c in counts.items()
+    )
+    chi2 = sum(
+        (c - ca[a] * cb[b] / n) ** 2 / (ca[a] * cb[b] / n)
+        for (a, b), c in counts.items()
+    )
+    ha = -sum((v / n) * math.log(v / n) for v in ca.values())
+    hb = -sum((v / n) * math.log(v / n) for v in cb.values())
+    assert r["mi"] == round(mi, 6)
+    assert r["nmi"] == round(mi / min(ha, hb), 6)
+    assert r["cramers_v"] == round(math.sqrt(chi2 / (n * 1)), 6)

@@ -65,6 +65,7 @@ AUDITED = [
     "snapshot_diff",
     "winsorized_prices",
     "hybrid_retrieval",
+    "lang_source_association",
     "dup_kcore",
     "dup_random_walks",
     "dup_walk_embeddings",

@@ -274,3 +274,92 @@ def key_skew(df: DataFrame, key_col: str, top: int = 5) -> DataFrame:
             ).alias("top_share"),
         )
     )
+
+
+def categorical_association(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """One audit row (n, k_a, k_b, mi, nmi, cramers_v) quantifying the
+    association between two categorical columns — the LEAKAGE /
+    confound detector a training-data pipeline runs before stratifying
+    or splitting on a column ("is `source` secretly determined by
+    `lang`?  then a per-source split leaks language identity").
+
+    - ``mi``: mutual information (nats) of the empirical joint;
+    - ``nmi``: MI / min(H(a), H(b)) in [0, 1] (0 = independent,
+      1 = one column determines the other);
+    - ``cramers_v``: sqrt(chi2 / (n * (min(k_a, k_b) - 1))), the
+      chi-squared effect size in [0, 1].
+
+    Dataflow: one groupBy(a, b) count (map-side-combinable; shuffle
+    <= k_a * k_b rows regardless of input size) and two bounded
+    marginal rollups of it — no second scan of the fact table.  Pure
+    deterministic arithmetic over exact counts: a DuckDB oracle
+    replays it to the last rounded digit."""
+    joint = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    from tsne_flink_spark.operators.optimize import materialize
+
+    joint = materialize(joint)  # referenced by joint/marginal/total aggs
+    ma = joint.groupBy("__a").agg(F.sum("__c").alias("__ca"))
+    mb = joint.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    n = joint.agg(F.sum("__c").alias("__n"))
+    j = (
+        joint.join(F.broadcast(ma), "__a")
+        .join(F.broadcast(mb), "__b")
+        .crossJoin(F.broadcast(n))
+    )
+    p = F.col("__c") / F.col("__n")
+    mi_term = p * F.log(
+        (F.col("__c") * F.col("__n")) / (F.col("__ca") * F.col("__cb"))
+    )
+    # chi2 over ALL cells (incl. empty ones, whose (0-E)^2/E = E) via the
+    # exact identity sum (O-E)^2/E = n * sum_observed O^2/(ca*cb) - n —
+    # summing (O-E)^2/E over observed cells only would drop the empty
+    # cells' expected mass
+    chi_term = F.pow(F.col("__c"), 2) / (F.col("__ca") * F.col("__cb"))
+    ha_term = -(F.col("__ca") / F.col("__n")) * F.log(
+        F.col("__ca") / F.col("__n")
+    )
+    hb_term = -(F.col("__cb") / F.col("__n")) * F.log(
+        F.col("__cb") / F.col("__n")
+    )
+    agg = j.agg(
+        F.max("__n").alias("n"),
+        F.count_distinct("__a").cast("long").alias("k_a"),
+        F.count_distinct("__b").cast("long").alias("k_b"),
+        F.sum(mi_term).alias("mi"),
+        (F.max("__n") * F.sum(chi_term) - F.max("__n")).alias("chi2"),
+    )
+    hs = (
+        ma.crossJoin(F.broadcast(n))
+        .agg(F.sum(ha_term).alias("h_a"))
+        .crossJoin(
+            F.broadcast(
+                mb.crossJoin(F.broadcast(n)).agg(F.sum(hb_term).alias("h_b"))
+            )
+        )
+    )
+    denom = F.col("n") * (
+        F.least(F.col("k_a"), F.col("k_b")) - F.lit(1)
+    ).cast("double")
+    return agg.crossJoin(F.broadcast(hs)).select(
+        F.col("n").cast("long").alias("n"),
+        "k_a",
+        "k_b",
+        F.round("mi", 6).alias("mi"),
+        F.round(
+            F.when(
+                F.least("h_a", "h_b") > 0,
+                F.col("mi") / F.least("h_a", "h_b"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("nmi"),
+        F.round(
+            F.when(denom > 0, F.sqrt(F.col("chi2") / denom)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
