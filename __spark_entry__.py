@@ -4048,6 +4048,50 @@ def q_pareto_lineitem_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (pipeline/semantic.
+    semantic_decontaminate): train = even vec_ids, holdout = the 100
+    odd vec_ids below 200, threshold 0.40 — every train vector whose
+    max holdout cosine reaches the bar, with that similarity.  The
+    semantic complement of the n-gram decontaminate: paraphrased eval
+    leakage with no shared n-grams still lands next to its source in
+    embedding space.  Cosines are sequential-fold dot products over
+    double-cast arrays — the same operation order as DuckDB's
+    list_dot_product — so the kill decision at the threshold boundary
+    replays bit-identically (exact oracle, not the ANN family's
+    rows-only mode)."""
+    from tsne_flink_spark.pipeline.semantic import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") % 2 == 0)
+    holdout = emb.where(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 200)
+    )
+    out = semantic_decontaminate(train, holdout, threshold=0.40)
+    return out.select(
+        "vec_id", F.round("max_holdout_sim", 6).alias("max_holdout_sim")
+    ).orderBy("vec_id")
+
+
+_EMB_DECON_ORACLE = """
+WITH t AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings WHERE vec_id % 2 = 0
+), h AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 200
+), s AS (
+  SELECT t.vec_id,
+         max(list_dot_product(t.v, h.v)
+             / greatest(sqrt(list_dot_product(t.v, t.v))
+                        * sqrt(list_dot_product(h.v, h.v)), 1e-12)) AS ms
+  FROM t, h GROUP BY t.vec_id
+)
+SELECT vec_id, round(ms, 6) AS max_holdout_sim
+FROM s WHERE ms >= 0.40 ORDER BY vec_id
+"""
+
+
 def q_lang_source_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical-association audit between lang and source
     (pipeline/profile.categorical_association): mutual information,
@@ -4723,6 +4767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_prices": q_winsorized_prices,
         "hybrid_retrieval": q_hybrid_retrieval,
         "lang_source_association": q_lang_source_association,
+        "embedding_decontaminate": q_embedding_decontaminate,
     }
 
 
@@ -5682,6 +5727,7 @@ SELECT CAST(0 AS BIGINT) AS missing_nodes,
         "winsorized_prices": _WINSORIZE_ORACLE,
         "hybrid_retrieval": _hybrid_retrieval_oracle(),
         "lang_source_association": _ASSOCIATION_ORACLE,
+        "embedding_decontaminate": _EMB_DECON_ORACLE,
         "centering": """
 WITH emb AS (
   SELECT vec_id::INT AS id,

@@ -104,6 +104,7 @@ HEADLINE = [
     "chunk_documents",
     "decontaminate",
     "decontaminate_fuzzy",
+    "embedding_decontaminate",
     "blocklist_filter",
     "doc_fingerprint",
     "winnow_overlap",

@@ -249,3 +249,33 @@ def test_walk_embeddings_empty_walks(spark):
         [], "walk_id bigint, step int, node bigint"
     )
     assert walk_embeddings(walks, dim=4).collect() == []
+
+
+def test_semantic_decontaminate_kills_planted_leak(spark):
+    """A train vector equal to a holdout vector (sim 1.0) is killed; a
+    scaled copy (same direction) too (cosine is scale-invariant); an
+    orthogonal vector survives; the returned sim matches numpy."""
+    from pyspark.sql import functions as F
+
+    from tsne_flink_spark.pipeline.semantic import semantic_decontaminate
+
+    hold = [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])]
+    train = [
+        (1, [1.0, 0.0, 0.0, 0.0]),     # exact leak
+        (2, [0.0, 2.0, 0.0, 0.0]),     # scaled leak
+        (3, [0.0, 0.0, 1.0, 0.0]),     # orthogonal: survives
+        (4, [1.0, 1.0, 0.0, 0.0]),     # cos 1/sqrt(2) = 0.7071
+    ]
+    schema = "vec_id bigint, embedding array<double>"
+    out = {
+        r["vec_id"]: r["max_holdout_sim"]
+        for r in semantic_decontaminate(
+            spark.createDataFrame(train, schema),
+            spark.createDataFrame(hold, schema),
+            threshold=0.7,
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1] == pytest.approx(1.0)
+    assert out[2] == pytest.approx(1.0)
+    assert out[4] == pytest.approx(2 ** -0.5)

@@ -66,6 +66,7 @@ AUDITED = [
     "winsorized_prices",
     "hybrid_retrieval",
     "lang_source_association",
+    "embedding_decontaminate",
     "dup_kcore",
     "dup_random_walks",
     "dup_walk_embeddings",

@@ -320,3 +320,60 @@ def semantic_dedup_invariants(
         [(int(bad_killed), int(bad_pairs), int(bad_groups))],
         "bad_killed long, bad_pairs long, bad_groups long",
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, max_holdout_sim) for every TRAIN vector whose cosine to ANY
+    holdout vector reaches ``threshold`` — embedding-space
+    decontamination, the semantic complement of the n-gram
+    ``decontaminate``: paraphrased or reformatted eval leakage that
+    shares no exact n-grams still lands next to its source in embedding
+    space (the modern eval-contamination sweep).  Join the result back
+    as a kill list.
+
+    EXACT and engine-replayable: cosines are computed as sequential
+    fold dot products over double-cast arrays — the same operation
+    order as DuckDB's list_dot_product — so the kill DECISION at the
+    threshold boundary is bit-identical in both engines (a GEMM
+    computes blocked/pairwise sums whose last-ulp differences can flip
+    a boundary row).  Dataflow: per-row norms once per side, then a
+    broadcast nested-loop of train x holdout (the holdout is an eval
+    set — thousands of rows, always the broadcast side) and one
+    groupBy(id) max.  At extreme holdout sizes switch to the GEMM
+    brute path (pipeline/similarity.brute_force_top_k, k=1) and accept
+    rows-only gating — the tradeoff the ANN family documents."""
+
+    def _prep(df: DataFrame, prefix: str) -> DataFrame:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        sq = F.aggregate(
+            F.transform(v, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols = [v.alias(f"{prefix}v"), F.sqrt(sq).alias(f"{prefix}n")]
+        if prefix == "t":
+            cols = [F.col(id_col).alias("__id"), *cols]
+        return df.select(*cols)
+
+    t = _prep(train, "t")
+    h = _prep(holdout, "h")
+    dot = F.aggregate(
+        F.zip_with(F.col("tv"), F.col("hv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / F.greatest(F.col("tn") * F.col("hn"), F.lit(1e-12))
+    return (
+        t.crossJoin(F.broadcast(h))
+        .select("__id", sim.alias("__s"))
+        .groupBy("__id")
+        .agg(F.max("__s").alias("max_holdout_sim"))
+        .where(F.col("max_holdout_sim") >= F.lit(float(threshold)))
+        .select(F.col("__id").alias(id_col), "max_holdout_sim")
+    )
