@@ -4110,7 +4110,9 @@ def q_lang_source_association(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ASSOCIATION_ORACLE = """
 WITH joint AS (
   SELECT lang AS a, source AS b, count(*)::DOUBLE AS c
-  FROM documents GROUP BY 1, 2
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL  -- complete-case, as the engine
+  GROUP BY 1, 2
 ), ma AS (SELECT a, sum(c) AS ca FROM joint GROUP BY a),
 mb AS (SELECT b, sum(c) AS cb FROM joint GROUP BY b),
 tot AS (SELECT sum(c) AS n FROM joint),
@@ -4403,7 +4405,7 @@ def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("true_n").desc(), "t")
         .limit(20)
     )
-    est = countmin_estimate(sk, probes, "t", w=1024)
+    est = countmin_estimate(sk, probes, "t")
     return (
         probes.join(est, "t")
         .select(

@@ -212,7 +212,7 @@ def test_countmin_overestimates_and_exact_when_sparse(spark):
     )
     est = {
         r["t"]: r["est"]
-        for r in countmin_estimate(sk, probes, "t", w=256).collect()
+        for r in countmin_estimate(sk, probes, "t").collect()
     }
     true = {"a": 7, "b": 3, "c": 1, "dd": 5, "missing": 0}
     for t, n in true.items():

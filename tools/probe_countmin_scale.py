@@ -96,7 +96,7 @@ def main() -> None:
     )
     est = {
         r["t"]: r["est"]
-        for r in countmin_estimate(sk, probes, "t", w=W).collect()
+        for r in countmin_estimate(sk, probes, "t").collect()
     }
     true = {r["t"]: r["n"] for r in exact_top}
     assert all(est[t] >= n_ for t, n_ in true.items()), "underestimate!"

@@ -549,7 +549,14 @@ def adamic_adar(
     sym = e.select(F.col("a").alias("z"), F.col("b").alias("n")).unionAll(
         e.select(F.col("b").alias("z"), F.col("a").alias("n"))
     )
-    if max_degree == "sqrt":
+    if isinstance(max_degree, str):
+        if max_degree != "sqrt":
+            # a typo'd string would otherwise cast to NULL in the degree
+            # filter and silently return an empty result
+            raise ValueError(
+                f"max_degree must be an int, None, or 'sqrt'; "
+                f"got {max_degree!r}"
+            )
         max_degree = math.ceil(math.sqrt(e.count()))
     deg = sym.groupBy("z").agg(F.count(F.lit(1)).cast("double").alias("d"))
     if max_degree is not None:

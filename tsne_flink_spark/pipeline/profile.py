@@ -295,7 +295,15 @@ def categorical_association(
     <= k_a * k_b rows regardless of input size) and two bounded
     marginal rollups of it — no second scan of the fact table.  Pure
     deterministic arithmetic over exact counts: a DuckDB oracle
-    replays it to the last rounded digit."""
+    replays it to the last rounded digit.
+
+    NULL policy: rows where either column is NULL are EXCLUDED up
+    front (complete-case analysis, the standard contingency-table
+    convention).  Keeping them half-way — NULL groups in the marginals
+    but dropped by the equi-joins — would make the joint sum to < 1
+    and let mi go negative; callers who want NULL as a real category
+    should fillna a sentinel first."""
+    df = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     joint = df.groupBy(
         F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
     ).agg(F.count(F.lit(1)).cast("double").alias("__c"))

@@ -319,6 +319,9 @@ def winsorize(
     else:
         bounds = df.agg(*agg)
         j = df.crossJoin(F.broadcast(bounds))
+    # greatest/least skip NULL operands, so a bare clip would turn a NULL
+    # value into __lo — gate on isNotNull so NULLs pass through unchanged
+    clip = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
     return j.withColumn(
-        out_col, F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+        out_col, F.when(v.isNotNull(), clip).otherwise(F.lit(None))
     ).drop("__lo", "__hi")

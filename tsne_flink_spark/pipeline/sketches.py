@@ -318,17 +318,19 @@ def kmv_overlap_estimates(
     }
 
 
-def _cm_bucket(value_col, depth, w: int):
+def _cm_bucket(value_col, depth, w):
     """Depth-salted count-min bucket in [0, w): the first 60 md5 bits of
     '<depth>:<value>' mod w — the same cross-engine hash DSIR's buckets
-    use (dsir._hash60), so DuckDB replays it exactly.  ``depth`` may be
-    a Python int (build side) or a Column (estimate side)."""
+    use (dsir._hash60), so DuckDB replays it exactly.  ``depth`` and
+    ``w`` may each be a Python int (build side) or a Column (estimate
+    side, where w is derived from the sketch's own counts array)."""
     from tsne_flink_spark.pipeline.dsir import _hash60
 
     d = F.lit(depth) if isinstance(depth, int) else depth
+    wc = F.lit(w) if isinstance(w, int) else w
     return F.pmod(
         _hash60(F.concat(d.cast("string"), F.lit(":"), value_col)),
-        F.lit(w),
+        wc.cast("long"),
     )
 
 
@@ -415,19 +417,26 @@ def countmin_union(sketches: DataFrame) -> DataFrame:
 
 
 def countmin_estimate(
-    sketch: DataFrame, probes: DataFrame, value_col: str, w: int = 1024
+    sketch: DataFrame, probes: DataFrame, value_col: str
 ) -> DataFrame:
     """(<value_col>, est): point-frequency estimates for every probe
     value — min over the sketch's d depth rows of the value's counter.
     The sketch side is d bounded rows (broadcast); probes never touch
-    the original corpus."""
+    the original corpus.
+
+    The bucket width ``w`` is derived from the sketch itself
+    (``size(counts)``) so probe hashing can never disagree with
+    build-time hashing — an independently-passed w that mismatched the
+    sketch would rehash probes into the wrong buckets and return
+    silently wrong (not merely looser) estimates."""
     pr = probes.select(
         F.col(value_col).cast("string").alias("__v")
     ).distinct()
     j = pr.crossJoin(F.broadcast(sketch))
-    slot = (_cm_bucket(F.col("__v"), F.col("depth"), w) + F.lit(1)).cast(
-        "int"
-    )
+    slot = (
+        _cm_bucket(F.col("__v"), F.col("depth"), F.size("counts"))
+        + F.lit(1)
+    ).cast("int")
     return (
         j.select("__v", F.element_at("counts", slot).alias("__e"))
         .groupBy("__v")

@@ -225,9 +225,14 @@ def state_history_streaming(
         # state tuple: (open state's value, valid_from epoch-µs, n_events)
         cur, vf_us, n = state.get if state.exists else (None, 0, 0)
         closed: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, tiebreak_col])
-            for s, t in zip(pdf[state_col], pdf[ts_col]):
+        # concat all Arrow chunks before sorting: per-chunk sorts break
+        # (ts, tiebreak) order when a group spans >1 chunk (chunk size =
+        # arrow.maxRecordsPerBatch)
+        chunks = list(pdfs)
+        batch = pd.concat(chunks, ignore_index=True) if chunks else None
+        if batch is not None and len(batch):
+            batch = batch.sort_values([ts_col, tiebreak_col])
+            for s, t in zip(batch[state_col], batch[ts_col]):
                 t_us = int(pd.Timestamp(t).value // 1_000)
                 if cur is None:
                     cur, vf_us, n = s, t_us, 1
@@ -717,9 +722,16 @@ def transition_feed(
             state.get if state.exists else (0, 0, None)
         )
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, id_col])
-            for t, i, s in zip(pdf[ts_col], pdf[id_col], pdf[type_col]):
+        # a micro-batch group arrives as MULTIPLE Arrow chunks when it
+        # exceeds arrow.maxRecordsPerBatch — (ts, id) order must hold
+        # across the whole batch, so concat first, sort once
+        chunks = list(pdfs)
+        batch = pd.concat(chunks, ignore_index=True) if chunks else None
+        if batch is not None and len(batch):
+            batch = batch.sort_values([ts_col, id_col])
+            for t, i, s in zip(
+                batch[ts_col], batch[id_col], batch[type_col]
+            ):
                 t_us = int(pd.Timestamp(t).value // 1_000)
                 if last_type is not None:
                     out.append((key[0], last_type, s, t_us))
