@@ -26,6 +26,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+_SHARED_MINER_CACHE: dict = {}
+
+
+def _dup_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact 2-gram-Jaccard >= 0.5 near-dup pair graph over the
+    documents table — the shared front half of the whole dup_* family
+    (pagerank / kcore / walks / triangles / clusters / split / best-rep).
+
+    By default every query re-mines it lazily: per-query isolation, so
+    the driver's correctness gate sees each query self-contained.  With
+    ``SPARK_GRAFT_SHARED_MINER=1`` (set by bench.py only) the mined
+    edges are materialized ONCE per (session, sf_dir) and reused —
+    outputs are bit-identical either way (the miner is deterministic;
+    A/B: tools/ab_shared_miner.py), but the suite stops paying the same
+    ~8-10 s miner ~9 times at sf0.1, making real per-query regressions
+    visible above the repeated-miner noise."""
+    import os as _os
+
+    from tsne_flink_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    if _os.environ.get("SPARK_GRAFT_SHARED_MINER") != "1":
+        return ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHARED_MINER_CACHE:
+        from tsne_flink_spark.operators.optimize import materialize
+
+        _SHARED_MINER_CACHE[key] = materialize(
+            ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
+        )
+    return _SHARED_MINER_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # t-SNE relational operators (SURVEY §2.3/§2.4/§2.5/§2.6) on testdata tables
 # ---------------------------------------------------------------------------
@@ -397,10 +430,8 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity is verified at sf0.001/sf0.01 where the driver's gate
     runs."""
     from tsne_flink_spark.operators.graph import triangle_stats
-    from tsne_flink_spark.pipeline.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
+    edges = _dup_pair_edges(spark, sf_dir)
     return triangle_stats(edges)
 
 
@@ -660,10 +691,8 @@ def q_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     miner CTE (_kcore_oracle_sql); like the rest of the dup family the
     oracle-side pair re-mining is gated at sf0.001/sf0.01."""
     from tsne_flink_spark.operators.graph import k_core
-    from tsne_flink_spark.pipeline.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
+    edges = _dup_pair_edges(spark, sf_dir)
     return k_core(edges, k=2).orderBy("id")
 
 
@@ -742,10 +771,8 @@ def q_dup_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     every walk exactly (_random_walks_oracle_sql unrolls the same
     steps over the same miner CTE)."""
     from tsne_flink_spark.operators.graph import random_walks
-    from tsne_flink_spark.pipeline.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
+    edges = _dup_pair_edges(spark, sf_dir)
     return random_walks(edges, walk_len=6, seed=1).orderBy(
         "walk_id", "step"
     )
@@ -826,11 +853,9 @@ def _dup_walk_corpus(spark: SparkSession, sf_dir: str):
     the check's neighbor-pair scan reuse it."""
     from tsne_flink_spark.operators.graph import random_walks
     from tsne_flink_spark.operators.optimize import materialize
-    from tsne_flink_spark.pipeline.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
     edges = materialize(
-        ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2).select("a", "b")
+        _dup_pair_edges(spark, sf_dir).select("a", "b")
     )
     walks = random_walks(edges, walk_len=6, seed=1).unionByName(
         random_walks(edges, walk_len=6, seed=2)
@@ -1321,7 +1346,10 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsne_flink_spark.pipeline.curation import near_dup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    out = near_dup_clusters(docs, threshold=0.5, shingle_n=2)
+    out = near_dup_clusters(
+        docs, threshold=0.5, shingle_n=2,
+        pairs=_dup_pair_edges(spark, sf_dir),
+    )
     return out.select(
         "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"), "keep"
     )
@@ -1338,7 +1366,10 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsne_flink_spark.pipeline.curation import leakage_safe_split
 
     docs = _t(spark, sf_dir, "documents")
-    return leakage_safe_split(docs, threshold=0.5, shingle_n=2).select(
+    return leakage_safe_split(
+        docs, threshold=0.5, shingle_n=2,
+        pairs=_dup_pair_edges(spark, sf_dir),
+    ).select(
         "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"), "split"
     )
 
@@ -2066,11 +2097,14 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only; q_ann_pq_check carries the verified invariants and
     tools/probe_pq_recall.py the measured recall (ksub=256 default:
     0.55 @ sf0.1 p8 vs plain IVF's 0.5625 at the same probe budget —
-    ADC ranking at near-IVF parity, B64)."""
+    ADC ranking at near-IVF parity, B64).  shortlist=64 per B69: at a
+    fixed candidate payload the deeper rerank shortlist beats raising
+    n_probe (the shortlist rerank joins the base table on k ids; the
+    probe join carries whole lists)."""
     from tsne_flink_spark.pipeline.similarity import pq_top_k
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = pq_top_k(emb, emb, k=3, n_probe=8, shortlist=32)
+    out = pq_top_k(emb, emb, k=3, n_probe=8, shortlist=64)
     return out.select("q", "c", F.round("sim", 6).alias("sim"))
 
 
@@ -2444,10 +2478,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT near-duplicate pair mining: every pair with 2-gram Jaccard >=
     0.5 (lossless shared-shingle candidates + AllPairs prefix filtering, no
     LSH recall loss) — deterministic, DuckDB-oracle-backed."""
-    from tsne_flink_spark.pipeline.dedup import ngram_jaccard_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
+    out = _dup_pair_edges(spark, sf_dir)
     return out.select(
         "a", "b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("a", "b")
@@ -2740,7 +2771,247 @@ def q_ann_pq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return topk_invariants(
-        pq_top_k(emb, emb, k=3, ksub=64, n_probe=8, shortlist=32), emb, k=3
+        pq_top_k(emb, emb, k=3, ksub=64, n_probe=8, shortlist=64), emb, k=3
+    )
+
+
+def _ivf_appended_store(spark: SparkSession, sf_dir: str):
+    """Shared plumbing for the ann_ivf_appended pair: the FULL
+    incremental-ingest lifecycle of the persisted IVF index —
+    build the index on an 80% base corpus (vec_id % 5 != 0), persist
+    both halves to a parquet store, APPEND the remaining 20% batch via
+    pipeline/similarity.append_to_ivf_index (frozen coarse quantizer,
+    new parquet files under the same index dir — the old corpus is
+    never re-encoded), and hand back everything the serving + check
+    queries need.  This is the ingestion pattern B83 probed (recall
+    0.996 appended vs 0.994 fresh-rebuild at a 20% batch): at 100 TB
+    the append encodes ONLY the new batch, while a rebuild would rescan
+    and re-encode the whole corpus."""
+    import tempfile
+
+    from tsne_flink_spark.pipeline.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    batch = emb.where(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    centroids_df, index_df = build_ivf_index(base)
+    store = tempfile.mkdtemp(prefix="ivf_append_")
+    centroids_df.write.mode("overwrite").parquet(f"{store}/centroids")
+    index_df.write.mode("overwrite").parquet(f"{store}/index")
+    cent = spark.read.parquet(f"{store}/centroids")
+    # the append: encode ONLY the new batch, against the stored quantizer
+    append_to_ivf_index(cent, batch).write.mode("append").parquet(
+        f"{store}/index"
+    )
+    combined = spark.read.parquet(f"{store}/index")
+    return emb, batch, cent, combined
+
+
+def q_ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served from a persisted index GROWN BY APPEND
+    (build_ivf_index on an 80% base -> parquet -> append_to_ivf_index
+    for the 20% batch -> ivf_query_index over the combined store): the
+    end-to-end incremental-ingest lifecycle — new vectors enter the
+    served index without re-training the quantizer or re-encoding the
+    old corpus.  Approximate (quantizer-trained-on-base), rows-only;
+    the _check pins the frozen-quantizer exactness contract, appended
+    retrievability, the staleness audit, and a recall floor."""
+    from tsne_flink_spark.pipeline.similarity import ivf_query_index
+
+    emb, _, cent, combined = _ivf_appended_store(spark, sf_dir)
+    out = ivf_query_index(emb, cent, combined, k=3, n_probe=8)
+    return out.select("q", "c", F.round("sim", 6).alias("sim"))
+
+
+def q_ann_ivf_appended_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the IVF append lifecycle (oracle:
+    constant zero row):
+
+    1. frozen-quantizer exactness — serving from the appended store is
+       BIT-EQUAL to serving from a one-shot encode of the full corpus
+       against the same stored centroids (append is per-row assignment,
+       so append(base) ∪ append(batch) == encode(base ∪ batch); the
+       only approximation is the quantizer itself, which both sides
+       share) — mismatched_rows;
+    2. completeness — the combined index has exactly one row per corpus
+       vector (index_row_delta, dup_id_delta) and EVERY appended-batch
+       id is present (missing_appended: the r12 failure mode where new
+       vectors silently never enter the served index);
+    3. staleness audit — ivf_index_staleness over the combined store
+       accounts for every vector and every list (audit_vec_delta,
+       audit_list_delta);
+    4. recall floor — served top-3 (n_probe=8) vs exact brute-force
+       cosine top-3 over the full corpus >= 0.60 (measured ~0.75-0.77 at
+       sf0.001/sf0.01; the floor only catches a broken lifecycle, not
+       statistical drift — recall here is n_probe/n_lists-bound at this
+       tiny corpus, while B83's 0.996 was the append-vs-rebuild GAP
+       probe at scale) — low_recall."""
+    from tsne_flink_spark.pipeline.similarity import (
+        append_to_ivf_index,
+        brute_force_top_k,
+        ivf_index_staleness,
+        ivf_query_index,
+    )
+
+    emb, batch, cent, combined = _ivf_appended_store(spark, sf_dir)
+    n_emb = emb.count()
+    n_cent = cent.count()
+
+    served = ivf_query_index(emb, cent, combined, k=3, n_probe=8)
+    from tsne_flink_spark.operators.optimize import materialize
+
+    served = materialize(served)  # referenced by (1) and (4)
+
+    # (1) one-shot full encode against the SAME stored quantizer
+    full = ivf_query_index(
+        emb, cent, append_to_ivf_index(cent, emb), k=3, n_probe=8
+    ).select(
+        F.col("q").alias("__dq"), F.col("c").alias("__dc"),
+        F.col("sim").alias("__ds"),
+    )
+    j = served.join(
+        full,
+        (F.col("q") == F.col("__dq")) & (F.col("c") == F.col("__dc")),
+        "full",
+    )
+    bad = (
+        F.col("q").isNull()
+        | F.col("__dq").isNull()
+        | ~F.col("sim").eqNullSafe(F.col("__ds"))
+    )
+    mismatched = j.agg(
+        F.sum(bad.cast("int")).cast("long").alias("mismatched_rows")
+    )
+
+    # (2) completeness of the combined store
+    counts = combined.agg(
+        (F.count(F.lit(1)) - F.lit(n_emb)).cast("long").alias(
+            "index_row_delta"
+        ),
+        (F.count_distinct("vec_id") - F.lit(n_emb)).cast("long").alias(
+            "dup_id_delta"
+        ),
+    )
+    missing = (
+        batch.select("vec_id")
+        .join(combined.select("vec_id"), "vec_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("missing_appended"))
+    )
+
+    # (3) staleness audit accounts for everything
+    audit = ivf_index_staleness(cent, combined).select(
+        (F.col("n_vectors") - F.lit(n_emb)).cast("long").alias(
+            "audit_vec_delta"
+        ),
+        (F.col("n_lists") - F.lit(n_cent)).cast("long").alias(
+            "audit_list_delta"
+        ),
+    )
+
+    # (4) recall floor vs exact top-3
+    exact = brute_force_top_k(emb, emb, k=3).select(
+        F.col("q").alias("__eq"), F.col("c").alias("__ec")
+    )
+    hits = served.join(
+        exact,
+        (F.col("q") == F.col("__eq")) & (F.col("c") == F.col("__ec")),
+        "inner",
+    ).count()
+    total = exact.count()
+    recall_row = spark.range(1).select(
+        (F.lit(hits / max(total, 1)) < F.lit(0.60))
+        .cast("long")
+        .alias("low_recall")
+    )
+
+    return (
+        mismatched.crossJoin(counts)
+        .crossJoin(missing)
+        .crossJoin(audit)
+        .crossJoin(recall_row)
+    )
+
+
+def _streaming_countmin_store(spark: SparkSession, sf_dir: str):
+    """Shared plumbing for streaming_countmin: corpus token rows written
+    as a 4-file parquet source, replayed as a FILE STREAM one file per
+    micro-batch (maxFilesPerTrigger=1 + availableNow), each batch's
+    d x w counter rows landing as one shard under the store via
+    pipeline/sketches.streaming_countmin_shards' foreachBatch — the
+    continuous-ingest half of the persisted count-min lifecycle.  Hands
+    back (fresh-read shard store, the token DataFrame)."""
+    import tempfile
+
+    from tsne_flink_spark.pipeline.sketches import streaming_countmin_shards
+    from tsne_flink_spark.pipeline.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokenize(F.lower(F.col("text")))).alias("t")
+    )
+    src = tempfile.mkdtemp(prefix="cm_src_")
+    store = tempfile.mkdtemp(prefix="cm_store_")
+    ckpt = tempfile.mkdtemp(prefix="cm_ckpt_")
+    # exactly 4 files -> 4 micro-batches (round-robin repartition of a
+    # many-thousand-row token table leaves none empty)
+    toks.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("t string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_countmin_shards(
+        stream, store, "t", w=1024, d=4, checkpoint_dir=ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(store), toks
+
+
+def q_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency service fed by STRUCTURED STREAMING
+    (pipeline/sketches.streaming_countmin_shards -> countmin_union ->
+    countmin_estimate): the corpus token stream is ingested one
+    micro-batch at a time, each batch's sketch persisted as a shard via
+    foreachBatch, and the top-20 token frequencies are answered from
+    the UNIONED shard store alone — identical output to the one-shot
+    batch sketch (countmin_tokens) because the union is an exact
+    elementwise counter sum, so the DuckDB oracle replays the whole
+    pipeline hash-for-hash including the n_shards constant (4
+    micro-batches).  This is the live-ingest lifecycle: a stream
+    appends kilobyte shards forever; readers answer point-frequency
+    queries at any time without rescanning ingested rows."""
+    from tsne_flink_spark.pipeline.sketches import (
+        countmin_estimate,
+        countmin_union,
+    )
+
+    shards, toks = _streaming_countmin_store(spark, sf_dir)
+    from tsne_flink_spark.operators.optimize import materialize
+
+    toks = materialize(toks)  # probe counts only; the sketch came from disk
+    n_shards = shards.select("shard").distinct().count()
+    sk = countmin_union(shards)
+    probes = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "t")
+        .limit(20)
+    )
+    est = countmin_estimate(sk, probes, "t")
+    return (
+        probes.join(est, "t")
+        .select(
+            F.col("t").alias("token"),
+            "true_n",
+            F.col("est").alias("est_n"),
+            (F.col("est") - F.col("true_n")).cast("long").alias("over"),
+            F.lit(n_shards).cast("long").alias("n_shards"),
+        )
+        .orderBy("token")
     )
 
 
@@ -3106,7 +3377,7 @@ def q_dup_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsne_flink_spark.pipeline.curation import near_dup_best_rep
 
     docs = _t(spark, sf_dir, "documents")
-    return near_dup_best_rep(docs)
+    return near_dup_best_rep(docs, pairs=_dup_pair_edges(spark, sf_dir))
 
 
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3894,10 +4165,8 @@ def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.85; exact DuckDB oracle unrolls the same iterations over the same
     pair-mining CTE (_pagerank_oracle_sql)."""
     from tsne_flink_spark.operators.graph import pagerank
-    from tsne_flink_spark.pipeline.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
+    edges = _dup_pair_edges(spark, sf_dir)
     out = pagerank(edges, iters=10, damping=0.85)
     return out.select("id", F.round("rank", 6).alias("rank"))
 
@@ -4561,89 +4830,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT: the driver's correctness gate checks only the FIRST
-    # 50 entries, so the window rotates each round toward the queries with
-    # the weakest driver evidence; check pairs stay adjacent
-    # (tests/test_registry.py pins pair integrity).  Round-13 window,
-    # exactly as the r12 verdict prescribed (item 1):
-    # (a) the 11 NEVER-driver-checked r12 late entrants lead (kmv_overlap
-    #     + check, quantile_hist + check, dup_kcore, dup_random_walks,
-    #     touch_attribution, event_transitions, keyword_textrank,
-    #     integrity_orphans, join_key_skew) — all green in the local
-    #     sf0.001/sf0.01 gates since r12 but with zero driver evidence;
-    # (b) the first 39 queries of the r10-stale block (knn_project ..
-    #     ann_pq_check) — their latest driver evidence is two rounds old.
-    #     The 39-slot cut lands on the ann_pq/ann_pq_check pair boundary,
-    #     so no check pair straddles the window edge.
-    # Below position 50, ordered by r14 rotation priority:
-    # (c) the flagship tsne_embedding pair rejoins in r14 per the
-    #     every-other-round constraint (driver-green r12; entry() still
-    #     smoke-runs it every round regardless of window position);
-    # (d) the r10-block residue (audio_features .. decontaminate, 11
-    #     queries) — the remainder of the stale block that did not fit;
-    # (e) the r12-green block (the previous window minus the flagship
-    #     pair), then the r11-green block.
-    # LATE ENTRANTS (new in r13, added after the window above was
-    # cluster-validated): queue at the registry END for the r14 rotation;
-    # gated locally at sf0.001 + sf0.01 this round.
+    # ORDERING CONTRACT: the driver's correctness gate checks only the
+    # FIRST 50 entries, so the window rotates each round toward the
+    # queries with the weakest driver evidence; check pairs stay adjacent
+    # (tests/test_registry.py pins pair integrity) and the per-query
+    # evidence ledger is generated into QUERIES.md by
+    # tools/gen_queries_md.py — the rotation is auditable from that
+    # artifact, not from this comment.  Round-14 window, exactly as the
+    # r13 verdict prescribed (item 1): the flagship pair (due back per
+    # the every-other-round contract), then the 10 never-driver-checked
+    # r13 late entrants, then the 3 new r14 queries (IVF append
+    # lifecycle pair + streaming count-min twin, locally gated at
+    # sf0.001 + sf0.01), then the r10-stale residue, then the first 24
+    # of the r11-stale block.  Below position 50, ordered by r15
+    # rotation priority: the r11 remainder, then r12-green, then the
+    # r13-green block.
     return {
-        # --- (a) the 11 never-driver-checked r12 late entrants ---
-        "kmv_overlap": q_kmv_overlap,
-        "kmv_overlap_check": q_kmv_overlap_check,
-        "quantile_hist": q_quantile_hist,
-        "quantile_hist_check": q_quantile_hist_check,
-        "dup_kcore": q_dup_kcore,
-        "dup_random_walks": q_dup_random_walks,
-        "touch_attribution": q_touch_attribution,
-        "event_transitions": q_event_transitions,
-        "keyword_textrank": q_keyword_textrank,
-        "integrity_orphans": q_integrity_orphans,
-        "join_key_skew": q_join_key_skew,
-        # --- (b) first 39 of the r10-stale block ---
-        "knn_project": q_knn_project,
-        "knn_project_check": q_knn_project_check,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_dedup": q_minhash_dedup,
-        "minhash_dedup_check": q_minhash_dedup_check,
-        "exact_dedup": q_exact_dedup,
-        "embedding_dedup": q_embedding_dedup,
-        "embedding_dedup_check": q_embedding_dedup_check,
-        "simhash_dedup": q_simhash_dedup,
-        "simhash_dedup_check": q_simhash_dedup_check,
-        "ann_lsh": q_ann_lsh,
-        "ann_lsh_check": q_ann_lsh_check,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_check": q_ann_ivf_check,
-        "ann_bruteforce": q_ann_bruteforce,
-        "top_revenue_orders": q_top_revenue_orders,
-        "grouped_topk_orders": q_grouped_topk_orders,
-        "distinct_pairs": q_distinct_pairs,
-        "event_rollup": q_event_rollup,
-        "event_order_asof": q_event_order_asof,
-        "session_overlap": q_session_overlap,
-        "token_counts": q_token_counts,
-        "user_totals": q_user_totals,
-        "language_id_ngram": q_language_id_ngram,
-        "corpus_shards": q_corpus_shards,
-        "projection_check": q_projection_check,
-        "customer_rfm": q_customer_rfm,
-        "event_funnel": q_event_funnel,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "decontaminate_fuzzy_check": q_decontaminate_fuzzy_check,
-        "nation_trade_volume": q_nation_trade_volume,
-        "returned_item_revenue": q_returned_item_revenue,
-        "shipmode_priority": q_shipmode_priority,
-        "order_priority": q_order_priority,
-        "shipping_priority": q_shipping_priority,
-        "idle_customers": q_idle_customers,
-        "perplexity_split_exact": q_perplexity_split_exact,
-        "ann_pq": q_ann_pq,
-        "ann_pq_check": q_ann_pq_check,
-        # ------------- below the driver's 50-query window -------------
-        # (c) flagship pair — rejoins the window in r14:
+        # --- flagship pair — due back per the every-other-round contract (last driver evidence r12) ---
         "tsne_embedding": q_tsne_embedding,
         "tsne_embedding_check": q_tsne_embedding_check,
-        # (d) r10-block residue — r14 rotation priority after the flagship:
+        # --- the 10 r13 late entrants — never driver-checked until this window ---
+        "dup_walk_embeddings": q_dup_walk_embeddings,
+        "dup_walk_embeddings_check": q_dup_walk_embeddings_check,
+        "pareto_lineitem_3d": q_pareto_lineitem_3d,
+        "countmin_tokens": q_countmin_tokens,
+        "weighted_sample_by": q_weighted_sample_by,
+        "snapshot_diff": q_snapshot_diff,
+        "winsorized_prices": q_winsorized_prices,
+        "hybrid_retrieval": q_hybrid_retrieval,
+        "lang_source_association": q_lang_source_association,
+        "embedding_decontaminate": q_embedding_decontaminate,
+        # --- r14 additions: the IVF append lifecycle + the streaming count-min twin, gated locally at sf0.001 + sf0.01 this round ---
+        "ann_ivf_appended": q_ann_ivf_appended,
+        "ann_ivf_appended_check": q_ann_ivf_appended_check,
+        "streaming_countmin": q_streaming_countmin,
+        # --- the r10-stale residue (last driver evidence r10) ---
         "audio_features": q_audio_features,
         "audio_check": q_audio_check,
         "curation_pipeline": q_curation_pipeline,
@@ -4655,7 +4876,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_check": q_multimodal_check,
         "decontaminate": q_decontaminate,
-        # (e) driver-green in r12:
+        # --- first 24 of the r11-stale block — cut lands after quality_scores; no check pair straddles the edge ---
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_partition": q_knn_partition,
+        "pairwise_affinities": q_pairwise_affinities,
+        "joint_distribution": q_joint_distribution,
+        "centering": q_centering,
+        "global_aggregates": q_global_aggregates,
+        "pricing_summary": q_pricing_summary,
+        "bpe_tokens": q_bpe_tokens,
+        "bpe_tokens_check": q_bpe_check,
+        "lm_perplexity": q_lm_perplexity,
+        "lm_perplexity_interp": q_lm_perplexity_interp,
+        "winnow_overlap": q_winnow_overlap,
+        "exact_substr_dedup": q_exact_substr_dedup,
+        "url_dedup": q_url_dedup,
+        "url_domains": q_url_domains,
+        "video_frames": q_video_frames,
+        "source_stats": q_source_stats,
+        "source_stats_approx_check": q_source_stats_approx_check,
+        "sketch_distinct_check": q_sketch_distinct_check,
+        "approx_quantile_check": q_approx_quantile_check,
+        "stratified_sample": q_stratified_sample,
+        "stratified_take": q_stratified_take,
+        "token_histogram": q_token_histogram,
+        "quality_scores": q_quality_scores,
+        # --- ------------- below the driver's 50-query window -------------
+        # r11-stale remainder — r15 rotation priority ---
+        "repetition_stats": q_repetition_stats,
+        "mixture_weights": q_mixture_weights,
+        "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
+        "doc_fingerprint": q_doc_fingerprint,
+        "incremental_dedup": q_incremental_dedup,
+        "incremental_dedup_bloom": q_incremental_dedup_bloom,
+        "bigram_stats": q_bigram_stats,
+        "boilerplate_lines": q_boilerplate_lines,
+        "lang_source_matrix": q_lang_source_matrix,
+        "source_overlap": q_source_overlap,
+        "unicode_normalize": q_unicode_normalize,
+        "bm25_scores": q_bm25_scores,
+        "profile_lineitem": q_profile_lineitem,
+        "link_triangles": q_link_triangles,
+        "link_triangles_check": q_link_triangles_check,
+        "blocklist_filter": q_blocklist_filter,
+        "bm25_index": q_bm25_index,
+        "brand_promo_revenue": q_brand_promo_revenue,
+        "c4_clean": q_c4_clean,
+        "compression_check": q_compression_check,
+        "link_pagerank": q_link_pagerank,
+        "sketch_union": q_sketch_union,
+        "sketch_union_check": q_sketch_union_check,
+        # --- driver-green in r12 ---
         "corpus_diff": q_corpus_diff,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
@@ -4704,72 +4976,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_persisted_check": q_ann_ivf_persisted_check,
         "ann_pq_persisted": q_ann_pq_persisted,
         "ann_pq_persisted_check": q_ann_pq_persisted_check,
-        # (e) driver-green in r11:
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_partition": q_knn_partition,
-        "pairwise_affinities": q_pairwise_affinities,
-        "joint_distribution": q_joint_distribution,
-        "centering": q_centering,
-        "global_aggregates": q_global_aggregates,
-        "pricing_summary": q_pricing_summary,
-        "bpe_tokens": q_bpe_tokens,
-        "bpe_tokens_check": q_bpe_check,
-        "lm_perplexity": q_lm_perplexity,
-        "lm_perplexity_interp": q_lm_perplexity_interp,
-        "winnow_overlap": q_winnow_overlap,
-        "exact_substr_dedup": q_exact_substr_dedup,
-        "url_dedup": q_url_dedup,
-        "url_domains": q_url_domains,
-        "video_frames": q_video_frames,
-        "source_stats": q_source_stats,
-        "source_stats_approx_check": q_source_stats_approx_check,
-        "sketch_distinct_check": q_sketch_distinct_check,
-        "approx_quantile_check": q_approx_quantile_check,
-        "stratified_sample": q_stratified_sample,
-        "stratified_take": q_stratified_take,
-        "token_histogram": q_token_histogram,
-        "quality_scores": q_quality_scores,
-        "repetition_stats": q_repetition_stats,
-        "mixture_weights": q_mixture_weights,
-        "pack_sequences": q_pack_sequences,
-        "chunk_documents": q_chunk_documents,
-        "doc_fingerprint": q_doc_fingerprint,
-        "incremental_dedup": q_incremental_dedup,
-        "incremental_dedup_bloom": q_incremental_dedup_bloom,
-        "bigram_stats": q_bigram_stats,
-        "boilerplate_lines": q_boilerplate_lines,
-        "lang_source_matrix": q_lang_source_matrix,
-        "source_overlap": q_source_overlap,
-        "unicode_normalize": q_unicode_normalize,
-        "bm25_scores": q_bm25_scores,
-        "profile_lineitem": q_profile_lineitem,
-        "link_triangles": q_link_triangles,
-        "link_triangles_check": q_link_triangles_check,
-        "blocklist_filter": q_blocklist_filter,
-        "bm25_index": q_bm25_index,
-        "brand_promo_revenue": q_brand_promo_revenue,
-        "c4_clean": q_c4_clean,
-        "compression_check": q_compression_check,
-        "link_pagerank": q_link_pagerank,
-        "sketch_union": q_sketch_union,
-        "sketch_union_check": q_sketch_union_check,
-        # --- r13 late entrants: added after the window above was
-        # cluster-validated, so they queue at the registry END for the
-        # r14 rotation (first-50 = the driver's graded window).  Each is
-        # gated at sf0.001 + sf0.01 AND hash-validated on the 2-worker
-        # standalone cluster this round (B86).  r14 rotation priority:
-        # these, then the flagship pair, then the r10-block residue
-        # (audio_features .. decontaminate), then r12-green.
-        "dup_walk_embeddings": q_dup_walk_embeddings,
-        "dup_walk_embeddings_check": q_dup_walk_embeddings_check,
-        "pareto_lineitem_3d": q_pareto_lineitem_3d,
-        "countmin_tokens": q_countmin_tokens,
-        "weighted_sample_by": q_weighted_sample_by,
-        "snapshot_diff": q_snapshot_diff,
-        "winsorized_prices": q_winsorized_prices,
-        "hybrid_retrieval": q_hybrid_retrieval,
-        "lang_source_association": q_lang_source_association,
-        "embedding_decontaminate": q_embedding_decontaminate,
+        # --- driver-green in r13 (the r13 window) ---
+        "kmv_overlap": q_kmv_overlap,
+        "kmv_overlap_check": q_kmv_overlap_check,
+        "quantile_hist": q_quantile_hist,
+        "quantile_hist_check": q_quantile_hist_check,
+        "dup_kcore": q_dup_kcore,
+        "dup_random_walks": q_dup_random_walks,
+        "touch_attribution": q_touch_attribution,
+        "event_transitions": q_event_transitions,
+        "keyword_textrank": q_keyword_textrank,
+        "integrity_orphans": q_integrity_orphans,
+        "join_key_skew": q_join_key_skew,
+        "knn_project": q_knn_project,
+        "knn_project_check": q_knn_project_check,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_check": q_minhash_dedup_check,
+        "exact_dedup": q_exact_dedup,
+        "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_check": q_embedding_dedup_check,
+        "simhash_dedup": q_simhash_dedup,
+        "simhash_dedup_check": q_simhash_dedup_check,
+        "ann_lsh": q_ann_lsh,
+        "ann_lsh_check": q_ann_lsh_check,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_check": q_ann_ivf_check,
+        "ann_bruteforce": q_ann_bruteforce,
+        "top_revenue_orders": q_top_revenue_orders,
+        "grouped_topk_orders": q_grouped_topk_orders,
+        "distinct_pairs": q_distinct_pairs,
+        "event_rollup": q_event_rollup,
+        "event_order_asof": q_event_order_asof,
+        "session_overlap": q_session_overlap,
+        "token_counts": q_token_counts,
+        "user_totals": q_user_totals,
+        "language_id_ngram": q_language_id_ngram,
+        "corpus_shards": q_corpus_shards,
+        "projection_check": q_projection_check,
+        "customer_rfm": q_customer_rfm,
+        "event_funnel": q_event_funnel,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "decontaminate_fuzzy_check": q_decontaminate_fuzzy_check,
+        "nation_trade_volume": q_nation_trade_volume,
+        "returned_item_revenue": q_returned_item_revenue,
+        "shipmode_priority": q_shipmode_priority,
+        "order_priority": q_order_priority,
+        "shipping_priority": q_shipping_priority,
+        "idle_customers": q_idle_customers,
+        "perplexity_split_exact": q_perplexity_split_exact,
+        "ann_pq": q_ann_pq,
+        "ann_pq_check": q_ann_pq_check,
     }
 
 
@@ -5725,6 +5982,13 @@ SELECT CAST(0 AS BIGINT) AS missing_nodes,
        CAST(0 AS BIGINT) AS sim_margin_low
 """,
         "countmin_tokens": _COUNTMIN_ORACLE,
+        # the streaming store unions to the SAME counters the one-shot
+        # sketch builds, so the batch oracle replays it; n_shards pins
+        # the 4-file -> 4-micro-batch ingestion
+        "streaming_countmin": _COUNTMIN_ORACLE.replace(
+            "::BIGINT AS over",
+            "::BIGINT AS over, 4::BIGINT AS n_shards",
+        ),
         "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "winsorized_prices": _WINSORIZE_ORACLE,
         "hybrid_retrieval": _hybrid_retrieval_oracle(),
@@ -6846,6 +7110,12 @@ SELECT 0::BIGINT AS mismatched_rows
 """,
         "ann_pq_persisted_check": """
 SELECT 0::BIGINT AS mismatched_rows
+""",
+        "ann_ivf_appended_check": """
+SELECT 0::BIGINT AS mismatched_rows, 0::BIGINT AS index_row_delta,
+       0::BIGINT AS dup_id_delta, 0::BIGINT AS missing_appended,
+       0::BIGINT AS audit_vec_delta, 0::BIGINT AS audit_list_delta,
+       0::BIGINT AS low_recall
 """,
         "dup_triangles": _TRIANGLES_ORACLE,
         "dup_best_rep": """

@@ -121,6 +121,14 @@ def test_bench_output_lines_tail_survivable():
         "pre_dedup_sec": 0.28,
         "end_sec": 0.25,
         "end_over_start": 0.833,
+        "arrow": {
+            "start": 12.345,
+            "post_flagship": 12.345,
+            "pre_dedup": 12.345,
+            "pre_ann": 12.345,
+            "pre_multimodal": 12.345,
+            "end": 12.345,
+        },
     }
     lines = bench.emit_output_lines(timings, 99999.0, 0.1, 32, len(timings), calib)
     assert sum(len(line) + 1 for line in lines) < 2000

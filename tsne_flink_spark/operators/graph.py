@@ -503,6 +503,81 @@ def walk_embeddings(
     )
 
 
+def embed_by_component(
+    edges: DataFrame,
+    walks: DataFrame,
+    dim: int = 16,
+    window_size: int = 3,
+    seed: int = 1,
+    epochs: int = 4,
+    num_partitions: int = 1,
+    n_shards: int = 4,
+) -> DataFrame:
+    """(id, emb): :func:`walk_embeddings` sharded by connected component
+    — the web-scale path the plain function's docstring prescribes, made
+    executable.
+
+    Why sharding is sound: a random walk never leaves its component, so
+    skip-gram windows NEVER span two components — training component A's
+    walks in the same fit as component B's adds zero co-occurrence
+    signal between them.  Splitting the corpus so each fit sees a
+    disjoint component family therefore changes nothing semantically,
+    while cutting the one thing that doesn't scale in Word2Vec: the
+    vocab x dim parameter matrix every executor holds (and re-broadcasts
+    per iteration).  With ``n_shards`` shards each fit's vocab is ~1/n
+    of the node set, so a graph whose full model would blow the
+    broadcast budget trains in n bounded pieces.
+
+    Mechanics: components from :func:`connected_components` (O(log
+    diameter) rounds), each walk tagged with its step-0 node's component
+    (all its nodes share it), shard = component mod ``n_shards`` (a
+    component is never split), one Word2Vec fit per shard in a driver
+    loop bounded by ``n_shards`` — NOT by the component count, which at
+    web scale is dominated by millions of tiny families.  Output is the
+    disjoint union; each node appears exactly once.  Per-shard seeds
+    differ (seed + shard) so shards don't share init vectors.
+
+    Embeddings are only comparable WITHIN a component family in any
+    DeepWalk setup (nothing ever relates disconnected nodes), so the
+    per-shard models cost nothing over the monolithic fit for every
+    downstream same-component use (dedup, clustering, link prediction).
+    """
+    comps = connected_components(edges, "a", "b").select(
+        F.col("id").alias("__h"), "component"
+    )
+    heads = walks.where(F.col("step") == 0).select(
+        "walk_id", F.col("node").alias("__h")
+    )
+    tagged = (
+        walks.join(heads, "walk_id")
+        .join(comps, "__h")
+        .withColumn(
+            "__shard", F.pmod(F.col("component"), F.lit(n_shards))
+        )
+    )
+    from tsne_flink_spark.operators.optimize import materialize
+
+    # one lineage cut: every shard's filter reads the tagged corpus, and
+    # connected_components' iterative lineage must not re-execute per fit
+    tagged = materialize(
+        tagged.select("walk_id", "step", "node", "__shard")
+    )
+    out = None
+    for s in range(n_shards):
+        emb = walk_embeddings(
+            tagged.where(F.col("__shard") == s).select(
+                "walk_id", "step", "node"
+            ),
+            dim=dim,
+            window_size=window_size,
+            seed=seed + s,
+            epochs=epochs,
+            num_partitions=num_partitions,
+        )
+        out = emb if out is None else out.unionByName(emb)
+    return out
+
+
 def adamic_adar(
     edges: DataFrame,
     k: int = 100,

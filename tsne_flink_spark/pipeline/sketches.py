@@ -610,6 +610,7 @@ def streaming_heavy_hitters(
     text_col: str = "text",
     checkpoint_dir: str | None = None,
     trigger_seconds: int = 1,
+    available_now: bool = False,
 ):
     """Continuous heavy-hitter tracking over a streaming corpus: each
     micro-batch's exact term counts are MG-merged into a persisted
@@ -652,9 +653,15 @@ def streaming_heavy_hitters(
             f"{state_dir}/batch={batch_id}"
         )
 
-    writer = stream_docs.writeStream.foreachBatch(step).trigger(
-        processingTime=f"{trigger_seconds} seconds"
-    )
+    writer = stream_docs.writeStream.foreachBatch(step)
+    if available_now:
+        # drain all available micro-batches, then terminate — the
+        # replay-a-backlog / gate-query mode
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(
+            processingTime=f"{trigger_seconds} seconds"
+        )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
@@ -668,6 +675,7 @@ def streaming_kmv_shards(
     k: int = 512,
     checkpoint_dir: str | None = None,
     trigger_seconds: int = 1,
+    available_now: bool = False,
 ):
     """Continuous producer for the persisted KMV lifecycle: each
     micro-batch's per-key k-minimum arrays land as one shard under
@@ -682,9 +690,15 @@ def streaming_kmv_shards(
             "shard", F.lit(int(batch_id)).cast("long")
         ).write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
 
-    writer = stream_df.writeStream.foreachBatch(step).trigger(
-        processingTime=f"{trigger_seconds} seconds"
-    )
+    writer = stream_df.writeStream.foreachBatch(step)
+    if available_now:
+        # drain all available micro-batches, then terminate — the
+        # replay-a-backlog / gate-query mode
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(
+            processingTime=f"{trigger_seconds} seconds"
+        )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
@@ -700,6 +714,7 @@ def streaming_histogram_shards(
     bins: int = 128,
     checkpoint_dir: str | None = None,
     trigger_seconds: int = 1,
+    available_now: bool = False,
 ):
     """Continuous producer for the persisted histogram lifecycle: each
     micro-batch's per-key fixed-bin counts land as one shard under
@@ -716,9 +731,15 @@ def streaming_histogram_shards(
             F.lit(int(batch_id)).cast("long"), lo, hi, bins,
         ).write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
 
-    writer = stream_df.writeStream.foreachBatch(step).trigger(
-        processingTime=f"{trigger_seconds} seconds"
-    )
+    writer = stream_df.writeStream.foreachBatch(step)
+    if available_now:
+        # drain all available micro-batches, then terminate — the
+        # replay-a-backlog / gate-query mode
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(
+            processingTime=f"{trigger_seconds} seconds"
+        )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
@@ -732,12 +753,13 @@ def streaming_countmin_shards(
     d: int = 4,
     checkpoint_dir: str | None = None,
     trigger_seconds: int = 1,
+    available_now: bool = False,
 ):
     """Continuous producer for the persisted count-min lifecycle: each
     micro-batch's d x w counter rows land as one shard under
     ``store_dir/batch=<id>``; point-frequency estimates at any time come
     from ``countmin_estimate(countmin_union(spark.read.parquet(
-    store_dir)), probes, value_col, w)`` — the merge is an EXACT
+    store_dir)), probes, value_col)`` — the merge is an EXACT
     elementwise sum, so the streaming store answers identically to one
     sketch built over everything ingested (unit-pinned for the batch
     union).  Idempotent under micro-batch replay (per-batch directory
@@ -748,9 +770,15 @@ def streaming_countmin_shards(
             "shard", F.lit(int(batch_id)).cast("long")
         ).write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
 
-    writer = stream_df.writeStream.foreachBatch(step).trigger(
-        processingTime=f"{trigger_seconds} seconds"
-    )
+    writer = stream_df.writeStream.foreachBatch(step)
+    if available_now:
+        # drain all available micro-batches, then terminate — the
+        # replay-a-backlog / gate-query mode
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(
+            processingTime=f"{trigger_seconds} seconds"
+        )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
@@ -763,6 +791,7 @@ def streaming_sketch_shards(
     value_col: str,
     checkpoint_dir: str | None = None,
     trigger_seconds: int = 1,
+    available_now: bool = False,
 ):
     """Continuous producer for the persisted HLL lifecycle: each
     micro-batch's per-key sketches land as ONE shard (shard = batch id)
@@ -789,9 +818,15 @@ def streaming_sketch_shards(
             f"{store_dir}/batch={batch_id}"
         )
 
-    writer = stream_df.writeStream.foreachBatch(step).trigger(
-        processingTime=f"{trigger_seconds} seconds"
-    )
+    writer = stream_df.writeStream.foreachBatch(step)
+    if available_now:
+        # drain all available micro-batches, then terminate — the
+        # replay-a-backlog / gate-query mode
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(
+            processingTime=f"{trigger_seconds} seconds"
+        )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
