@@ -124,3 +124,74 @@ def test_streaming_kmv_shards_available_now(spark, tmp_path):
     }
     # the shard union is an exact elementwise sum: identical estimates
     assert streamed == batch
+
+
+def test_skyline_nd_blocked_matches_bruteforce():
+    """The d>=4 blocked sweep (vectorized chunks replacing the per-row
+    Python loop) must equal the O(n^2) brute force on ties, duplicates,
+    anti-correlated frontiers, and cross-chunk dominance (tiny block)."""
+    import numpy as np
+
+    from tsne_flink_spark.operators.skyline import (
+        _skyline_indices,
+        _skyline_nd_blocked,
+    )
+
+    def brute(pts):
+        keep = []
+        for i in range(len(pts)):
+            if not any(
+                (pts[j] >= pts[i]).all() and (pts[j] > pts[i]).any()
+                for j in range(len(pts))
+                if j != i
+            ):
+                keep.append(i)
+        return np.array(sorted(keep), dtype=np.int64)
+
+    rng = np.random.default_rng(3)
+    for d in (4, 5):
+        pts = rng.integers(0, 5, size=(250, d)).astype(float)  # ties+dups
+        assert np.array_equal(_skyline_indices(pts), brute(pts))
+        anti = rng.random((300, d))
+        anti[:, -1] = d - anti[:, :-1].sum(axis=1)  # frontier == input
+        assert np.array_equal(_skyline_indices(anti), brute(anti))
+    # tiny block forces many cross-chunk kept-matrix tests
+    pts = rng.integers(0, 4, size=(200, 4)).astype(float)
+    assert np.array_equal(_skyline_nd_blocked(pts, block=13), brute(pts))
+
+
+def test_pareto_range_merge_matches_single_task(spark):
+    """merge='range' (distributed phase-2 on range blocks of the first
+    criterion) must return the exact same row SET as the single-task
+    merge — uniform, anti-correlated (frontier == input), and mixed
+    min/max directions, across awkward partition counts."""
+    import numpy as np
+    import pandas as pd
+
+    from tsne_flink_spark.operators.skyline import pareto_frontier
+
+    rng = np.random.default_rng(5)
+    cases = [
+        (4, 800, False, None),
+        (4, 600, True, None),
+        (4, 500, False, [True, False, True, False]),
+    ]
+    for d, n, anti, mx in cases:
+        cols = [f"c{i}" for i in range(d)]
+        X = rng.integers(0, 20, size=(n, d)).astype(float)  # ties+dups
+        if anti:
+            X = rng.random((n, d))
+            X[:, -1] = d - X[:, :-1].sum(axis=1)
+        pdf = pd.DataFrame(X, columns=cols)
+        pdf["id"] = range(n)
+        df = spark.createDataFrame(pdf).repartition(7)
+        a = sorted(r["id"] for r in pareto_frontier(df, cols, mx).collect())
+        b = sorted(
+            r["id"]
+            for r in pareto_frontier(
+                df, cols, mx, merge="range", merge_partitions=5
+            ).collect()
+        )
+        assert a == b, (d, n, anti, len(a), len(b))
+        if anti:
+            assert len(a) == n  # the adversarial shape really was one

@@ -72,11 +72,25 @@ def main() -> None:
     n_walk_rows = walks.count()
     t_walks = time.time() - t0
 
+    walks = walks.cache()
+    walks.count()
+
+    # A/B the Word2Vec scale knob: num_partitions=1 (single-stream SGD,
+    # the deterministic-ish gate default) vs 8 (sharded SGD with
+    # per-iteration parameter averaging — the wall-clock path for a
+    # web-scale walk corpus).  The margin invariant must hold on BOTH.
+    t0 = time.time()
+    emb1 = walk_embeddings(walks, dim=8, epochs=2, num_partitions=1)
+    emb1 = emb1.cache()
+    n_emb1 = emb1.count()
+    t_fit1 = time.time() - t0
+
     t0 = time.time()
     emb = walk_embeddings(walks, dim=8, epochs=2, num_partitions=8)
     emb = emb.cache()
     n_emb = emb.count()
     t_fit = time.time() - t0
+    assert n_emb1 == n_emb, (n_emb1, n_emb)
 
     # sampled margin: 5k graph-neighbor pairs vs 5k pseudo-random
     # non-adjacent pairs among embedded nodes
@@ -115,12 +129,26 @@ def main() -> None:
 
     me, ne = mean_cos(epairs)
     mr, nr = mean_cos(rpairs)
+
+    got1 = {
+        int(x["id"]): np.array(x["emb"])
+        for x in emb1.join(need_df, "id").collect()
+    }
+    got, got1 = got1, got  # reuse mean_cos over the p=1 embeddings
+    me1, _ = mean_cos(epairs)
+    mr1, _ = mean_cos(rpairs)
+    got = got1
+
     print(
         f"walk-embeddings @ B68 scale: {m:,} edges, {n_emb:,} nodes "
-        f"embedded; walks {n_walk_rows:,} rows in {t_walks:.1f}s, "
-        f"skip-gram fit (dim 8, 2 epochs, 8 partitions) {t_fit:.1f}s; "
-        f"neighbor cos {me:.3f} (n={ne}) vs non-adjacent {mr:.3f} "
-        f"(n={nr}) — margin {me - mr:+.3f}"
+        f"embedded; walks {n_walk_rows:,} rows in {t_walks:.1f}s\n"
+        f"  num_partitions=1: fit {t_fit1:.1f}s, neighbor cos {me1:.3f} "
+        f"vs non-adjacent {mr1:.3f} — margin {me1 - mr1:+.3f}\n"
+        f"  num_partitions=8: fit {t_fit:.1f}s, neighbor cos {me:.3f} "
+        f"(n={ne}) vs non-adjacent {mr:.3f} (n={nr}) — margin "
+        f"{me - mr:+.3f}\n"
+        f"  speedup {t_fit1 / max(t_fit, 1e-9):.2f}x; both margins must "
+        f"clear the 0.2 gate threshold"
     )
 
 

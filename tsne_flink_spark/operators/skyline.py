@@ -123,37 +123,97 @@ def _skyline_indices(pts: np.ndarray) -> np.ndarray:
         return _skyline_2d(pts)
     if pts.shape[1] == 3:
         return _skyline_3d(pts)
-    order = np.lexsort(
-        tuple(pts[:, c] for c in range(pts.shape[1] - 1, -1, -1))
-    )[::-1]
-    kept_idx: list[int] = []
-    mat = np.empty((0, pts.shape[1]))  # bulk of the kept set
-    tail: list[np.ndarray] = []  # recent keeps, folded in batches of 256
+    return _skyline_nd_blocked(pts)
 
-    def dominated_by(block: np.ndarray, p: np.ndarray) -> bool:
-        ge = (block >= p).all(axis=1)
-        return bool(ge.any() and (block[ge] > p).any(axis=1).any())
 
-    for i in order:
-        p = pts[i]
-        if mat.shape[0] and dominated_by(mat, p):
-            continue
-        if tail and dominated_by(np.vstack(tail), p):
-            continue
-        kept_idx.append(int(i))
-        tail.append(p)
-        if len(tail) >= 256:
-            mat = np.vstack([mat, *tail])
-            tail = []
-    return np.array(sorted(kept_idx), dtype=np.int64)
+def _skyline_nd_blocked(pts: np.ndarray, block: int = 2048) -> np.ndarray:
+    """d >= 4 skyline: descending-lex blocked sweep, fully vectorized.
+
+    Same O(n·s·d) worst case as a test-against-kept sweep (no known
+    practical sub-quadratic kernel at d >= 4 when the frontier is
+    anti-correlated), but executed as CHUNKED matrix dominance tests
+    instead of a per-row Python loop — the probe-measured constant
+    factor is ~20-60x (tools/probe_skyline_4d.py), which is the
+    difference between "seconds" and "minutes" on a 200k-row
+    anti-correlated merge.
+
+    Invariant: after the descending lexicographic sort over DISTINCT
+    points, a point can only be dominated by points sorting BEFORE it
+    (any earlier point is >= on the first differing column).  So the
+    sweep processes candidates in ``block``-sized chunks: each chunk is
+    first reduced against ITSELF respecting sort order (earlier rows
+    only), then the survivors are tested against the accumulated kept
+    matrix in kept-side sub-blocks.  Dedup first — equal points do not
+    dominate each other — then re-expand via the inverse map.
+    """
+    uniq, inverse = np.unique(pts, axis=0, return_inverse=True)
+    u = uniq[::-1]  # descending lex across all d columns
+    n, d = u.shape
+
+    # deduped points + lex order make every all->= hit strict, so the
+    # shared chunked tester applies (see _dominated_all_ge)
+    dominated_against = _dominated_all_ge
+
+    keep_desc = np.zeros(n, dtype=bool)
+    kept_blocks: list[np.ndarray] = []
+    kept_rows = 0
+    for b0 in range(0, n, block):
+        cb = u[b0 : b0 + block]
+        # within-chunk: row j can only be dominated by rows < j (lex
+        # order); one strictly-upper-triangular dominance matrix
+        ge = cb[:, None, 0] >= cb[None, :, 0]
+        for c in range(1, d):
+            ge &= cb[:, None, c] >= cb[None, :, c]
+        # ge[i, j] == all-dims i >= j; deduped => i dominates j unless
+        # i == j.  Mask the diagonal and the lower triangle (only
+        # earlier-sorting rows count as dominators).
+        dom_in = np.triu(ge, k=1).any(axis=0)
+        alive = np.nonzero(~dom_in)[0]
+        if kept_rows and len(alive):
+            kept = (
+                kept_blocks[0]
+                if len(kept_blocks) == 1
+                else np.vstack(kept_blocks)
+            )
+            kept_blocks = [kept]
+            dom_out = dominated_against(cb[alive], kept)
+            alive = alive[~dom_out]
+        if len(alive):
+            keep_desc[b0 + alive] = True
+            kept_blocks.append(cb[alive])
+            kept_rows += len(alive)
+    mask = keep_desc[::-1][inverse]
+    return np.nonzero(mask)[0].astype(np.int64)
+
+
+def _dominated_all_ge(cand: np.ndarray, dom: np.ndarray) -> np.ndarray:
+    """Boolean per candidate row: some dominator row is >= on EVERY
+    column.  Chunked over the dominator side; candidates already found
+    dominated drop out of later chunks.  Callers must guarantee that an
+    all->= hit implies STRICT dominance (deduped points in lex order, or
+    cross-range pairs whose first criterion strictly differs)."""
+    d = cand.shape[1]
+    out = np.zeros(len(cand), dtype=bool)
+    for k0 in range(0, len(dom), 4096):
+        kb = dom[k0 : k0 + 4096]
+        alive = np.nonzero(~out)[0]
+        if not len(alive):
+            break
+        ca = cand[alive]
+        ge = kb[:, None, 0] >= ca[None, :, 0]
+        for c in range(1, d):
+            ge &= kb[:, None, c] >= ca[None, :, c]
+        out[alive] |= ge.any(axis=0)
+    return out
 
 
 def pareto_frontier(
     df: DataFrame,
     cols: list[str],
     maximize: list[bool] | None = None,
-    merge: bool = True,
+    merge: bool | str = True,
     by: list[str] | None = None,
+    merge_partitions: int | None = None,
 ) -> DataFrame:
     """All rows of ``df`` not strictly dominated on ``cols``.
 
@@ -168,6 +228,16 @@ def pareto_frontier(
     ``pareto_frontier(union_of_shards, ...)`` later without rescanning
     the batches (the same shard-then-merge lifecycle as the HLL
     sketches), or feed the probe that measures the phase-1 reduction.
+
+    ``merge="range"`` replaces the single-task phase-2 merge with a
+    distributed range-partitioned merge on the first criterion (see
+    :func:`_range_merge`) — same output SET, wall parallelized over
+    ``merge_partitions`` blocks.  Use it when the frontier itself is
+    huge (anti-correlated criteria): the single-task merge is O(n·s) on
+    ONE core there, measured 68 s at 125k rows d=4 vs seconds for the
+    range merge (tools/probe_skyline_4d.py).  The default single-task
+    merge stays optimal for the common tiny-frontier case (no extra
+    shuffle round).
 
     ``by`` computes one skyline PER GROUP ("best orders per region"):
     one shuffle on the group keys, then the same kernel per group via
@@ -235,9 +305,96 @@ def pareto_frontier(
             yield kept
 
     local_sky = df.dropna(subset=cols).mapInPandas(local, schema)
-    if not merge:
+    if merge is False:
         return local_sky
+    if merge == "range":
+        return _range_merge(
+            local_sky, local, cols, maximize, sign, schema,
+            merge_partitions,
+        )
     # phase 2: merge the per-partition survivors on one task — input is
     # (#partitions x local skyline), not n; an explicit single-partition
     # exchange, not a global sort
     return local_sky.repartition(1).mapInPandas(local, schema)
+
+
+def _range_merge(
+    local_sky: DataFrame,
+    local,
+    cols: list[str],
+    maximize: list[bool],
+    sign: np.ndarray,
+    schema,
+    merge_partitions: int | None,
+) -> DataFrame:
+    """Distributed phase-2 merge, range-partitioned on the FIRST
+    criterion — the scale path for frontiers too big for one task
+    (anti-correlated criteria, where the skyline IS ~the input and the
+    single-task merge is O(n·s) on one core; probe:
+    tools/probe_skyline_4d.py).
+
+    Soundness: after range-partitioning the phase-1 survivors on the
+    first criterion in its BEST direction, any dominator of a row sits
+    in the same range block (equal first criterion — equal range keys
+    share a partition) or an EARLIER one (strictly better first
+    criterion).  So: reduce each block to its own skyline (the full
+    kernel — handles ties/equals), then test each block's survivors
+    against the UNION of earlier blocks' survivors, where every all->=
+    hit is strict by construction (cross-block pairs differ strictly on
+    the first criterion).  Transitivity makes earlier-block LOCAL
+    skylines a sufficient dominator set.  Total dominance work is the
+    same O(n·s·d) as the single-task sweep but spread over the blocks
+    (the critical path is the LAST block: O((s/P)·s·d)), and the
+    shuffle is bounded by P x survivor volume.  Output row SET is
+    identical to the single-task merge (unit-pinned)."""
+    from pyspark.sql import functions as F
+
+    spark = local_sky.sparkSession
+    n_parts = merge_partitions or spark.sparkContext.defaultParallelism
+    key = (
+        F.col(cols[0]).desc() if maximize[0] else F.col(cols[0]).asc()
+    )
+    # per-range-block skyline, tagged with its block id
+    tagged = (
+        local_sky.repartitionByRange(n_parts, key)
+        .mapInPandas(local, schema)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    from tsne_flink_spark.operators.optimize import materialize
+
+    tagged = materialize(tagged)  # candidates AND replicated dominators
+    cand = tagged.withColumnRenamed("__pid", "__tgt").withColumn(
+        "__is_cand", F.lit(True)
+    )
+    doms = (
+        tagged.withColumn(
+            "__tgt",
+            F.explode(
+                F.when(
+                    F.col("__pid") < F.lit(n_parts - 1),
+                    F.sequence(
+                        F.col("__pid") + 1, F.lit(n_parts - 1)
+                    ),
+                ).otherwise(F.array().cast("array<int>"))  # last block: no later targets
+            ),
+        )
+        .drop("__pid")
+        .withColumn("__is_cand", F.lit(False))
+    )
+
+    def filter_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf[pdf["__is_cand"]]
+        d_ = pdf[~pdf["__is_cand"]]
+        if not len(c):
+            return c.drop(columns=["__tgt", "__is_cand"])
+        if len(d_):
+            cp = np.column_stack([_as_float(c[x]) for x in cols]) * sign
+            dp = np.column_stack([_as_float(d_[x]) for x in cols]) * sign
+            c = c[~_dominated_all_ge(cp, dp)]
+        return c.drop(columns=["__tgt", "__is_cand"])
+
+    return (
+        cand.unionByName(doms)
+        .groupBy("__tgt")
+        .applyInPandas(filter_block, schema)
+    )
