@@ -4317,6 +4317,39 @@ def q_pareto_lineitem_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pareto_lineitem_4d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-criteria Pareto frontier of lineitem on (l_extendedprice max,
+    l_shipdate max, l_quantity max, l_discount MIN) — the d >= 4
+    dispatch of operators/skyline.pareto_frontier, gating the blocked
+    vectorized sweep (_skyline_nd_blocked, B90: chunked all->= matrix
+    dominance over desc-lex-sorted distinct points; same two-phase
+    local-skyline -> merge dataflow).  The default single-task merge is
+    the right plan here (uniform-ish criteria, tiny frontier); for the
+    huge-frontier anti-correlated shape use merge="range" (B90: 5.8-7.6x
+    at 125k-250k, 1M rows in 467 s where one task needs ~80 min).
+    Exact DuckDB oracle: the NOT EXISTS strict-dominance definition
+    over the four criteria."""
+    from tsne_flink_spark.operators.skyline import pareto_frontier
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity",
+        "l_discount", "l_shipdate",
+    )
+    out = pareto_frontier(
+        li,
+        ["l_extendedprice", "l_shipdate", "l_quantity", "l_discount"],
+        maximize=[True, True, True, False],
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        F.round("l_quantity", 2).alias("l_quantity"),
+        F.round("l_discount", 2).alias("l_discount"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate"),
+    )
+
+
 def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination (pipeline/semantic.
     semantic_decontaminate): train = even vec_ids, holdout = the 100
@@ -4841,10 +4874,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the every-other-round contract), then the 10 never-driver-checked
     # r13 late entrants, then the 3 new r14 queries (IVF append
     # lifecycle pair + streaming count-min twin, locally gated at
-    # sf0.001 + sf0.01), then the r10-stale residue, then the first 24
-    # of the r11-stale block.  Below position 50, ordered by r15
-    # rotation priority: the r11 remainder, then r12-green, then the
-    # r13-green block.
+    # sf0.001 + sf0.01), then the r10-stale residue, then the head of
+    # the r11-stale block (the late-added pareto_lineitem_4d sits with
+    # its 3d sibling, so the 50-slot cut lands after token_histogram —
+    # no check pair straddles the edge).  Below position 50, ordered by
+    # r15 rotation priority: the r11 remainder, then r12-green, then
+    # the r13-green block.
     return {
         # --- flagship pair — due back per the every-other-round contract (last driver evidence r12) ---
         "tsne_embedding": q_tsne_embedding,
@@ -4853,6 +4888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_walk_embeddings": q_dup_walk_embeddings,
         "dup_walk_embeddings_check": q_dup_walk_embeddings_check,
         "pareto_lineitem_3d": q_pareto_lineitem_3d,
+        "pareto_lineitem_4d": q_pareto_lineitem_4d,
         "countmin_tokens": q_countmin_tokens,
         "weighted_sample_by": q_weighted_sample_by,
         "snapshot_diff": q_snapshot_diff,
@@ -4876,7 +4912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_check": q_multimodal_check,
         "decontaminate": q_decontaminate,
-        # --- first 24 of the r11-stale block — cut lands after quality_scores; no check pair straddles the edge ---
+        # --- head of the r11-stale block (cut = position 50, after token_histogram) ---
         "knn_bruteforce": q_knn_bruteforce,
         "knn_partition": q_knn_partition,
         "pairwise_affinities": q_pairwise_affinities,
@@ -7044,6 +7080,25 @@ WHERE NOT EXISTS (
     AND p.l_discount <= o.l_discount
     AND (p.l_extendedprice > o.l_extendedprice
          OR p.l_shipdate > o.l_shipdate
+         OR p.l_discount < o.l_discount)
+)
+""",
+        "pareto_lineitem_4d": """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 2) AS l_extendedprice,
+       round(l_quantity, 2) AS l_quantity,
+       round(l_discount, 2) AS l_discount,
+       strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate
+FROM lineitem o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem p
+  WHERE p.l_extendedprice >= o.l_extendedprice
+    AND p.l_shipdate >= o.l_shipdate
+    AND p.l_quantity >= o.l_quantity
+    AND p.l_discount <= o.l_discount
+    AND (p.l_extendedprice > o.l_extendedprice
+         OR p.l_shipdate > o.l_shipdate
+         OR p.l_quantity > o.l_quantity
          OR p.l_discount < o.l_discount)
 )
 """,

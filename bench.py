@@ -58,6 +58,7 @@ HEADLINE = [
     "returned_item_revenue",
     "pareto_orders",
     "pareto_lineitem_3d",
+    "pareto_lineitem_4d",
     "regional_revenue",
     "grouped_topk_orders",
     "customer_rfm",

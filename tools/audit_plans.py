@@ -50,13 +50,16 @@ AUDITED = [
     "link_communities",
     "link_adamic_adar",
     "pareto_orders",
+    "pareto_lineitem_4d",
     "collocation_pmi",
     "weighted_sample",
     "weighted_sample_by",
     "user_state_history",
     "sketch_union",
     "sketch_union_persisted",
+    "streaming_countmin",
     "ann_ivf_persisted",
+    "ann_ivf_appended",
     "ann_pq_persisted",
     "leakage_split",
     "kmv_overlap",
