@@ -2935,6 +2935,160 @@ def q_ann_ivf_appended_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_appended_store(spark: SparkSession, sf_dir: str):
+    """Shared plumbing for the ann_pq_appended pair: the PQ mirror of
+    :func:`_ivf_appended_store` — train the IVF-PQ model and encode an
+    80% base corpus (build_pq_index, ksub=64), persist model + codes to
+    a parquet store, APPEND the remaining 20% batch's codes via
+    pipeline/similarity.append_to_pq_index (frozen coarse quantizer AND
+    frozen residual codebooks; only the new batch is encoded), and hand
+    back what serving + check need.  At 100 TB the encode pass is the
+    dominant full-corpus scan (B73/B83) — appending encodes only the
+    batch."""
+    import tempfile
+
+    from tsne_flink_spark.pipeline.similarity import (
+        append_to_pq_index,
+        build_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    batch = emb.where(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    model_df, codes_df = build_pq_index(base, ksub=64)
+    store = tempfile.mkdtemp(prefix="pq_append_")
+    model_df.write.mode("overwrite").parquet(f"{store}/model")
+    codes_df.write.mode("overwrite").parquet(f"{store}/codes")
+    model = spark.read.parquet(f"{store}/model")
+    append_to_pq_index(model, batch).write.mode("append").parquet(
+        f"{store}/codes"
+    )
+    combined = spark.read.parquet(f"{store}/codes")
+    return emb, batch, model, combined
+
+
+def q_ann_pq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN served from a persisted index GROWN BY APPEND
+    (build_pq_index on an 80% base -> parquet -> append_to_pq_index for
+    the 20% batch -> pq_query_index over the combined code store): the
+    PQ mirror of ann_ivf_appended — new vectors enter the served index
+    with no model re-train and no re-encode of the old corpus.
+    Approximate, rows-only; the _check pins the frozen-model exactness
+    contract, appended retrievability, staleness-audit accounting, and
+    a recall floor."""
+    from tsne_flink_spark.pipeline.similarity import pq_query_index
+
+    emb, _, model, combined = _pq_appended_store(spark, sf_dir)
+    out = pq_query_index(
+        emb, model, combined, emb, k=3, n_probe=8, shortlist=64
+    )
+    return out.select("q", "c", F.round("sim", 6).alias("sim"))
+
+
+def q_ann_pq_appended_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the PQ append lifecycle (oracle: constant
+    zero row) — the ann_ivf_appended_check contract on the PQ path:
+
+    1. frozen-model exactness — serving from the appended code store is
+       BIT-EQUAL to serving from a one-shot encode of the full corpus
+       against the same stored model (encoding is per-row and
+       deterministic given the model) — mismatched_rows;
+    2. completeness — one code row per corpus vector, every appended id
+       present (index_row_delta, dup_id_delta, missing_appended);
+    3. staleness audit — ivf_index_staleness over the combined codes
+       accounts for every vector (audit_vec_delta);
+    4. recall floor — served top-3 (n_probe=8, shortlist=64) vs exact
+       brute-force cosine top-3 >= 0.50 (PQ trades score fidelity in
+       the shortlist stage for the ~20 B/vector payload; floor only
+       catches a broken lifecycle) — low_recall."""
+    from tsne_flink_spark.pipeline.similarity import (
+        append_to_pq_index,
+        brute_force_top_k,
+        ivf_index_staleness,
+        pq_query_index,
+    )
+
+    emb, batch, model, combined = _pq_appended_store(spark, sf_dir)
+    n_emb = emb.count()
+
+    served = pq_query_index(
+        emb, model, combined, emb, k=3, n_probe=8, shortlist=64
+    )
+    from tsne_flink_spark.operators.optimize import materialize
+
+    served = materialize(served)
+
+    full = pq_query_index(
+        emb, model, append_to_pq_index(model, emb), emb,
+        k=3, n_probe=8, shortlist=64,
+    ).select(
+        F.col("q").alias("__dq"), F.col("c").alias("__dc"),
+        F.col("sim").alias("__ds"),
+    )
+    j = served.join(
+        full,
+        (F.col("q") == F.col("__dq")) & (F.col("c") == F.col("__dc")),
+        "full",
+    )
+    bad = (
+        F.col("q").isNull()
+        | F.col("__dq").isNull()
+        | ~F.col("sim").eqNullSafe(F.col("__ds"))
+    )
+    mismatched = j.agg(
+        F.sum(bad.cast("int")).cast("long").alias("mismatched_rows")
+    )
+
+    counts = combined.agg(
+        (F.count(F.lit(1)) - F.lit(n_emb)).cast("long").alias(
+            "index_row_delta"
+        ),
+        (F.count_distinct("vec_id") - F.lit(n_emb)).cast("long").alias(
+            "dup_id_delta"
+        ),
+    )
+    missing = (
+        batch.select("vec_id")
+        .join(combined.select("vec_id"), "vec_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("missing_appended"))
+    )
+    # codes_df carries a `list` column, so the same staleness audit
+    # applies; list count vs the model's coarse rows is pinned by the
+    # ivf twin — here pin total vector accounting
+    audit = ivf_index_staleness(
+        model.where(F.col("part") == "coarse").select(
+            F.col("a").alias("list")
+        ),
+        combined,
+    ).select(
+        (F.col("n_vectors") - F.lit(n_emb)).cast("long").alias(
+            "audit_vec_delta"
+        )
+    )
+
+    exact = brute_force_top_k(emb, emb, k=3).select(
+        F.col("q").alias("__eq"), F.col("c").alias("__ec")
+    )
+    hits = served.join(
+        exact,
+        (F.col("q") == F.col("__eq")) & (F.col("c") == F.col("__ec")),
+        "inner",
+    ).count()
+    total = exact.count()
+    recall_row = spark.range(1).select(
+        (F.lit(hits / max(total, 1)) < F.lit(0.50))
+        .cast("long")
+        .alias("low_recall")
+    )
+
+    return (
+        mismatched.crossJoin(counts)
+        .crossJoin(missing)
+        .crossJoin(audit)
+        .crossJoin(recall_row)
+    )
+
+
 def _streaming_countmin_store(spark: SparkSession, sf_dir: str):
     """Shared plumbing for streaming_countmin: corpus token rows written
     as a 4-file parquet source, replayed as a FILE STREAM one file per
@@ -4876,7 +5030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lifecycle pair + streaming count-min twin, locally gated at
     # sf0.001 + sf0.01), then the r10-stale residue, then the head of
     # the r11-stale block (the late-added pareto_lineitem_4d sits with
-    # its 3d sibling, so the 50-slot cut lands after token_histogram —
+    # its 3d sibling and the ann_pq_appended pair with the other r14
+    # lifecycle adds, so the 50-slot cut lands after stratified_sample —
     # no check pair straddles the edge).  Below position 50, ordered by
     # r15 rotation priority: the r11 remainder, then r12-green, then
     # the r13-green block.
@@ -4900,6 +5055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_appended": q_ann_ivf_appended,
         "ann_ivf_appended_check": q_ann_ivf_appended_check,
         "streaming_countmin": q_streaming_countmin,
+        "ann_pq_appended": q_ann_pq_appended,
+        "ann_pq_appended_check": q_ann_pq_appended_check,
         # --- the r10-stale residue (last driver evidence r10) ---
         "audio_features": q_audio_features,
         "audio_check": q_audio_check,
@@ -7171,6 +7328,11 @@ SELECT 0::BIGINT AS mismatched_rows, 0::BIGINT AS index_row_delta,
        0::BIGINT AS dup_id_delta, 0::BIGINT AS missing_appended,
        0::BIGINT AS audit_vec_delta, 0::BIGINT AS audit_list_delta,
        0::BIGINT AS low_recall
+""",
+        "ann_pq_appended_check": """
+SELECT 0::BIGINT AS mismatched_rows, 0::BIGINT AS index_row_delta,
+       0::BIGINT AS dup_id_delta, 0::BIGINT AS missing_appended,
+       0::BIGINT AS audit_vec_delta, 0::BIGINT AS low_recall
 """,
         "dup_triangles": _TRIANGLES_ORACLE,
         "dup_best_rep": """

@@ -164,6 +164,7 @@ HEADLINE = [
     "ann_ivf_appended",
     "ann_pq",
     "ann_pq_persisted",
+    "ann_pq_appended",
     "sliding_user_activity",
     "quality_scores",
     "c4_clean",
