@@ -4489,6 +4489,12 @@ def q_pareto_lineitem_4d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity",
         "l_discount", "l_shipdate",
     )
+    # spread the rows BEFORE the Python-side phase-1 kernel: a
+    # single-file parquet scan is one partition, which would serialize
+    # the d=4 blocked sweep on one task (the dedup._spread lesson —
+    # measured 10.5 s -> ~1.5 s at sf0.1); Catalyst cannot lift a user
+    # repartition above mapInPandas on its own
+    li = li.repartition(spark.sparkContext.defaultParallelism)
     out = pareto_frontier(
         li,
         ["l_extendedprice", "l_shipdate", "l_quantity", "l_discount"],

@@ -354,13 +354,18 @@ def _range_merge(
     key = (
         F.col(cols[0]).desc() if maximize[0] else F.col(cols[0]).asc()
     )
+    from tsne_flink_spark.operators.optimize import materialize
+
+    # lineage cut BEFORE the range exchange: repartitionByRange SAMPLES
+    # its input to place the range bounds, so an unmaterialized phase-1
+    # would execute twice (sampling pass + real pass — measured 2x wall)
+    local_sky = materialize(local_sky)
     # per-range-block skyline, tagged with its block id
     tagged = (
         local_sky.repartitionByRange(n_parts, key)
         .mapInPandas(local, schema)
         .withColumn("__pid", F.spark_partition_id())
     )
-    from tsne_flink_spark.operators.optimize import materialize
 
     tagged = materialize(tagged)  # candidates AND replicated dominators
     cand = tagged.withColumnRenamed("__pid", "__tgt").withColumn(
