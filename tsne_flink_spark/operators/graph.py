@@ -447,7 +447,7 @@ def walk_embeddings(
     window_size: int = 3,
     seed: int = 1,
     epochs: int = 4,
-    num_partitions: int = 1,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(id, emb array<double>): skip-gram node embeddings trained on the
     random-walk corpus — the DeepWalk second half (Perozzi et al. 2014):
@@ -469,10 +469,17 @@ def walk_embeddings(
     makes exact outputs run-dependent — gate with invariants (co-walked
     pairs more cosine-similar than non-co-walked pairs), not hashes.
 
-    ``num_partitions=1`` (default) keeps Word2Vec's parameter averaging
-    single-stream — deterministic-ish and highest-quality; raise it for
-    wall-clock on huge walk corpora at a small quality cost (standard
-    Word2Vec tradeoff)."""
+    ``num_partitions=None`` (default) resolves to
+    ``max(2, defaultParallelism // 4)`` — Word2Vec's SGD streams are the
+    wall-clock bottleneck on any real walk corpus, and the measured
+    tradeoff at the derived value (8 on local[32]) is 3.77x faster
+    training for a -0.014 change in the neighbor-vs-non-neighbor cosine
+    margin (tools/probe_walk_embeddings_scale.py, B89) — noise next to
+    the >= 0.2 margin the gate pins.  Pass ``num_partitions=1`` to force
+    the single-stream parameter averaging when exact run-to-run
+    stability matters more than wall (standard Word2Vec tradeoff; like
+    all SGD, outputs are float-order run-dependent either way — gate
+    with invariants, not hashes)."""
     from pyspark.ml.feature import Word2Vec
     from pyspark.ml.functions import vector_to_array
 
@@ -485,6 +492,10 @@ def walk_embeddings(
     if seqs.isEmpty():  # Word2Vec.fit throws on an empty vocab
         return walks.sparkSession.createDataFrame(
             [], "id bigint, emb array<double>"
+        )
+    if num_partitions is None:
+        num_partitions = max(
+            2, walks.sparkSession.sparkContext.defaultParallelism // 4
         )
     w2v = Word2Vec(
         vectorSize=dim,
@@ -510,7 +521,7 @@ def embed_by_component(
     window_size: int = 3,
     seed: int = 1,
     epochs: int = 4,
-    num_partitions: int = 1,
+    num_partitions: int | None = None,
     n_shards: int = 4,
 ) -> DataFrame:
     """(id, emb): :func:`walk_embeddings` sharded by connected component

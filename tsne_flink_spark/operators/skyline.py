@@ -214,6 +214,7 @@ def pareto_frontier(
     merge: bool | str = True,
     by: list[str] | None = None,
     merge_partitions: int | None = None,
+    auto_range_threshold: int = 50_000,
 ) -> DataFrame:
     """All rows of ``df`` not strictly dominated on ``cols``.
 
@@ -229,21 +230,30 @@ def pareto_frontier(
     the batches (the same shard-then-merge lifecycle as the HLL
     sketches), or feed the probe that measures the phase-1 reduction.
 
-    ``merge="range"`` replaces the single-task phase-2 merge with a
-    distributed range-partitioned merge on the first criterion (see
-    :func:`_range_merge`) — same output SET, wall parallelized over
-    ``merge_partitions`` blocks.  Use it when the frontier itself is
-    huge (anti-correlated criteria): the single-task merge is O(n·s) on
-    ONE core there, measured 68 s at 125k rows d=4 vs seconds for the
-    range merge (tools/probe_skyline_4d.py).  The default single-task
-    merge stays optimal for the common tiny-frontier case (no extra
-    shuffle round).
+    ``merge=True`` (default) AUTO-SELECTS the phase-2 strategy: the
+    phase-1 survivors are materialized and counted (cheap — the count
+    reads the checkpointed shards, never rescans the input), and the
+    merge runs single-task below ``auto_range_threshold`` survivors or
+    range-distributed at/above it.  At 100 TB nobody eyeballs their
+    correlation structure before submitting the query — a frontier that
+    turns out anti-correlated (survivors ~ input) must not land on one
+    core (B90: 125k-survivor d=4 merge = 68 s single-task vs seconds
+    range-merged; 1M rows ~80 min vs 467 s).  The threshold default
+    (50k) sits where the vectorized single-task sweep still finishes in
+    ~10 s; the common tiny-frontier case pays only the checkpoint of a
+    few hundred survivor rows.
+
+    ``merge="range"`` / ``merge="single"`` force the respective phase-2
+    strategy (see :func:`_range_merge` for the range-partitioned merge's
+    soundness argument).  Output row SET is identical either way
+    (unit-pinned).
 
     ``by`` computes one skyline PER GROUP ("best orders per region"):
     one shuffle on the group keys, then the same kernel per group via
     applyInPandas — each group must fit one Arrow batch, the standard
-    grouped-map caveat (for corpus-sized groups, run the ungrouped
-    two-phase form per group value instead).
+    grouped-map caveat.  For corpus-sized groups use
+    :func:`grouped_pareto`, which loops the two-phase ungrouped form
+    over the group values instead.
     """
     if not cols:
         raise ValueError("pareto_frontier needs at least one criterion")
@@ -307,15 +317,24 @@ def pareto_frontier(
     local_sky = df.dropna(subset=cols).mapInPandas(local, schema)
     if merge is False:
         return local_sky
-    if merge == "range":
-        return _range_merge(
-            local_sky, local, cols, maximize, sign, schema,
-            merge_partitions,
-        )
-    # phase 2: merge the per-partition survivors on one task — input is
-    # (#partitions x local skyline), not n; an explicit single-partition
-    # exchange, not a global sort
-    return local_sky.repartition(1).mapInPandas(local, schema)
+    if merge == "single":
+        # phase 2: merge the per-partition survivors on one task — input
+        # is (#partitions x local skyline), not n; an explicit
+        # single-partition exchange, not a global sort
+        return local_sky.repartition(1).mapInPandas(local, schema)
+    from tsne_flink_spark.operators.optimize import materialize
+
+    # lineage cut BEFORE phase 2 either way: the auto path needs a
+    # survivor count without re-running phase 1, and the range path's
+    # repartitionByRange SAMPLES its input to place the range bounds, so
+    # an unmaterialized phase-1 would execute twice (measured 2x wall)
+    local_sky = materialize(local_sky)
+    if merge is True and local_sky.count() < auto_range_threshold:
+        return local_sky.repartition(1).mapInPandas(local, schema)
+    # merge == "range", or auto with a huge (anti-correlated) frontier
+    return _range_merge(
+        local_sky, local, cols, maximize, sign, schema, merge_partitions
+    )
 
 
 def _range_merge(
@@ -346,7 +365,11 @@ def _range_merge(
     same O(n·s·d) as the single-task sweep but spread over the blocks
     (the critical path is the LAST block: O((s/P)·s·d)), and the
     shuffle is bounded by P x survivor volume.  Output row SET is
-    identical to the single-task merge (unit-pinned)."""
+    identical to the single-task merge (unit-pinned).
+
+    ``local_sky`` must arrive MATERIALIZED (pareto_frontier checkpoints
+    it): repartitionByRange samples its input to place the range bounds,
+    so an unmaterialized phase 1 would execute twice."""
     from pyspark.sql import functions as F
 
     spark = local_sky.sparkSession
@@ -356,10 +379,6 @@ def _range_merge(
     )
     from tsne_flink_spark.operators.optimize import materialize
 
-    # lineage cut BEFORE the range exchange: repartitionByRange SAMPLES
-    # its input to place the range bounds, so an unmaterialized phase-1
-    # would execute twice (sampling pass + real pass — measured 2x wall)
-    local_sky = materialize(local_sky)
     # per-range-block skyline, tagged with its block id
     tagged = (
         local_sky.repartitionByRange(n_parts, key)
@@ -403,3 +422,78 @@ def _range_merge(
         .groupBy("__tgt")
         .applyInPandas(filter_block, schema)
     )
+
+
+def grouped_pareto(
+    df: DataFrame,
+    group_cols: str | list[str],
+    cols: list[str],
+    maximize: list[bool] | None = None,
+    merge: bool | str = True,
+    values: list | None = None,
+    merge_partitions: int | None = None,
+    auto_range_threshold: int = 50_000,
+    max_groups: int = 64,
+) -> DataFrame:
+    """One Pareto frontier PER GROUP VALUE via the two-phase ungrouped
+    form — the corpus-sized-groups path that ``pareto_frontier(by=...)``
+    cannot take (its applyInPandas hands each whole group to ONE task as
+    ONE Arrow batch; a 100-TB group overflows both).  Here each group
+    value gets the full distributed pipeline — partition-local kernels,
+    counted survivors, auto single-task/range merge — so a group's size
+    is bounded by the cluster, not by a task.
+
+    The driver loop is bounded by the number of GROUP VALUES, the exact
+    inverse of the ``by=`` tradeoff: use ``by=`` for many small groups
+    (one shuffle, no loop), this for FEW huge groups (a handful of
+    regions / snapshot dates / corpora).  ``max_groups`` guards against
+    the wrong choice — a high-cardinality column here would mean
+    thousands of Spark jobs.  ``values`` skips the distinct-scan when
+    the caller already knows the group values (usual at 100 TB: they're
+    partition keys).  Per-group filters on a partition/sort column reach
+    the scan as pushed predicates, so each pass reads ~its group only.
+
+    Output schema == input schema; each row appears in (at most) its own
+    group's frontier.
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    if values is None:
+        values = [
+            tuple(r) for r in df.select(*group_cols).distinct().collect()
+        ]
+    else:
+        values = [v if isinstance(v, tuple) else (v,) for v in values]
+    if len(values) > max_groups:
+        raise ValueError(
+            f"grouped_pareto saw {len(values)} group values (max_groups="
+            f"{max_groups}): a driver loop per value is the wrong plan at"
+            " that cardinality — use pareto_frontier(by=...) instead"
+        )
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    parts = []
+    for v in values:
+        pred = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(c).isNull() if x is None else (F.col(c) == F.lit(x))
+                for c, x in zip(group_cols, v)
+            ],
+        )
+        parts.append(
+            pareto_frontier(
+                df.where(pred),
+                cols,
+                maximize=maximize,
+                merge=merge,
+                merge_partitions=merge_partitions,
+                auto_range_threshold=auto_range_threshold,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
