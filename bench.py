@@ -59,6 +59,7 @@ HEADLINE = [
     "pareto_orders",
     "pareto_lineitem_3d",
     "pareto_lineitem_4d",
+    "pareto_price_net",
     "regional_revenue",
     "grouped_topk_orders",
     "customer_rfm",
@@ -124,6 +125,7 @@ HEADLINE = [
     "quantile_hist",
     "countmin_tokens",
     "streaming_countmin",
+    "streaming_heavy_hitters",
     "corpus_diff",
     "term_drift",
     "minhash_dedup",
