@@ -39,7 +39,7 @@ def _dup_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``SPARK_GRAFT_SHARED_MINER=1`` (set by bench.py only) the mined
     edges are materialized ONCE per (session, sf_dir) and reused —
     outputs are bit-identical either way (the miner is deterministic;
-    A/B: tools/ab_shared_miner.py), but the suite stops paying the same
+    A/B: `tools/bench_ops.py miner-ab`), but the suite stops paying the same
     ~8-10 s miner ~9 times at sf0.1, making real per-query regressions
     visible above the repeated-miner noise."""
     import os as _os

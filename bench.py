@@ -22,9 +22,57 @@ import hashlib
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+class FlagshipHostSampler(threading.Thread):
+    """Samples a fixed single-threaded numpy workload every `interval`
+    seconds WHILE the flagship query runs, so the artifact carries
+    host-speed evidence from INSIDE the flagship window — r14's gap was
+    that the probes bracketing the 66 s window read ~2.0-2.3x slow but
+    the flagship itself read 2.58x vs its solo pin, and nothing measured
+    the host during the window itself (VERDICT r14 item 1).  Pure numpy,
+    no Spark jobs: it occupies at most one of the 32 cores (elementwise
+    kernels don't enter multithreaded BLAS), so it reads host CPU/memory
+    speed without materially contending with the flagship."""
+
+    def __init__(self, interval: float = 5.0):
+        super().__init__(daemon=True)
+        self._stop_evt = threading.Event()
+        self.interval = interval
+        self.samples: list[float] = []
+
+    @staticmethod
+    def probe_once() -> float:
+        import numpy as np
+
+        buf = np.arange(2_000_000, dtype=np.float64)
+        t0 = time.time()
+        for _ in range(12):
+            y = np.sqrt(buf * 1.0000003 + 1.5)
+            float(y.sum())
+        return round(time.time() - t0, 3)
+
+    def run(self) -> None:
+        while not self._stop_evt.is_set():
+            self.samples.append(self.probe_once())
+            self._stop_evt.wait(self.interval)
+
+    def stop(self) -> dict:
+        """Stop sampling; return compact stats for the calib record."""
+        self._stop_evt.set()
+        self.join(timeout=10)
+        s = sorted(self.samples)
+        if not s:
+            return {"n": 0}
+        return {
+            "n": len(s),
+            "med": s[len(s) // 2],
+            "max": s[-1],
+        }
 
 
 # Suite order, hoisted to a module constant so the values-only stdout
@@ -248,7 +296,7 @@ def main() -> None:
     # BENCH-ONLY: the dup_* family shares one materialized near-dup pair
     # graph instead of re-mining it per query (~9 re-mines ≈ 70-100 s of
     # suite wall at sf0.1 measuring the same subtree).  Outputs are
-    # bit-identical either way (tools/ab_shared_miner.py is the A/B);
+    # bit-identical either way (`tools/bench_ops.py miner-ab` is the A/B);
     # the driver's correctness gate never sets this, so gated queries
     # stay self-contained.
     os.environ.setdefault("SPARK_GRAFT_SHARED_MINER", "1")
@@ -259,24 +307,29 @@ def main() -> None:
     # real (e.g. standalone) cluster — used for the multi-executor
     # validation runs (BASELINE.md B20/B22); default stays local mode.
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
-    builder = (
-        SparkSession.builder.master(master)
-        .appName("tsne-flink-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.defaultSizeInBytes", str(64 * 1024 * 1024))
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
-    )
-    if master.startswith("spark://"):
-        repo = os.path.dirname(os.path.abspath(__file__))
+
+    def build_session():
         builder = (
-            builder.config("spark.executorEnv.PYTHONPATH", repo)
-            .config("spark.executorEnv.PYSPARK_PYTHON", sys.executable)
-            .config("spark.cores.max", cpus)
+            SparkSession.builder.master(master)
+            .appName("tsne-flink-spark-bench")
+            .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.defaultSizeInBytes", str(64 * 1024 * 1024))
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "16g")
         )
-    spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+        if master.startswith("spark://"):
+            repo = os.path.dirname(os.path.abspath(__file__))
+            builder = (
+                builder.config("spark.executorEnv.PYTHONPATH", repo)
+                .config("spark.executorEnv.PYSPARK_PYTHON", sys.executable)
+                .config("spark.cores.max", cpus)
+            )
+        s = builder.getOrCreate()
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = build_session()
 
     import __spark_entry__ as entrymod
 
@@ -338,6 +391,17 @@ def main() -> None:
     arrow_calibration()  # untimed: pays one-time Python-worker-pool spawn
     calib_start = calibration()
     arrow_start = arrow_calibration()
+    FlagshipHostSampler.probe_once()  # untimed: numpy import + page-in
+    np_ref = FlagshipHostSampler.probe_once()
+
+    # SPARK_GRAFT_RESTART_MID=1: the B47 session-hygiene experiment
+    # (VERDICT r14 item 8) — stop and rebuild the SparkSession at the
+    # suite midpoint (right before the heavy dedup/graph block), clearing
+    # executor/block-manager state and letting generated-class loaders
+    # unload.  A/B against a normal run answers whether the
+    # containment_pairs-class in-suite inflation (healthy solo, 2.7-3.8x
+    # in-suite) is clearable session state or host-level pressure.
+    restart_mid = os.environ.get("SPARK_GRAFT_RESTART_MID") == "1"
 
     # NO whole-suite warmup pass.  Tried and REJECTED with measurements
     # (BASELINE.md B47): pre-running all headline queries at sf0.001 to
@@ -349,6 +413,7 @@ def main() -> None:
     # deopt) by more than the cold-first tax they save; the known
     # cold-vs-solo-warm gaps (B30/B40) stay documented instead.
     timings: dict[str, float] = {}
+    np_flagship = None
     calib_post_flagship = None
     calib_pre_dedup = None
     arrow_post_flagship = None
@@ -365,6 +430,13 @@ def main() -> None:
             # mapPartitions Misra-Gries summaries just before it)
             arrow_pre_multimodal = arrow_calibration()
         if name == "minhash_dedup" and calib_pre_dedup is None:
+            if restart_mid:
+                spark.stop()
+                spark = build_session()
+                # the shared-miner cache holds DataFrames bound to the
+                # dead session — drop it so the dup family re-mines on
+                # the fresh one
+                getattr(entrymod, "_SHARED_MINER_CACHE", {}).clear()
             # mid-suite host-state bracket immediately before the heavy
             # dedup/graph block (minhash..dup_* family): r10/r11/r12 each
             # re-litigated whether a containment_pairs-class outlier was
@@ -373,6 +445,12 @@ def main() -> None:
             calib_pre_dedup = calibration()
             arrow_pre_dedup = arrow_calibration()
         fn = qs[name]
+        sampler = None
+        if name == "tsne_embedding":
+            # host-speed samples from INSIDE the flagship window (see
+            # FlagshipHostSampler) — emitted as calib["np"]["fl"]
+            sampler = FlagshipHostSampler()
+            sampler.start()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -388,6 +466,8 @@ def main() -> None:
         df = None
         spark.catalog.clearCache()
         gc.collect()
+        if sampler is not None:
+            np_flagship = sampler.stop()
         if name == "tsne_embedding":
             # bracket the flagship with calibration probes so the artifact
             # itself says whether an out-of-band flagship reading was host
@@ -397,6 +477,7 @@ def main() -> None:
 
     calib_end = calibration()
     arrow_end = arrow_calibration()
+    np_end = FlagshipHostSampler.probe_once()
 
     ok = [v for v in timings.values() if v >= 0]
     total = round(sum(ok), 3)
@@ -415,7 +496,14 @@ def main() -> None:
             "pre_multimodal": arrow_pre_multimodal,
             "end": arrow_end,
         },
+        # single-threaded numpy host probe: ref/end are point samples
+        # outside Spark load; fl is the in-flagship-window series stats
+        # (med/max/n) from FlagshipHostSampler — fl.med/ref >> 1 means
+        # the host was slow DURING the flagship window specifically
+        "np": {"ref": np_ref, "fl": np_flagship, "end": np_end},
     }
+    if restart_mid:
+        calib["restart_mid"] = True
     for line in emit_output_lines(
         timings, total, float(sf), int(cpus), len(headline), calib
     ):

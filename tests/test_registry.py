@@ -129,6 +129,12 @@ def test_bench_output_lines_tail_survivable():
             "pre_multimodal": 12.345,
             "end": 12.345,
         },
+        "np": {
+            "ref": 12.345,
+            "fl": {"n": 123, "med": 12.345, "max": 12.345},
+            "end": 12.345,
+        },
+        "restart_mid": True,
     }
     lines = bench.emit_output_lines(timings, 99999.0, 0.1, 32, len(timings), calib)
     assert sum(len(line) + 1 for line in lines) < 2000

@@ -15,7 +15,7 @@ is cheap.  This probe measures that theory at two scales:
 - exact path: N=2k, theta=0 (the N^2 join runs twice today).
 
 Usage: python tools/ab_rep_materialize.py [--mode lazy|pin] ...
-Run each mode in a FRESH process, interleaved, solo (ab_query.py
+Run each mode in a FRESH process, interleaved, solo (bench_ops.py interleaved
 methodology).  The pin variant is toggled via the env var
 TSNE_SPARK_PIN_REP=1 read by operators/gradient.py.
 """
