@@ -3239,6 +3239,199 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count service fed by STRUCTURED STREAMING
+    (pipeline/sketches.streaming_kmv_shards -> kmv_union ->
+    kmv_estimate): the event stream's (event_type, user-day) keys are
+    replayed as a file stream (4 files, maxFilesPerTrigger=1 +
+    availableNow = 4 micro-batches), each batch's per-type k-minimum
+    arrays persisted as one shard via foreachBatch, and per-type
+    distinct user-day counts answered from the UNIONED shard store
+    alone.  The k-min merge is LOSSLESS — the k smallest distinct
+    hashes of a union are exactly the k smallest of the members'
+    k-smallests — so the shard store answers identically to one sketch
+    built over everything ingested: batch structure is invisible to the
+    readout, and the engine-replayable LCG hash (kmv_hash, a bijection
+    mod 2^31) lets the DuckDB oracle rebuild the same k-minimum
+    statistic hash-for-hash, n_shards constant included.  This is the
+    live half of the kmv_overlap lifecycle: a stream appends kilobyte
+    shards forever; readers answer distinct/overlap questions at any
+    time with no rescan of ingested rows."""
+    import tempfile
+
+    from tsne_flink_spark.pipeline.sketches import (
+        kmv_estimate,
+        kmv_union,
+        streaming_kmv_shards,
+    )
+
+    k = 512
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        (F.col("user_id") * F.lit(100) + F.dayofmonth("ts")).alias("ud"),
+    )
+    src = tempfile.mkdtemp(prefix="kmv_src_")
+    store = tempfile.mkdtemp(prefix="kmv_store_")
+    ckpt = tempfile.mkdtemp(prefix="kmv_ckpt_")
+    # exactly 4 files -> 4 micro-batches (round-robin repartition of a
+    # many-hundred-row key table leaves none empty)
+    keyed.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(keyed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_kmv_shards(
+        stream, store, ["event_type"], "ud", k=k, checkpoint_dir=ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    shards = spark.read.parquet(store)
+    n_shards = shards.select("shard").distinct().count()
+    sk = kmv_union(shards, ["event_type"], k=k)
+    return sk.select(
+        "event_type",
+        F.size("kmv").cast("long").alias("n_kept"),
+        F.round(kmv_estimate(F.col("kmv"), k), 4).alias("est_distinct"),
+        F.lit(n_shards).cast("long").alias("n_shards"),
+    ).orderBy("event_type")
+
+
+def q_streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution service fed by STRUCTURED STREAMING
+    (pipeline/sketches.streaming_histogram_shards -> histogram_union ->
+    histogram_quantiles): lineitem's (l_returnflag, l_extendedprice)
+    rows are replayed as a file stream (4 files, maxFilesPerTrigger=1 +
+    availableNow = 4 micro-batches), each batch's per-flag fixed-bin
+    counts persisted as one shard via foreachBatch, and the per-flag
+    price quantiles answered from the UNIONED shard store alone —
+    identical to the one-shot batch build (quantile_hist) because the
+    histogram merge is an exact elementwise sum, so the DuckDB oracle
+    replays the whole pipeline hash-for-hash including the n_shards
+    constant.  Live lifecycle: a stream appends (k x bins)-integer
+    shards forever; readers answer quantile/distribution queries at any
+    time without rescanning ingested rows."""
+    import tempfile
+
+    from tsne_flink_spark.pipeline.sketches import (
+        histogram_quantiles,
+        histogram_union,
+        streaming_histogram_shards,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    src = tempfile.mkdtemp(prefix="qh_src_")
+    store = tempfile.mkdtemp(prefix="qh_store_")
+    ckpt = tempfile.mkdtemp(prefix="qh_ckpt_")
+    # exactly 4 files -> 4 micro-batches
+    li.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_histogram_shards(
+        stream, store, ["l_returnflag"], "l_extendedprice",
+        _QH_LO, _QH_HI, _QH_BINS, checkpoint_dir=ckpt, available_now=True,
+    )
+    q.awaitTermination(300)
+    shards = spark.read.parquet(store)
+    n_shards = shards.select("shard").distinct().count()
+    merged = histogram_union(shards, ["l_returnflag"], _QH_BINS)
+    out = histogram_quantiles(
+        merged, ["l_returnflag"], _QH_QS, _QH_LO, _QH_HI, _QH_BINS
+    )
+    return out.select(
+        "l_returnflag",
+        "q",
+        F.round("est", 6).alias("est"),
+        F.lit(n_shards).cast("long").alias("n_shards"),
+    ).orderBy("l_returnflag", "q")
+
+
+def q_transition_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition rollup fed by STRUCTURED STREAMING
+    (streaming/events.transition_feed — applyInPandasWithState keeping
+    each user's LAST event in O(1) keyed state): the events table is
+    split at its exact ts quartiles into 4 files WRITTEN SEQUENTIALLY
+    (FileStreamSource delivers oldest-modification-time first, so
+    micro-batch order == time order and every user's events arrive in
+    global (ts, event_id) order — equal-ts tie groups never straddle a
+    boundary because the split condition depends on ts alone), the feed
+    emits one row per consecutive pair including the pairs that SPAN
+    micro-batch boundaries (out of the stored state), and the rollup to
+    (from_type, to_type, n, p) is then deterministic and equal to the
+    batch twin (event_transitions), so the DuckDB oracle replays it
+    exactly — n_batches (from the checkpoint's commit log) pins that
+    streaming really delivered 4 micro-batch state generations.  This
+    is the live lifecycle: the feed runs forever at O(users) state;
+    downstream rollups are plain streaming aggregations."""
+    import os
+    import tempfile
+
+    from tsne_flink_spark.streaming.events import transition_feed
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = tempfile.mkdtemp(prefix="tf_src_")
+    out_dir = tempfile.mkdtemp(prefix="tf_out_")
+    ckpt = tempfile.mkdtemp(prefix="tf_ckpt_")
+    # exact ts quartiles (deterministic, unlike approxQuantile); strict
+    # < boundaries keep equal-ts groups whole within one file
+    b1, b2, b3 = ev.agg(
+        F.expr(
+            "percentile(cast(ts as double), array(0.25, 0.5, 0.75))"
+        ).alias("b")
+    ).first()["b"]
+    ts_d = F.col("ts").cast("double")
+    quarters = [
+        ts_d < b1,
+        (ts_d >= b1) & (ts_d < b2),
+        (ts_d >= b2) & (ts_d < b3),
+        ts_d >= b3,
+    ]
+    for cond in quarters:
+        # sequential single-file appends -> strictly increasing mtimes
+        ev.where(cond).repartition(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        transition_feed(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    n_batches = len(
+        [f for f in os.listdir(os.path.join(ckpt, "commits"))
+         if not f.startswith(".")]
+    )
+    pairs = spark.read.parquet(out_dir)
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+        F.lit(n_batches).cast("long").alias("n_batches"),
+    ).orderBy("from_type", "to_type")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: synthesized binary PPM payloads -> Arrow-batched
     REAL decode (dependency-free Netpbm codec) -> per-image feature
@@ -5216,6 +5409,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship pair — due back in r16 per the every-other-round contract ---
         "tsne_embedding": q_tsne_embedding,
         "tsne_embedding_check": q_tsne_embedding_check,
+        # --- new in r15 BELOW the window (r16 rotation head, after the
+        # flagship pair): the last three ungated streaming twins, each
+        # with an exact DuckDB oracle ---
+        "streaming_kmv": q_streaming_kmv,
+        "streaming_histogram": q_streaming_histogram,
+        "transition_feed": q_transition_feed,
         # --- r12-green remainder ---
         "quality_calibration": q_quality_calibration,
         "dup_triangles": q_dup_triangles,
@@ -5682,6 +5881,80 @@ SELECT type_a, type_b, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
   round(CASE WHEN est_union > 0 THEN est_inter / est_union ELSE 0.0 END, 4)
     AS est_jaccard
 FROM e ORDER BY type_a, type_b
+"""
+
+
+def _streaming_kmv_oracle_sql(k: int = 512) -> str:
+    """Exact oracle for ``streaming_kmv``: the union of the per-batch
+    k-minimum sketches IS the global k-minimum of the distinct hashes
+    (lossless KMV merge), so the oracle skips the batch structure
+    entirely and rebuilds the global k-min statistic from the same
+    engine-replayable LCG hash; n_shards pins the 4-micro-batch
+    delivery."""
+    from tsne_flink_spark.pipeline.sketches import _KMV_M, kmv_hash_sql
+
+    h = kmv_hash_sql("ud")
+    minv, km1 = float(_KMV_M + 1), float(k - 1)
+    return f"""
+WITH kd AS (
+  SELECT DISTINCT event_type, (user_id * 100 + EXTRACT(day FROM ts)) AS ud
+  FROM events
+), h AS (
+  SELECT DISTINCT event_type, {h} AS hv FROM kd
+), r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM h
+), sk AS (
+  SELECT event_type, count(*) AS n_kept, min(nd) AS nd,
+         max(CASE WHEN rn = {k} THEN hv END) AS kth
+  FROM r WHERE rn <= {k} GROUP BY event_type
+)
+SELECT event_type, n_kept::BIGINT AS n_kept,
+  round(CASE WHEN nd < {k} THEN nd::DOUBLE
+        ELSE {km1!r} / ((kth + 1.0) / {minv!r}) END, 4) AS est_distinct,
+  CAST(4 AS BIGINT) AS n_shards
+FROM sk ORDER BY event_type
+"""
+
+
+def _streaming_histogram_oracle_sql() -> str:
+    """Exact oracle for ``streaming_histogram``: the histogram merge is
+    an exact elementwise sum, so per-micro-batch sharding is invisible
+    to the quantile readout — the one-shot quantile_hist oracle IS the
+    answer, plus the n_shards constant pinning 4-micro-batch
+    delivery."""
+    return f"""
+SELECT l_returnflag, q, est, CAST(4 AS BIGINT) AS n_shards
+FROM ({_quantile_hist_oracle_sql()}) __qh
+ORDER BY l_returnflag, q
+"""
+
+
+# Exact oracle for ``transition_feed``: the gate query's ts-quartile
+# file split + sequential writes pin per-user delivery to global
+# (ts, event_id) order, so the streaming feed's rollup equals the batch
+# lead() window exactly (the same SQL as event_transitions); n_batches
+# pins the 4-micro-batch state-spanning delivery.
+_TRANSITION_FEED_ORACLE = """
+WITH ordered AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM ordered WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type)::DOUBLE, 6)
+         AS p,
+       CAST(4 AS BIGINT) AS n_batches
+FROM counts
+ORDER BY from_type, to_type
 """
 
 
@@ -8127,6 +8400,15 @@ SELECT 0::BIGINT AS bad_quantiles, 0::BIGINT AS monotonicity_violations
         "keyword_textrank": _textrank_oracle_sql(),
         "integrity_orphans": _integrity_orphans_oracle_sql(),
         "join_key_skew": _JOIN_KEY_SKEW_ORACLE,
+        # --- new in r15: the last three streaming twins, exact oracles.
+        # Each is exact because the streaming store's merge is lossless
+        # (k-min union / elementwise bin sum) or the delivery order is
+        # pinned (ts-quartile files), so batch structure is invisible to
+        # the readout; the n_shards / n_batches constant pins that
+        # streaming really delivered 4 micro-batches. ---
+        "streaming_kmv": _streaming_kmv_oracle_sql(),
+        "streaming_histogram": _streaming_histogram_oracle_sql(),
+        "transition_feed": _TRANSITION_FEED_ORACLE,
     }
     # The Bloom prefilter is output-identical to the plain fingerprint join
     # (false negatives impossible; false positives killed by the confirm

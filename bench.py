@@ -174,6 +174,9 @@ HEADLINE = [
     "countmin_tokens",
     "streaming_countmin",
     "streaming_heavy_hitters",
+    "streaming_kmv",
+    "streaming_histogram",
+    "transition_feed",
     "corpus_diff",
     "term_drift",
     "minhash_dedup",
