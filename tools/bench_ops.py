@@ -109,6 +109,14 @@ def _sf_dir() -> str:
 
 def _build_session(app: str):
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # executor-side Python workers resolve imports from PYTHONPATH, not
+    # the driver's sys.path — required when invoked from outside REPO
+    # (e.g. alternating two worktrees for a revision A/B from /tmp)
+    os.environ["PYTHONPATH"] = REPO + (
+        os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else ""
+    )
     from pyspark.sql import SparkSession
 
     spark = (
