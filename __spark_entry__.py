@@ -2935,6 +2935,156 @@ def q_ann_ivf_appended_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_ivf_store(spark: SparkSession, sf_dir: str):
+    """Shared plumbing for the streaming_ann_ingest pair: the STREAMING
+    half of the persisted-IVF ingest lifecycle — build the index on an
+    80% base corpus, persist centroids + index, then replay the
+    remaining 20% batch as a FILE STREAM (2 files, maxFilesPerTrigger=1
+    + availableNow = 2 micro-batches) whose foreachBatch appends each
+    micro-batch's rows to the index store via append_to_ivf_index
+    (frozen coarse quantizer; ONLY the arriving batch is encoded, the
+    store grows by parquet append).  Because append is per-row against
+    frozen centroids, streaming ingestion commutes with batching:
+    ingest(b1) ∪ ingest(b2) == append(b1 ∪ b2) == a one-shot encode
+    with the same quantizer — which the check pins bit-exactly.  At
+    100 TB this IS the production shape: embeddings arrive continuously
+    and enter the served index with no re-train, no re-encode, and no
+    rescans of the existing corpus."""
+    import os
+    import tempfile
+
+    from tsne_flink_spark.pipeline.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    batch = emb.where(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    centroids_df, index_df = build_ivf_index(base)
+    store = tempfile.mkdtemp(prefix="ivf_stream_")
+    src = tempfile.mkdtemp(prefix="ivf_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="ivf_stream_ckpt_")
+    centroids_df.write.mode("overwrite").parquet(f"{store}/centroids")
+    index_df.write.mode("overwrite").parquet(f"{store}/index")
+    cent = spark.read.parquet(f"{store}/centroids")
+    # exactly 2 files -> 2 micro-batches of newly-arriving vectors
+    batch.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def ingest(bdf: DataFrame, batch_id: int) -> None:
+        append_to_ivf_index(cent, bdf).write.mode("append").parquet(
+            f"{store}/index"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    n_batches = len(
+        [f for f in os.listdir(os.path.join(ckpt, "commits"))
+         if not f.startswith(".")]
+    )
+    combined = spark.read.parquet(f"{store}/index")
+    return emb, batch, cent, combined, n_batches
+
+
+def q_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served from a persisted index grown by STRUCTURED
+    STREAMING ingest (build_ivf_index on an 80% base -> parquet ->
+    foreachBatch append_to_ivf_index per arriving micro-batch ->
+    ivf_query_index over the combined store): the live-ingest end of
+    the lifecycle the ann_ivf_appended pair gates in batch form.
+    Approximate (quantizer-trained-on-base), rows-only; the _check pins
+    streaming==one-shot bit-equality under the frozen quantizer,
+    completeness of the grown store, and the 2-micro-batch delivery."""
+    from tsne_flink_spark.pipeline.similarity import ivf_query_index
+
+    emb, _batch, cent, combined, n_batches = _streaming_ivf_store(
+        spark, sf_dir
+    )
+    out = ivf_query_index(emb, cent, combined, k=3, n_probe=8)
+    return out.select(
+        "q",
+        "c",
+        F.round("sim", 6).alias("sim"),
+        F.lit(n_batches).cast("long").alias("n_batches"),
+    )
+
+
+def q_streaming_ann_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified invariants for the streaming IVF ingest (oracle:
+    constant zero row):
+
+    1. streaming==one-shot — serving from the stream-grown store is
+       BIT-EQUAL to serving from a one-shot encode of the full corpus
+       against the same stored centroids (per-row frozen-quantizer
+       assignment commutes with any batching of the input) —
+       mismatched_rows;
+    2. completeness — exactly one index row per corpus vector
+       (index_row_delta, dup_id_delta) and every streamed vector is
+       retrievable from the store (missing_streamed: the silent-loss
+       failure mode where arriving vectors never enter the served
+       index);
+    3. delivery — the checkpoint commit log records exactly 2
+       micro-batches (batch_delta)."""
+    from tsne_flink_spark.operators.optimize import materialize
+    from tsne_flink_spark.pipeline.similarity import (
+        append_to_ivf_index,
+        ivf_query_index,
+    )
+
+    emb, batch, cent, combined, n_batches = _streaming_ivf_store(
+        spark, sf_dir
+    )
+    n_emb = emb.count()
+
+    served = materialize(ivf_query_index(emb, cent, combined, k=3, n_probe=8))
+    full = ivf_query_index(
+        emb, cent, append_to_ivf_index(cent, emb), k=3, n_probe=8
+    ).select(
+        F.col("q").alias("__dq"), F.col("c").alias("__dc"),
+        F.col("sim").alias("__ds"),
+    )
+    j = served.join(
+        full,
+        (F.col("q") == F.col("__dq")) & (F.col("c") == F.col("__dc")),
+        "full",
+    )
+    bad = (
+        F.col("q").isNull()
+        | F.col("__dq").isNull()
+        | ~F.col("sim").eqNullSafe(F.col("__ds"))
+    )
+    mismatched = j.agg(
+        F.sum(bad.cast("int")).cast("long").alias("mismatched_rows")
+    )
+    counts = combined.agg(
+        (F.count(F.lit(1)) - F.lit(n_emb)).cast("long").alias(
+            "index_row_delta"
+        ),
+        (F.count_distinct("vec_id") - F.lit(n_emb)).cast("long").alias(
+            "dup_id_delta"
+        ),
+    )
+    missing = (
+        batch.select("vec_id")
+        .join(combined.select("vec_id"), "vec_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("missing_streamed"))
+    )
+    batch_row = spark.range(1).select(
+        (F.lit(n_batches) - F.lit(2)).cast("long").alias("batch_delta")
+    )
+    return mismatched.crossJoin(counts).crossJoin(missing).crossJoin(batch_row)
+
+
 def _pq_appended_store(spark: SparkSession, sf_dir: str):
     """Shared plumbing for the ann_pq_appended pair: the PQ mirror of
     :func:`_ivf_appended_store` — train the IVF-PQ model and encode an
@@ -5415,6 +5565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kmv": q_streaming_kmv,
         "streaming_histogram": q_streaming_histogram,
         "transition_feed": q_transition_feed,
+        "streaming_ann_ingest": q_streaming_ann_ingest,
+        "streaming_ann_ingest_check": q_streaming_ann_ingest_check,
         # --- r12-green remainder ---
         "quality_calibration": q_quality_calibration,
         "dup_triangles": q_dup_triangles,
@@ -8409,6 +8561,14 @@ SELECT 0::BIGINT AS bad_quantiles, 0::BIGINT AS monotonicity_violations
         "streaming_kmv": _streaming_kmv_oracle_sql(),
         "streaming_histogram": _streaming_histogram_oracle_sql(),
         "transition_feed": _TRANSITION_FEED_ORACLE,
+        # streaming_ann_ingest itself is rows-only (approximate ANN);
+        # its _check pins streaming==one-shot bit-equality + store
+        # completeness + 2-batch delivery as a constant zero row
+        "streaming_ann_ingest_check": """
+SELECT 0::BIGINT AS mismatched_rows, 0::BIGINT AS index_row_delta,
+       0::BIGINT AS dup_id_delta, 0::BIGINT AS missing_streamed,
+       0::BIGINT AS batch_delta
+""",
     }
     # The Bloom prefilter is output-identical to the plain fingerprint join
     # (false negatives impossible; false positives killed by the confirm

@@ -177,6 +177,7 @@ HEADLINE = [
     "streaming_kmv",
     "streaming_histogram",
     "transition_feed",
+    "streaming_ann_ingest",
     "corpus_diff",
     "term_drift",
     "minhash_dedup",
