@@ -29,6 +29,44 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SHARED_MINER_CACHE: dict = {}
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_parts(spark: SparkSession):
+    """Temporarily size ``spark.sql.shuffle.partitions`` for the bounded
+    streaming lifecycles (r15 optimization, guide §2.4/§6).
+
+    Structured streaming snapshots the session conf at query start, and
+    for STATEFUL queries the value is locked into the checkpoint as the
+    state-partition count.  The gated lifecycles replay a 4-file backlog
+    whose micro-batches carry at most a few hundred thousand narrow
+    rows, so the batch-analytics default (2x cores = 64 locally) buys
+    nothing and costs a fixed per-partition tax every micro-batch: 64
+    HDFS-state-store load/commit cycles per batch for the keyed-state
+    feed, 64-way shuffles inside each foreachBatch job for the sketch
+    builders (measured: transition_feed stream phase 8-9 s -> 6 s,
+    countmin step ~1.2 -> ~0.8 s/batch at 8 partitions).
+
+    At production scale the right value tracks per-trigger ingest volume
+    and key cardinality, not this session's batch parallelism — so it is
+    parameterised: ``SPARK_GRAFT_STREAM_PARTS`` overrides; the default
+    is min(session value, 8), i.e. purely a local-mode cap that a
+    cluster deployment raises per stream.  Results are invariant: sketch
+    merges are exact elementwise/k-min/MG merges and keyed state is
+    per-key, so partition count never reaches the output."""
+    import os as _os
+
+    cur = spark.conf.get("spark.sql.shuffle.partitions")
+    env = _os.environ.get("SPARK_GRAFT_STREAM_PARTS")
+    n = int(env) if env else min(int(cur), 8)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", cur)
+
+
 def _dup_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact 2-gram-Jaccard >= 0.5 near-dup pair graph over the
     documents table — the shared front half of the whole dup_* family
@@ -2981,13 +3019,14 @@ def _streaming_ivf_store(spark: SparkSession, sf_dir: str):
             f"{store}/index"
         )
 
-    q = (
-        stream.writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_parts(spark):
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     n_batches = len(
         [f for f in os.listdir(os.path.join(ckpt, "commits"))
          if not f.startswith(".")]
@@ -3267,11 +3306,12 @@ def _streaming_countmin_store(spark: SparkSession, sf_dir: str):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = streaming_countmin_shards(
-        stream, store, "t", w=1024, d=4, checkpoint_dir=ckpt,
-        available_now=True,
-    )
-    q.awaitTermination(300)
+    with _stream_parts(spark):
+        q = streaming_countmin_shards(
+            stream, store, "t", w=1024, d=4, checkpoint_dir=ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(300)
     return spark.read.parquet(store), toks
 
 
@@ -3357,10 +3397,11 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = streaming_heavy_hitters(
-        stream, state, k=k, checkpoint_dir=ckpt, available_now=True
-    )
-    q.awaitTermination(300)
+    with _stream_parts(spark):
+        q = streaming_heavy_hitters(
+            stream, state, k=k, checkpoint_dir=ckpt, available_now=True
+        )
+        q.awaitTermination(300)
     batches = sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(state)
@@ -3432,11 +3473,12 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = streaming_kmv_shards(
-        stream, store, ["event_type"], "ud", k=k, checkpoint_dir=ckpt,
-        available_now=True,
-    )
-    q.awaitTermination(300)
+    with _stream_parts(spark):
+        q = streaming_kmv_shards(
+            stream, store, ["event_type"], "ud", k=k, checkpoint_dir=ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(300)
     shards = spark.read.parquet(store)
     n_shards = shards.select("shard").distinct().count()
     sk = kmv_union(shards, ["event_type"], k=k)
@@ -3483,11 +3525,13 @@ def q_streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = streaming_histogram_shards(
-        stream, store, ["l_returnflag"], "l_extendedprice",
-        _QH_LO, _QH_HI, _QH_BINS, checkpoint_dir=ckpt, available_now=True,
-    )
-    q.awaitTermination(300)
+    with _stream_parts(spark):
+        q = streaming_histogram_shards(
+            stream, store, ["l_returnflag"], "l_extendedprice",
+            _QH_LO, _QH_HI, _QH_BINS, checkpoint_dir=ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(300)
     shards = spark.read.parquet(store)
     n_shards = shards.select("shard").distinct().count()
     merged = histogram_union(shards, ["l_returnflag"], _QH_BINS)
@@ -3544,24 +3588,71 @@ def q_transition_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ts_d >= b2) & (ts_d < b3),
         ts_d >= b3,
     ]
-    for cond in quarters:
-        # sequential single-file appends -> strictly increasing mtimes
-        ev.where(cond).repartition(1).write.mode("append").parquet(src)
+    # ONE write job instead of four sequential full-scan appends (r15
+    # optimization, guide §2.4): tag each row with its quarter, hash-
+    # repartition on the tag (each quarter lands whole in one task) and
+    # write partitionBy — exactly one file per non-empty quarter in a
+    # single scan of events.  FileStreamSource orders by modification
+    # time, which the old code bought with 4 sequential jobs; here the
+    # mtimes are set explicitly (os.utime, strictly increasing in
+    # quarter order), which is equally deterministic.  Row order inside
+    # a file is irrelevant: transition_feed sorts each micro-batch by
+    # (ts, id) in the state handler.  An empty quarter (possible only
+    # when ts quartiles coincide) still has to yield a file so the
+    # 4-micro-batch contract and the n_batches column survive — the
+    # rare fallback writes the missing empty file(s) the old way.
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    stage = tempfile.mkdtemp(prefix="tf_stage_")
+    qtag = (
+        F.when(quarters[0], 0)
+        .when(quarters[1], 1)
+        .when(quarters[2], 2)
+        .otherwise(3)
+    )
+    (
+        ev.withColumn("__q", qtag)
+        .repartition(4, "__q")
+        .write.partitionBy("__q")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    base_mtime = _time.time()
+    for qi in range(4):
+        part_files = _glob.glob(f"{stage}/__q={qi}/part-*.parquet")
+        dst = os.path.join(src, f"quarter-{qi}.parquet")
+        if len(part_files) > 1:  # pragma: no cover - repartition contract
+            raise RuntimeError(
+                f"quarter {qi} split across {len(part_files)} files"
+            )
+        if part_files:
+            _shutil.move(part_files[0], dst)
+        else:  # pragma: no cover - degenerate quartile tie
+            ev.where(quarters[qi]).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(stage + f"/empty{qi}")
+            _shutil.move(
+                _glob.glob(f"{stage}/empty{qi}/part-*.parquet")[0], dst
+            )
+        os.utime(dst, (base_mtime + qi, base_mtime + qi))
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        transition_feed(stream)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_parts(spark):
+        q = (
+            transition_feed(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     n_batches = len(
         [f for f in os.listdir(os.path.join(ckpt, "commits"))
          if not f.startswith(".")]
