@@ -100,6 +100,7 @@ DUP_FAMILY = [
     "dup_random_walks",
     "dup_walk_embeddings_check",
     "leakage_split",
+    "curation_pipeline",
 ]
 
 

@@ -370,6 +370,7 @@ def curation_pipeline(
     rates: dict[str, int] | None = None,
     default_rate: int = 5,
     pair_miner: str = "exact",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The full curation pass, end-to-end: every document annotated with the
     FIRST stage that eliminated it —
@@ -393,6 +394,14 @@ def curation_pipeline(
     LSH-bounded verified pairs (``dedup.minhash_dup_pairs``, same
     ``jaccard_threshold``) — the corpus-scale trade (B24): still
     deterministic, no longer SQL-reproducible.
+
+    ``pairs`` (r15): a pre-mined pair graph over the SAME corpus at the
+    SAME (threshold, shingle_n) — e.g. a shared miner output reused
+    across a query suite.  Jaccard is pairwise, so restricting the full
+    graph's edges to the current survivor set is EXACTLY the edge set
+    mining the survivors directly would produce; the restriction here is
+    two semi-joins on slim id columns.  Output is bit-identical to the
+    self-mined path.
 
     Output is a total annotation (one row per input document, columns
     ``(id_col, stage)``): the "why was my document dropped" audit table, not
@@ -424,7 +433,14 @@ def curation_pipeline(
     exact_kill = materialize(fp.where(F.col("__rn") > 1).select(id_col))
     surv1 = train.select(*base_cols).join(exact_kill, id_col, "left_anti")
 
-    if pair_miner == "minhash":
+    if pairs is not None:
+        # restrict the pre-mined full-corpus graph to the survivor set:
+        # both endpoints must have survived exact dedup + holdout
+        ids1 = surv1.select(id_col)
+        mined = pairs.select("a", "b").join(
+            ids1.withColumnRenamed(id_col, "a"), "a", "left_semi"
+        ).join(ids1.withColumnRenamed(id_col, "b"), "b", "left_semi")
+    elif pair_miner == "minhash":
         from tsne_flink_spark.pipeline.dedup import minhash_dup_pairs
 
         mined = minhash_dup_pairs(
@@ -467,23 +483,26 @@ def curation_pipeline(
     )
 
     def mark(df: DataFrame, name: str) -> DataFrame:
-        return df.select(F.col(id_col), F.lit(1).alias(name))
+        return df.select(F.col(id_col), F.lit(name).alias("__lbl"))
 
-    ann = (
-        docs.select(id_col)
-        .join(mark(exact_kill, "__ex"), id_col, "left")
-        .join(mark(near_kill, "__nd"), id_col, "left")
-        .join(mark(cont_kill, "__ct"), id_col, "left")
-        .join(mark(lowq_kill, "__lq"), id_col, "left")
-        .join(mark(kept, "__kp"), id_col, "left")
+    # The five kill/keep sets are DISJOINT by construction (each stage
+    # applies only to the previous stage's survivors), so the assembly
+    # needs ONE left join of docs against their labeled union instead of
+    # five chained left joins (r15, guide §2.4: 6 Exchanges + 5
+    # SortMergeJoins -> 2 Exchanges + 1 join; same rows bit-for-bit).
+    # Holdout ids never appear in any set (all sets are subsets of
+    # train), so the when-precedence of the old chain is preserved.
+    labels = (
+        mark(exact_kill, "exact_dup")
+        .unionByName(mark(near_kill, "near_dup"))
+        .unionByName(mark(cont_kill, "contaminated"))
+        .unionByName(mark(lowq_kill, "low_quality"))
+        .unionByName(mark(kept, "kept"))
     )
+    ann = docs.select(id_col).join(labels, id_col, "left")
     stage = (
         F.when(F.col(id_col) % holdout_mod == 0, F.lit("holdout"))
-        .when(F.col("__ex").isNotNull(), F.lit("exact_dup"))
-        .when(F.col("__nd").isNotNull(), F.lit("near_dup"))
-        .when(F.col("__ct").isNotNull(), F.lit("contaminated"))
-        .when(F.col("__lq").isNotNull(), F.lit("low_quality"))
-        .when(F.col("__kp").isNotNull(), F.lit("kept"))
+        .when(F.col("__lbl").isNotNull(), F.col("__lbl"))
         .otherwise(F.lit("not_sampled"))
     )
     return ann.select(id_col, stage.alias("stage"))
