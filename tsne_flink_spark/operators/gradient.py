@@ -265,6 +265,18 @@ def _repulsive_summary(
 # 440 B/pt at d=3, N=1M, tools/probe_summary_nd.py round 7).
 _TREE_BYTES_PER_POINT = 220
 _AUTO_BROADCAST_BUDGET = 64 << 20  # => auto switches to summary at N ~ 305k
+# Below this N the auto policy builds the tree ON THE DRIVER from one
+# collect instead of the distributed build (r15, guide §2.4/§5): the
+# full-tree regime broadcasts the finished tree from the driver either
+# way, so at small N the distributed build's extra per-iteration jobs
+# (bounds aggregate + df.rdd pickle pass + depth-2 treeReduce = 3 driver
+# round-trips) buy nothing over one bounded collect (<= 64k rows * ~50 B
+# = ~3 MB, far under the 64 MB tree-broadcast budget that already caps
+# this regime).  Measured on the flagship (N=2k, 20 iterations, sf0.1):
+# 37.5 -> 28.9 s at equal host calibration.  Above this N the
+# construction cost itself matters and the executor-merged build keeps
+# the win (B14/B20).
+_AUTO_DRIVER_BUILD_MAX_N = 1 << 16
 
 
 def _nd_tree_bytes_per_point(d: int) -> int:
@@ -468,6 +480,7 @@ def _repulsive_barnes_hut(
     fix_bounds_mean: bool = False,
     bh_condition: str = "reference",
     tree_build: str = "auto",
+    n_hint: int | None = None,
 ) -> tuple[DataFrame, bool]:
     """Barnes-Hut repulsive forces.  Returns ``(rep, used_summary)`` —
     callers materialize the heavy cogroup pipeline only when the summary
@@ -499,9 +512,22 @@ def _repulsive_barnes_hut(
         # the O(N) NDTree broadcast above the budget.
         return _repulsive_barnes_hut_nd(
             embedding, theta, n_components, fix_bounds_mean, bh_condition,
-            tree_build,
+            tree_build, n_hint=n_hint,
         )
     bounds = None
+    if tree_build == "auto" and n_hint is not None:
+        # the caller told us N (the iteration loop counts the working set
+        # once — row count is loop-invariant); decide without the bounds
+        # aggregate.  A wrong hint only changes WHICH build path runs —
+        # every path builds from the actual rows — so correctness never
+        # depends on it.
+        tree_build = (
+            "summary"
+            if n_hint * _TREE_BYTES_PER_POINT > _AUTO_BROADCAST_BUDGET
+            else "driver"
+            if n_hint <= _AUTO_DRIVER_BUILD_MAX_N
+            else "distributed"
+        )
     if tree_build in ("auto", "summary"):
         bounds = _bounds_with_count(embedding)
         if tree_build == "auto":
@@ -509,6 +535,8 @@ def _repulsive_barnes_hut(
             tree_build = (
                 "summary"
                 if n * _TREE_BYTES_PER_POINT > _AUTO_BROADCAST_BUDGET
+                else "driver"
+                if n <= _AUTO_DRIVER_BUILD_MAX_N
                 else "distributed"
             )
     if tree_build == "summary":
@@ -566,6 +594,7 @@ def _repulsive_barnes_hut_nd(
     fix_bounds_mean: bool,
     bh_condition: str,
     tree_build: str,
+    n_hint: int | None = None,
 ) -> tuple[DataFrame, bool]:
     """Barnes-Hut repulsion for n_components != 2 via the d-dimensional
     NDTree (octree at d=3) — driver or executor-merged build + broadcast +
@@ -580,6 +609,15 @@ def _repulsive_barnes_hut_nd(
 
     d = n_components
     bounds = None
+    if tree_build == "auto" and n_hint is not None:
+        # see _repulsive_barnes_hut: loop-invariant N skips the bounds job
+        tree_build = (
+            "summary"
+            if n_hint * _nd_tree_bytes_per_point(d) > _AUTO_BROADCAST_BUDGET
+            else "driver"
+            if n_hint <= _AUTO_DRIVER_BUILD_MAX_N
+            else "distributed"
+        )
     if tree_build in ("auto", "summary"):
         bounds = _bounds_with_count_nd(embedding, d)
         if tree_build == "auto":
@@ -591,6 +629,8 @@ def _repulsive_barnes_hut_nd(
             tree_build = (
                 "summary"
                 if n * _nd_tree_bytes_per_point(d) > _AUTO_BROADCAST_BUDGET
+                else "driver"
+                if n <= _AUTO_DRIVER_BUILD_MAX_N
                 else "distributed"
             )
     if tree_build == "summary":
@@ -641,6 +681,7 @@ def gradient(
     fix_bounds_mean: bool = False,
     bh_condition: str = "reference",
     tree_build: str = "auto",
+    n_hint: int | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """One gradient evaluation.
 
@@ -662,6 +703,7 @@ def gradient(
             fix_bounds_mean=fix_bounds_mean,
             bh_condition=bh_condition,
             tree_build=tree_build,
+            n_hint=n_hint,
         )
         if used_summary or os.environ.get("TSNE_SPARK_PIN_REP") == "1":
             # rep feeds BOTH the sum_q aggregate and the grad join; without
@@ -679,6 +721,16 @@ def gradient(
             rep = materialize(rep)
 
     sum_q = rep.agg(F.sum("sumq").alias("__sum_q"))
+
+    # NOTE (r15, measured): broadcast-hinting the N-row join sides here
+    # (yi/yj/rep and the update join's dy) to skip AQE's shuffle-stage
+    # materialization was tried and REJECTED — alternating revision A/B
+    # read the hinted build 1.5-1.9x SLOWER warm (57-62 s vs 32-41 s at
+    # equal np calibration).  Every hinted side sits above a fresh
+    # Python-eval subtree, so each broadcast build serializes that
+    # subtree through a single driver collect per iteration; AQE's
+    # sub-jobs are cheaper than the forced driver round-trips (the same
+    # conclusion as round 1's "AQE off is 4x worse" probe).
 
     # attractive forces: P edges joined with both endpoint embeddings
     yi = embedding.select(F.col("id").alias("i"), F.col("y").alias("__yi"))

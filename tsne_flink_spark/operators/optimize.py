@@ -64,12 +64,18 @@ def iteration_computation(
     loss_sink: list | None = None,
     bh_condition: str = "reference",
     tree_build: str = "auto",
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Run ``iterations`` gradient-descent steps from ``working_set``.
 
     Mirrors TsneHelpers.iterationComputation (TsneHelpers.scala:371-394);
     the superstep number is 1-based, so global iteration = iter_offset + step.
     Appends (iteration, loss) tuples to ``loss_sink`` every 10th iteration.
+
+    ``n_hint``: the working-set row count, if the caller knows it.  Row
+    count is loop-invariant (update/center are row-preserving id joins),
+    so one count lets every iteration's Barnes-Hut auto dispatch skip its
+    per-iteration bounds/count aggregate (r15, guide §2.4).
     """
     ws = working_set
     for step in range(1, iterations + 1):
@@ -85,6 +91,7 @@ def iteration_computation(
             compute_loss=want_loss,
             bh_condition=bh_condition,
             tree_build=tree_build,
+            n_hint=n_hint,
         )
         updated = update_embedding(
             dy, ws, min_gain=MIN_GAIN, momentum=momentum, learning_rate=learning_rate
@@ -123,22 +130,26 @@ def optimize(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     plain = p_coo.persist(StorageLevel.MEMORY_AND_DISK)
 
+    # one count for the whole loop: lets the BH auto dispatch skip its
+    # per-iteration bounds/count job (row count never changes mid-loop)
+    n_hint = int(initial_working_set.count()) if theta != 0.0 else None
+
     ws = iteration_computation(
         iter_init, initial_momentum, initial_working_set, exaggerated,
         metric, learning_rate, theta, n_components, 0, loss_sink,
-        bh_condition, tree_build,
+        bh_condition, tree_build, n_hint,
     )
     if iter_exag > 0:
         ws = iteration_computation(
             iter_exag, final_momentum, ws, exaggerated,
             metric, learning_rate, theta, n_components, iter_init, loss_sink,
-            bh_condition, tree_build,
+            bh_condition, tree_build, n_hint,
         )
     if iter_plain > 0:
         ws = iteration_computation(
             iter_plain, final_momentum, ws, plain,
             metric, learning_rate, theta, n_components,
-            iter_init + iter_exag, loss_sink, bh_condition, tree_build,
+            iter_init + iter_exag, loss_sink, bh_condition, tree_build, n_hint,
         )
     exaggerated.unpersist()
     plain.unpersist()

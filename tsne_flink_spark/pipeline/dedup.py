@@ -1198,6 +1198,15 @@ def containment_pairs(
         )
         .where(F.size("__sh") >= 1)
     )
+    # sh feeds FOUR consumers (the posting list, the df table under it,
+    # and both verify sides) and Spark re-evaluates the subtree at every
+    # reference — the text split + shingle assembly + array_distinct ran
+    # 4x per call (visible as four Scan+Generate subtrees in the plan).
+    # Materializing the shingle arrays once makes every consumer a flat
+    # cached scan (r15, guide §2.4/§5; plan: 4 Generate subtrees -> 1).
+    from tsne_flink_spark.operators.optimize import materialize
+
+    sh = materialize(sh)
     posting = sh.select(F.col(id_col).alias("__id"), F.explode("__sh").alias("__g"))
     rare = posting.join(
         posting.groupBy("__g")
