@@ -497,6 +497,37 @@ def _project(points: DataFrame, R: np.ndarray) -> DataFrame:
     )
 
 
+def _run_passes(build, params: list, plan_stub: bool) -> list:
+    """Construct the per-pass candidate sets, overlapping their eager work.
+
+    Each projection pass pays 3-4 driver-blocking jobs at construction time
+    (persist fill + bounds collect inside ``_feature_bounds``, the rank
+    shuffle ``materialize()`` and the partition-counts collect inside
+    ``_global_rank_by``) and the passes are fully independent — seeded
+    params are drawn before dispatch, each pass's rank is internally
+    deterministic (id tiebreaks), and the union is deduplicated downstream.
+    Submitting them from a small thread pool (guide §2.6) lets pass B's
+    jobs back-fill the cluster while pass A waits on its collects; result
+    order (hence the returned list) is preserved by ``pool.map``, so the
+    output is bit-identical to the sequential loop.  Plan-stub mode runs
+    no jobs, and a single pass has nothing to overlap — both stay inline.
+    """
+    if plan_stub or len(params) <= 1:
+        return [build(p) for p in params]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+    from pyspark.sql import SparkSession
+
+    session = SparkSession.getActiveSession()
+    wrap = (
+        inheritable_thread_target(session) if session is not None
+        else inheritable_thread_target
+    )
+    with ThreadPoolExecutor(max_workers=len(params)) as pool:
+        return list(pool.map(wrap(build), params))
+
+
 def project_knn(
     points: DataFrame,
     k: int,
@@ -552,7 +583,6 @@ def project_knn(
         window = max(2 * k, 256)
 
     rng = np.random.default_rng(seed)
-    candidate_sets = []
     if dimension <= proj_dims:
         if _plan_stub:
             mins = np.zeros(dimension)
@@ -573,7 +603,8 @@ def project_knn(
         # comparing raw double bits (anchored at absolute zero,
         # ZOrder.scala:25-42).
         grid_mins, grid_maxs = mins, maxs + span
-        for shift in shifts:
+
+        def _build_pass(shift) -> DataFrame:
             if shift is None:
                 shifted = points
             else:
@@ -583,14 +614,20 @@ def project_knn(
                     F.zip_with("features", arr, lambda a, b: a + b).alias("features"),
                 )
             keyed = morton_key(shifted, grid_mins, grid_maxs, bits=bits)
-            candidate_sets.append(
-                _zorder_candidates(keyed, window, stub_rank=_plan_stub)
-            )
+            return _zorder_candidates(keyed, window, stub_rank=_plan_stub)
+
+        candidate_sets = _run_passes(_build_pass, shifts, _plan_stub)
     else:
         from pyspark.storagelevel import StorageLevel
 
-        for _ in range(max(iterations, 1)):
-            R = rng.normal(size=(dimension, proj_dims))
+        # all projection matrices drawn up front so the per-pass builds are
+        # order-independent (same draws as the former in-loop sequence)
+        Rs = [
+            rng.normal(size=(dimension, proj_dims))
+            for _ in range(max(iterations, 1))
+        ]
+
+        def _build_pass(R: np.ndarray) -> DataFrame:
             projected = _project(points, R)
             if _plan_stub:
                 pmins = np.zeros(proj_dims)
@@ -607,9 +644,9 @@ def project_knn(
             keyed = space_filling_key(
                 projected, pmins, pmaxs, curve=curve, bits=bits
             )
-            candidate_sets.append(
-                _zorder_candidates(keyed, window, stub_rank=_plan_stub)
-            )
+            return _zorder_candidates(keyed, window, stub_rank=_plan_stub)
+
+        candidate_sets = _run_passes(_build_pass, Rs, _plan_stub)
 
     candidates = candidate_sets[0]
     for c in candidate_sets[1:]:
