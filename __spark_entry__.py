@@ -4725,10 +4725,27 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey", _ntile_from_rank(F.col("__rank"), n).alias(out)
         )
 
+    # the three quartile builds each pay two driver-blocking jobs at
+    # construction time (_global_rank_by: rank-shuffle materialize +
+    # partition-counts collect) and are independent reads of the already
+    # materialized per_cust — overlap them from a thread pool (guide
+    # §2.6); each rank is deterministic (custkey tiebreak) and the
+    # assembly joins by key, so the result is unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    wrap = inheritable_thread_target(spark)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        q_r, q_f, q_m = pool.map(
+            wrap(lambda mo: quartile(*mo)),
+            [("last_order", "r_quartile"), ("frequency", "f_quartile"),
+             ("monetary", "m_quartile")],
+        )
     rfm = (
-        quartile("last_order", "r_quartile")
-        .join(quartile("frequency", "f_quartile"), "o_custkey")
-        .join(quartile("monetary", "m_quartile"), "o_custkey")
+        q_r
+        .join(q_f, "o_custkey")
+        .join(q_m, "o_custkey")
         .join(per_cust.select("o_custkey", "monetary"), "o_custkey")
     )
     return (
