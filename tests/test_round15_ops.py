@@ -135,3 +135,33 @@ def test_walk_embeddings_default_partitions_derived(spark):
         mlf.Word2Vec.fit = orig_fit
     expect = max(2, spark.sparkContext.defaultParallelism // 4)
     assert seen["numPartitions"] == expect
+
+
+def test_pagerank_loop_width_invariant_and_conf_restored(spark, monkeypatch):
+    """The r15 scale-adaptive PR-loop shuffle width: ranks are identical
+    at width 1 (the tiny-graph derivation), at a forced wide setting
+    (SPARK_GRAFT_GRAPH_PARTS), and on both the undirected (no nodes
+    left-join) and directed paths — and the session's
+    spark.sql.shuffle.partitions is restored afterwards, even though
+    the whole loop executed inside the conf window."""
+    from tsne_flink_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (10, 11)],
+        "a bigint, b bigint",
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    for undirected in (True, False):
+        monkeypatch.delenv("SPARK_GRAFT_GRAPH_PARTS", raising=False)
+        narrow = {
+            r["id"]: r["rank"]
+            for r in pagerank(edges, undirected=undirected).collect()
+        }
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+        monkeypatch.setenv("SPARK_GRAFT_GRAPH_PARTS", "16")
+        wide = {
+            r["id"]: r["rank"]
+            for r in pagerank(edges, undirected=undirected).collect()
+        }
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+        assert narrow == wide, (undirected, narrow, wide)

@@ -381,9 +381,13 @@ def countmin_sketch(
         )
         .select(
             "depth",
-            # densify: w slots, 0 where no value hashed to the bucket
-            # (__m is a bound aggregate attribute, so the per-slot lookup
-            # never re-builds the map — the CollapseProject trap)
+            # densify: w slots, 0 where no value hashed to the bucket.
+            # CollapseProject inlines __m into the aggregate's result
+            # projection (verified in the executed plan), so the lambda
+            # re-derives the map per slot — O(w x filled) per OUTPUT
+            # row, bounded because the output is d synopsis rows; the
+            # compact lambda keeps analysis/codegen O(1) in w, which is
+            # what actually shows up in wall time (see histogram_shards)
             F.transform(
                 F.sequence(F.lit(0), F.lit(w - 1)),
                 lambda i: F.coalesce(
@@ -482,6 +486,18 @@ def histogram_shards(
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
     # dense counts array: map_from sparse bins, read out all `bins` slots
+    # via ONE transform(sequence(...)) lambda (the countmin-builder idiom)
+    # instead of `bins` unrolled element_at projections — the unrolled
+    # expression tree made every analysis/codegen of this plan O(bins)
+    # (measured ~0.5 s per streaming micro-batch at bins=128, re-paid on
+    # each trigger because foreachBatch re-plans per batch; warm stream
+    # phase 5.1 -> 2.3 s).  Trade-off, same as the countmin builder:
+    # CollapseProject inlines __m into the aggregate's result
+    # projection, so the lambda re-derives the map per slot — O(bins x
+    # distinct_bins) per OUTPUT row, bounded because the output is a
+    # synopsis (keys x shards rows), while the saved planning cost was
+    # paid per PLAN.  Verified executed-plan-identical idiom to
+    # countmin_sketch; oracle hashes unchanged.
     return per_bin.groupBy(*key_cols, "shard").agg(
         F.map_from_arrays(
             F.collect_list("__b"), F.collect_list("__c")
@@ -489,13 +505,12 @@ def histogram_shards(
     ).select(
         *key_cols,
         "shard",
-        F.array(
-            *[
-                F.coalesce(F.element_at("__m", F.lit(b)), F.lit(0)).alias(
-                    f"_{b}"
-                )
-                for b in range(bins)
-            ]
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bins - 1)),
+            lambda b: F.coalesce(
+                F.element_at(F.col("__m"), b.cast("int")),
+                F.lit(0).cast("long"),
+            ),
         ).alias("counts"),
     ).withColumn(
         "n", F.aggregate("counts", F.lit(0).cast("long"), lambda a, x: a + x)
@@ -508,7 +523,7 @@ def histogram_union(
     """(key..., counts, n): merge persisted histogram shards per key —
     an exact elementwise sum (zip_with over the reduce), so the merged
     histogram is identical to one built from all the rows at once."""
-    zero = F.array(*[F.lit(0).cast("long") for _ in range(bins)])
+    zero = F.array_repeat(F.lit(0).cast("long"), bins)
     return shards.groupBy(*key_cols).agg(
         F.aggregate(
             F.collect_list("counts"),
