@@ -134,6 +134,18 @@ def optimize(
     # per-iteration bounds/count job (row count never changes mid-loop)
     n_hint = int(initial_working_set.count()) if theta != 0.0 else None
 
+    # NOTE (r15, measured): a pagerank-style scale-adaptive LOOP shuffle
+    # width (cap spark.sql.shuffle.partitions to ceil(rows/64k) for the
+    # loop) was tried and REJECTED here.  Deterministic evidence: job/
+    # stage/task counts per flagship run are IDENTICAL with and without
+    # the cap (358/698/~5.5k) — AQE's partition coalescing already
+    # collapses the loop's tiny reducers, so the cap has no mechanism;
+    # and the interleaved A/B read the capped build 1.7-3x WORSE inside
+    # a contended-host window (a width-1 stage serializes into whatever
+    # stalls its one core, while the wide width rides out per-core
+    # stalls).  The per-iteration cost is the AQE sub-job floor, not
+    # task counts (see the broadcast-hint rejection below).
+
     ws = iteration_computation(
         iter_init, initial_momentum, initial_working_set, exaggerated,
         metric, learning_rate, theta, n_components, 0, loss_sink,
